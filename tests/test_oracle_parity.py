@@ -1,0 +1,28 @@
+"""Every registered query with an oracle must hash-match DuckDB —
+this mirrors the driver's correctness gate (t2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ripcurrent_spark.queries import all_queries
+from tests.conftest import SF_ORACLE
+from tests.parity import assert_parity
+
+QUERIES = all_queries()
+ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, ddb, name):
+    q = QUERIES[name]
+    assert_parity(q.spark(spark, SF_ORACLE), ddb.sql(q.oracle), name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, name):
+    q = QUERIES[name]
+    df = q.spark(spark, SF_ORACLE)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
