@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+wall seconds.
+
+Timing excludes session startup (one warmup action first) and counts
+`df.count()`-forced full execution per query, so shuffle + agg cost is
+included but driver-side collection of big results is not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ripcurrent_spark.queries import all_queries
+    from ripcurrent_spark.session import get_spark
+
+    spark = get_spark(app_name="ripcurrent_bench")
+    reg = all_queries()
+    names = [n for n, q in reg.items() if q.headline]
+
+    # Warmup: force JVM + parquet footer reads outside the timed region.
+    spark.range(1).count()
+    for t in ("lineitem", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        reg[name].spark(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_query_wall_sec_total",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

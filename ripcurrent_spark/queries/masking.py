@@ -1,1 +1,223 @@
-"""Placeholder — filled in incrementally."""
+"""Classification + masking queries (the reference's core behavior:
+classify columns, apply default rules, emit ALTERED_<col> fields —
+Main.java:351-365, 447-521).
+
+Oracle strings are built from the same ``*_sql`` emitters the Column
+builders mirror, so Spark/DuckDB can only diverge at the value level
+if the underlying engines' md5/string/decimal semantics diverge
+(they don't — that's the point of the portable hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ripcurrent_spark.classify.default_library import (
+    MKT_SEGMENTS,
+    PSEUDO_NAMES,
+    default_classes,
+    default_rules,
+)
+from ripcurrent_spark.classify.library import classify_columns
+from ripcurrent_spark.functions import masking as M
+from ripcurrent_spark.io import load
+from ripcurrent_spark.queries import register
+from ripcurrent_spark.rules.apply import apply_rules
+
+_SEGS_SQL = ", ".join(f"'{s}'" for s in MKT_SEGMENTS)
+
+
+@register(
+    "classify_customer_columns",
+    oracle=f"""
+SELECT 'c_name' AS column_name, 'PERSON_NAME' AS data_class,
+       'FieldPseudonymRule' AS rule_name,
+       round(avg(CASE WHEN regexp_full_match(CAST(c_name AS VARCHAR),
+                 '(Customer|Supplier)#[0-9]{{9}}') THEN 1.0 ELSE 0.0 END), 6) AS match_fraction,
+       TRUE AS name_matched
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', 'MKT_SEGMENT', 'FieldSetRule',
+       round(avg(CASE WHEN CAST(c_mktsegment AS VARCHAR) IN ({_SEGS_SQL})
+                 THEN 1.0 ELSE 0.0 END), 6),
+       FALSE
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', 'ACCOUNT_BALANCE', 'FieldBlurRule', 0.0, TRUE
+""",
+)
+def classify_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column classification of `customer`: every
+    (class, column) match fraction in ONE aggregate scan, name matches
+    from metadata, first-match-wins (Main.java:351-365)."""
+    df = load(spark, sf_dir, "customer")
+    decisions = classify_columns(df, default_classes(), threshold=0.8)
+    schema = T.StructType(
+        [
+            T.StructField("column_name", T.StringType()),
+            T.StructField("data_class", T.StringType()),
+            T.StructField("rule_name", T.StringType()),
+            T.StructField("match_fraction", T.DoubleType()),
+            T.StructField("name_matched", T.BooleanType()),
+        ]
+    )
+    rows = [
+        (d.column, d.data_class, d.rule_name, round(d.match_fraction, 6), d.name_matched)
+        for d in decisions
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "masked_replica_customer",
+    headline=True,
+    oracle=f"""
+SELECT c_custkey,
+       {M.pseudonym_sql('c_name', PSEUDO_NAMES)} AS ALTERED_c_name,
+       c_nationkey,
+       CAST({M.blur_number_sql('c_acctbal', 50)} AS DOUBLE) AS ALTERED_c_acctbal,
+       {M.pseudonym_sql('c_mktsegment', MKT_SEGMENTS)} AS ALTERED_c_mktsegment
+FROM customer
+""",
+)
+def masked_replica_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end: classify `customer`, apply each class's
+    default rule, emit the masked replica with ALTERED_<col> derived
+    fields (the reference's generated-target behavior)."""
+    df = load(spark, sf_dir, "customer")
+    decisions = classify_columns(df, default_classes(), threshold=0.8)
+    masked = apply_rules(df, decisions, default_rules())
+    return masked.withColumn("ALTERED_c_acctbal", F.col("ALTERED_c_acctbal").cast("double"))
+
+
+@register(
+    "mask_hex_roundtrip",
+    oracle=f"""
+SELECT c_custkey,
+       {M.encode_hex_sql('c_name')} AS enc,
+       {M.decode_hex_sql(M.encode_hex_sql('c_name'))} AS dec
+FROM customer
+""",
+)
+def mask_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_hex / decode_hex expression rules (iriLibrary.rules
+    FieldEncodingRule/FieldEncodingRule2)."""
+    c = load(spark, sf_dir, "customer")
+    enc = M.encode_hex("c_name")
+    return c.select("c_custkey", enc.alias("enc"), M.decode_hex(enc).alias("dec"))
+
+
+@register(
+    "mask_string_rules",
+    oracle=f"""
+SELECT c_custkey,
+       {M.toupper_sql('c_mktsegment')} AS seg_upper,
+       {M.tolower_sql('c_name')} AS name_lower
+FROM customer
+""",
+)
+def mask_string_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toupper/tolower string rules (iriLibrary.rules FieldStringRule)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        M.toupper("c_mktsegment").alias("seg_upper"),
+        M.tolower("c_name").alias("name_lower"),
+    )
+
+
+@register(
+    "mask_hash_name",
+    oracle=f"""
+SELECT c_custkey,
+       {M.hash_md5_sql('c_name')} AS name_md5,
+       {M.hash_sha256_sql('c_name')} AS name_sha256
+FROM customer
+""",
+)
+def mask_hash_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash masking (md5 / sha-256) — irreversible tokenization."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        M.hash_md5("c_name").alias("name_md5"),
+        M.hash_sha256("c_name").alias("name_sha256"),
+    )
+
+
+@register(
+    "mask_pseudonym_name",
+    oracle=f"""
+SELECT c_custkey, {M.pseudonym_sql('c_name', PSEUDO_NAMES)} AS pseudo_name
+FROM customer
+""",
+)
+def mask_pseudonym_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization from a value set (reference
+    FieldPseudonymRule + set file)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", M.pseudonym("c_name", PSEUDO_NAMES).alias("pseudo_name"))
+
+
+@register(
+    "mask_partial_redact",
+    oracle=f"""
+SELECT c_custkey,
+       {M.redact_keep_last_sql('c_name', 4)} AS name_redacted,
+       {M.redact_digits_sql('c_name')} AS name_nodigits
+FROM customer
+""",
+)
+def mask_partial_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial redaction: keep-last-N and digit masking."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        M.redact_keep_last("c_name", 4).alias("name_redacted"),
+        M.redact_digits("c_name").alias("name_nodigits"),
+    )
+
+
+@register(
+    "mask_blur_acctbal",
+    oracle=f"""
+SELECT c_custkey,
+       CAST({M.blur_number_sql('c_acctbal', 50)} AS DOUBLE) AS acctbal_blur
+FROM customer
+""",
+)
+def mask_blur_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric blur: deterministic hash noise in [-50, 50] (reference
+    FieldBlurRule analog), exact DECIMAL arithmetic."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        M.blur_number("c_acctbal", 50).cast("double").alias("acctbal_blur"),
+    )
+
+
+@register(
+    "mask_blur_orderdate",
+    oracle=f"""
+SELECT o_orderkey,
+       {M.blur_date_sql('o_orderdate', 7)} AS orderdate_blur
+FROM orders
+""",
+)
+def mask_blur_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date blur: +/- up to 7 days of deterministic hash noise."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", M.blur_date("o_orderdate", 7).alias("orderdate_blur"))
+
+
+@register(
+    "mask_fpe_digits",
+    doc="Format-preserving digit permutation (deterministic stub — no "
+    "crypto lib in image; see functions/masking.py fpe_digits). "
+    "Rows-only: position-seeded transform not worth mirroring in SQL.",
+)
+def mask_fpe_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", M.fpe_digits("c_name").alias("name_fpe"))
