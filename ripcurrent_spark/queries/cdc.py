@@ -1,1 +1,194 @@
-"""Placeholder — filled in incrementally."""
+"""CDC queries: envelope parse, logical-type decode, apply semantics
+(snapshot / SCD2), changelog audit — the reference's event loop
+(Main.java:159-318) as declarative plans over a deterministic
+changelog (cdc/synth.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.cdc import decode as D
+from ripcurrent_spark.cdc.apply import changelog_counts, latest_snapshot, scd2_history
+from ripcurrent_spark.cdc.envelope import build_envelope_json, parse_envelope
+from ripcurrent_spark.cdc.synth import CHANGELOG_CTE, synth_changelog
+from ripcurrent_spark.io import load
+from ripcurrent_spark.queries import register
+
+
+@register(
+    "cdc_parse_envelope",
+    headline=True,
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()}
+SELECT op, ts_ms, 'orders' AS table_name, 'o_orderkey' AS key_field,
+       CAST(o_orderkey AS VARCHAR) AS key_value,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_orderstatus,
+       CAST(totalprice AS DOUBLE) AS totalprice
+FROM changelog
+WHERE op <> 'd'
+UNION ALL
+SELECT c.op, c.ts_ms, 'orders', 'o_orderkey',
+       CAST(c.o_orderkey AS VARCHAR),
+       CAST(c.o_orderkey AS BIGINT),
+       CAST(i.o_custkey AS BIGINT), i.o_orderstatus,
+       CAST(i.totalprice AS DOUBLE)
+FROM changelog c JOIN changelog i
+  ON i.o_orderkey = c.o_orderkey AND i.op = 'c'
+WHERE c.op = 'd'
+""",
+)
+def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: changelog -> Debezium JSON (key + value) ->
+    parse_envelope -> flattened typed columns. Deletes carry the
+    BEFORE image (Main.java:171-178); here before = the insert
+    payload, so the oracle joins the delete back to its insert."""
+    log = synth_changelog(spark, sf_dir)
+    payload = F.map_from_arrays(
+        F.array(F.lit("o_orderkey"), F.lit("o_custkey"), F.lit("o_orderstatus"), F.lit("totalprice")),
+        F.array(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("totalprice").cast("string"),
+        ),
+    )
+    ins_payload_by_key = synth_changelog(spark, sf_dir).filter(F.col("op") == "c").select(
+        F.col("o_orderkey").alias("_k"),
+        F.map_from_arrays(
+            F.array(F.lit("o_orderkey"), F.lit("o_custkey"), F.lit("o_orderstatus"), F.lit("totalprice")),
+            F.array(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("totalprice").cast("string"),
+            ),
+        ).alias("_ins_payload"),
+    )
+    log = log.join(ins_payload_by_key, log.o_orderkey == ins_payload_by_key._k, "left")
+    events = build_envelope_json(
+        log,
+        op=F.col("op"),
+        ts_ms=F.col("ts_ms"),
+        table="orders",
+        key_col="o_orderkey",
+        before=F.when(F.col("op") != "c", F.col("_ins_payload")),
+        after=F.when(F.col("op") != "d", payload),
+    )
+    parsed = parse_envelope(events)
+    rp = F.col("row_payload")
+    return parsed.select(
+        "op",
+        "ts_ms",
+        F.col("table").alias("table_name"),
+        "key_field",
+        "key_value",
+        rp["o_orderkey"].cast("bigint").alias("o_orderkey"),
+        rp["o_custkey"].cast("bigint").alias("o_custkey"),
+        rp["o_orderstatus"].alias("o_orderstatus"),
+        rp["totalprice"].cast("double").alias("totalprice"),
+    )
+
+
+@register(
+    "cdc_decode_types",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST({D.epoch_days_to_date_sql("datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))")} AS VARCHAR) AS dec_date,
+       {D.micros_of_day_to_time_sql("(o_orderkey * 40000000) % 86400000000")} AS dec_time,
+       {D.epoch_ms_to_datetime_sql("epoch_ms(o_orderdate) + (o_orderkey % 86400) * 1000")} AS dec_datetime,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_decimal_str,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)) AS dec_decimal,
+       {D.base64_of_string_sql('o_orderstatus')} AS enc_base64
+FROM orders
+""",
+)
+def cdc_decode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium logical-type decode (DateTimeConversionUtil.java:21-37,
+    Main.java:143-144, 196-232): epoch-days date, micros-of-day time,
+    epoch-ms datetime, decimal-as-string, base64 binary. Wire values
+    are derived deterministically from `orders`."""
+    o = load(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    micro_time = (F.col("o_orderkey") * 40_000_000) % 86_400_000_000
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp")) + (F.col("o_orderkey") % 86400) * 1000
+    dec_str = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    return o.select(
+        "o_orderkey",
+        D.epoch_days_to_date(days).cast("string").alias("dec_date"),
+        D.micros_of_day_to_time(micro_time).alias("dec_time"),
+        D.epoch_ms_to_datetime(ms).alias("dec_datetime"),
+        dec_str.alias("dec_decimal_str"),
+        D.decimal_string_to_decimal(dec_str).alias("dec_decimal"),
+        D.base64_of_string("o_orderstatus").alias("enc_base64"),
+    )
+
+
+@register(
+    "cdc_latest_snapshot",
+    headline=True,
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()}
+SELECT op, seq, ts_ms, o_orderkey, o_custkey, o_orderstatus,
+       CAST(totalprice AS DOUBLE) AS totalprice
+FROM changelog
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC, seq DESC) = 1
+   AND op <> 'd'
+""",
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply -> current snapshot: latest event per key wins
+    (ts, seq order), deleted keys dropped. One shuffle on the key —
+    the declarative equivalent of the reference's routed
+    append/UPDATE/DELETE jobs (Main.java:456-498)."""
+    log = synth_changelog(spark, sf_dir)
+    snap = latest_snapshot(log, key_cols=["o_orderkey"], order_cols=["ts_ms", "seq"])
+    return snap.withColumn("totalprice", F.col("totalprice").cast("double"))
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()}
+SELECT o_orderkey, op, seq,
+       CAST(totalprice AS DOUBLE) AS totalprice,
+       valid_from, valid_to, is_current
+FROM (
+  SELECT *, ts_ms AS valid_from,
+         LEAD(ts_ms) OVER (PARTITION BY o_orderkey ORDER BY ts_ms, seq) AS valid_to,
+         LEAD(ts_ms) OVER (PARTITION BY o_orderkey ORDER BY ts_ms, seq) IS NULL AS is_current
+  FROM changelog
+)
+WHERE op <> 'd'
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply -> SCD2 history: every version carries its validity
+    interval; deletes close intervals without emitting rows."""
+    log = synth_changelog(spark, sf_dir)
+    hist = scd2_history(log, key_cols=["o_orderkey"], order_cols=["ts_ms", "seq"])
+    return hist.select(
+        "o_orderkey",
+        "op",
+        "seq",
+        F.col("totalprice").cast("double").alias("totalprice"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@register(
+    "cdc_changelog_counts",
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()}
+SELECT op, COUNT(*) AS n_events, MIN(ts_ms) AS min_ts_ms, MAX(ts_ms) AS max_ts_ms
+FROM changelog GROUP BY op
+""",
+)
+def cdc_changelog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication audit: per-op event counts + ts range (the
+    reference logs per-script row flow; this is the set-level view)."""
+    return changelog_counts(synth_changelog(spark, sf_dir))
