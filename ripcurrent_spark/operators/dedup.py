@@ -1,0 +1,167 @@
+"""Deduplication operators for large-scale text corpora.
+
+Scale design (100 TB): no O(n^2) cross joins anywhere —
+- exact dedup is a hash groupBy (one shuffle);
+- near-dup candidate generation goes through an inverted index
+  (explode n-grams / MinHash bands / SimHash bands) with a
+  document-frequency cap so hot shingles can't explode the join;
+- verification (true Jaccard / Hamming) runs only on candidate pairs.
+
+Every primitive has a DuckDB SQL twin (``*_sql``) so oracle queries
+share the exact definition (portable md5-based hashing; see
+functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.functions.hashing import h32, h32_sql
+
+
+# --- normalization / shingling ----------------------------------------
+
+def norm_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def norm_text_sql(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({norm_text_sql(expr)}, ' ')"
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Empty array for docs with fewer
+    than n tokens (Spark's sequence() counts DOWN when stop < start,
+    so the short-doc case must be guarded explicitly)."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngrams_sql(expr: str, n: int = 3) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({t})-{n - 1}, 0)+1), "
+        f"i -> array_to_string(list_slice({t}, i, i+{n - 1}), ' ')))"
+    )
+
+
+# --- MinHash ----------------------------------------------------------
+
+def minhash_sig(ngram_col: Column, k: int = 12, prefix: str = "mh") -> Column:
+    """k-permutation MinHash signature as an array<bigint>: element i =
+    min over shingles of h32(shingle, seed=f'{prefix}{i}'). NULL-free
+    only for non-empty shingle sets."""
+    def _minhash(seed: str) -> Column:
+        # NB: the lambda must take exactly one arg — pyspark passes the
+        # element index to 2-arg lambdas, clobbering default-arg binds.
+        return F.array_min(F.transform(ngram_col, lambda x: h32(x, seed=seed)))
+
+    return F.array(*[_minhash(f"{prefix}{i}") for i in range(k)])
+
+
+def minhash_sig_sql(ngrams_expr: str, k: int = 12, prefix: str = "mh") -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({ngrams_expr}, x -> {h32_sql('x', f'{prefix}{i}')}))"
+        for i in range(k)
+    )
+    return f"[{parts}]"
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Split the signature into ``bands`` bands of ``rows`` values;
+    each band becomes a join key 'b<i>:<v1>,<v2>,...'. Documents
+    agreeing on ANY band are candidates."""
+    keys = [
+        F.concat_ws(
+            ",",
+            F.lit(f"b{b}"),
+            *[F.element_at(sig_col, b * rows + r + 1).cast("string") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
+    keys = ", ".join(
+        "concat_ws(',', "
+        + ", ".join([f"'b{b}'"] + [f"CAST({sig_expr}[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)])
+        + ")"
+        for b in range(bands)
+    )
+    return f"[{keys}]"
+
+
+# --- SimHash ----------------------------------------------------------
+
+def simhash(tokens_col: Column, bits: int = 16, seed: str = "sh") -> Column:
+    """Frequency-weighted SimHash fingerprint over tokens (bits wide).
+    bit b set iff sum over tokens of +/-1 (per token-hash bit b) > 0."""
+    h = F.transform(tokens_col, lambda x: h32(x, seed=seed))
+
+    def _vote(mask: int) -> Column:
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda a, x: a + (x.bitwiseAND(F.lit(mask)) != 0).cast("long") * 2 - 1,
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(_vote(1 << b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_sql(tokens_expr: str, bits: int = 16, seed: str = "sh") -> str:
+    hx = f"list_transform({tokens_expr}, x -> {h32_sql('x', seed)})"
+    terms = []
+    for b in range(bits):
+        vote = f"list_sum(list_transform({hx}, h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END))"
+        terms.append(f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+# --- pipeline pieces ---------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups after normalization: (content hash,
+    canonical kept id = min id, group size). One shuffle."""
+    return (
+        df.select(F.col(id_col), F.md5(norm_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: int | None = None) -> DataFrame:
+    """Inverted-index candidate pairs: docs sharing a key, id_a < id_b.
+    ``max_df`` drops keys hitting more than that many docs (hot-shingle
+    guard — the scale lever; mirrored in oracle SQL)."""
+    k = keyed.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+    if max_df is not None:
+        hot = k.groupBy("_k").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
+        k = k.join(F.broadcast(hot.select("_k")), "_k")
+    a = k.select(F.col("_id").alias("id_a"), "_k")
+    b = k.select(F.col("_id").alias("id_b"), "_k")
+    return (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,1 +1,216 @@
-"""Placeholder — filled in incrementally."""
+"""Deduplication queries over the `documents` / `embeddings` tables.
+
+Candidate generation is always inverted-index shaped (shared key
+explode + equi-join) — the 100 TB-safe pattern; verification runs on
+candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.io import load
+from ripcurrent_spark.operators import dedup as DD
+from ripcurrent_spark.queries import register
+
+_NGS = DD.ngrams_sql("text")
+_MAX_DF = 100
+_JACCARD_T = 0.8
+_MH_K, _MH_BANDS, _MH_ROWS = 12, 4, 3
+_MH_VERIFY_T = 0.7
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({DD.norm_text_sql('text')}) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groupBy, canonical id =
+    min. One shuffle, linear at any scale."""
+    return DD.exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.ngrams("text").alias("ngs")).filter(F.size("ngs") > 0)
+
+
+def _verified_jaccard(cands: DataFrame, g: DataFrame, threshold: float) -> DataFrame:
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("ngs").alias("ngs_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("ngs").alias("ngs_b"))
+    inter = F.size(F.array_intersect("ngs_a", "ngs_b"))
+    union = F.size("ngs_a") + F.size("ngs_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_JACCARD_VERIFY_SQL = """
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_filter(ga.ngs, x -> list_contains(gb.ngs, x))) AS DOUBLE)
+             / (len(ga.ngs) + len(gb.ngs)
+                - len(list_filter(ga.ngs, x -> list_contains(gb.ngs, x)))), 6) AS jaccard
+FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+ex AS (SELECT doc_id, unnest(ngs) AS ng FROM g),
+keyed AS (
+  SELECT * FROM ex
+  WHERE ng IN (SELECT ng FROM ex GROUP BY ng HAVING COUNT(*) <= {_MAX_DF})
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.ng = b.ng AND a.doc_id < b.doc_id
+)
+SELECT * FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_JACCARD_T}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.8. Inverted index
+    with a document-frequency cap (hot shingles excluded from
+    candidate generation, never from verification)."""
+    g = _ngram_docs(spark, sf_dir)
+    ex = g.select("doc_id", F.explode("ngs").alias("ng"))
+    cands = DD.candidate_pairs_by_key(ex, "doc_id", "ng", max_df=_MAX_DF)
+    return _verified_jaccard(cands, g, _JACCARD_T)
+
+
+@register(
+    "dedup_minhash_lsh",
+    headline=True,
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT * FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(4 bands x 3 rows) candidates, verified by
+    true Jaccard >= 0.7. The band-bucket groupBy is the only shuffle;
+    bucket skew at scale is handled by the banding itself + AQE."""
+    g = _ngram_docs(spark, sf_dir)
+    sigs = g.select("doc_id", DD.minhash_sig(F.col("ngs"), _MH_K).alias("sig"))
+    bk = sigs.select(
+        "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey")
+    )
+    cands = DD.candidate_pairs_by_key(bk, "doc_id", "bkey")
+    return _verified_jaccard(cands, g, _MH_VERIFY_T)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {DD.tokens_sql('text')} AS toks FROM documents
+)
+SELECT doc_id, {DD.simhash_sql('toks')} AS simhash16 FROM t
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash fingerprint per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash(DD.tokens("text")).alias("simhash16"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {DD.simhash_sql(DD.tokens_sql('text'))} AS sh FROM documents
+),
+bands AS (
+  SELECT doc_id, sh, b, (sh >> (4*b)) & 15 AS bval
+  FROM t, (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, b.doc_id AS id_b, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-bit band join (pigeonhole guarantees
+    recall for hamming <= 3 over 4 bands), exact Hamming verify."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", DD.simhash(DD.tokens("text")).alias("sh"))
+    bands = t.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), (F.shiftright(F.col("sh"), 4 * b) % 16).alias("bval")) for b in range(4)])
+        ).alias("band"),
+    ).select("doc_id", "sh", F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "b", "bval")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "b", "bval")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["b", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    doc="Embedding-cosine near-dup pairs (same-label blocking, cosine "
+    ">= 0.35). Rows-only: float reduction order isn't bit-stable "
+    "across engines.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by embedding cosine within label blocks (blocking keeps
+    the join linear-ish; the unblocked version is ann_cosine_topk)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("emb_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), "label", F.col("emb").alias("emb_b"))
+    dot = F.aggregate(F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("emb_a", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("emb_b", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "label", "cosine")
+    )
