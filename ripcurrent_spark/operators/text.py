@@ -1,0 +1,75 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure Column expressions (codegen; single scan, no shuffle, no
+Python) with DuckDB SQL twins for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.functions.hashing import h32, h32_sql
+from ripcurrent_spark.operators.dedup import norm_text, norm_text_sql, tokens, tokens_sql
+
+# Small per-language stopword dictionaries (n-gram heuristic seeds).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "los", "las", "una", "es", "y", "que", "por", "con", "para"],
+    "fr": ["le", "les", "une", "est", "et", "qui", "dans", "pour", "sur", "pas"],
+}
+LANGS = sorted(STOPWORDS)  # alphabetical = tie-break preference order
+
+# BPE-ish token pattern: letter runs | single digits | single symbols.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def stopword_hits(tokens_col: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_col, lambda x: F.array_contains(words, x)))
+
+
+def stopword_hits_sql(tokens_expr: str, lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens_expr}, x -> list_contains([{lits}], x)))"
+
+
+def predict_lang(hit_cols: dict[str, Column]) -> Column:
+    """Language with the most stopword hits; alphabetical tie-break."""
+    expr = F.lit(LANGS[-1])
+    for lang in reversed(LANGS[:-1]):
+        rest = [hit_cols[o] for o in LANGS if o > lang]
+        expr = F.when(hit_cols[lang] >= F.greatest(*rest) if len(rest) > 1 else hit_cols[lang] >= rest[0], F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def predict_lang_sql(hit_exprs: dict[str, str]) -> str:
+    expr = f"'{LANGS[-1]}'"
+    for lang in reversed(LANGS[:-1]):
+        rest = [hit_exprs[o] for o in LANGS if o > lang]
+        cond = f"{hit_exprs[lang]} >= greatest({', '.join(rest)})" if len(rest) > 1 else f"{hit_exprs[lang]} >= {rest[0]}"
+        expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9 ]", ""))
+    return F.round(punct.cast("double") / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def punct_ratio_sql(expr: str) -> str:
+    punct = f"length(regexp_replace({expr}, '[A-Za-z0-9 ]', '', 'g'))"
+    return f"round(CAST({punct} AS DOUBLE) / greatest(length({expr}), 1), 6)"
+
+
+def bag_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: h32 of the sorted
+    distinct token bag (a cheap, portable doc signature)."""
+    return h32(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def bag_fingerprint_sql(expr: str) -> str:
+    return h32_sql(f"array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' ')")

@@ -1,1 +1,58 @@
-"""Placeholder — filled in incrementally."""
+"""Similarity-search queries over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.io import load
+from ripcurrent_spark.operators import similarity as SIM
+from ripcurrent_spark.queries import register
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", SIM.as_double("embedding").alias("emb"))
+
+
+@register(
+    "ann_cosine_topk",
+    headline=True,
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {SIM.cosine_sql('q.emb', 'c.emb')} AS cos_raw
+  FROM q JOIN v c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors
+    (vec_id % 100 = 0): broadcast queries x corpus scan, one shuffle
+    for ranking. The exactness baseline for the LSH path."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 100 == 0)
+    return SIM.brute_force_topk(q, v, id_col="vec_id", emb_col="emb", k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    doc="LSH (signed random projection, 8 bits) bucketed approximate "
+    "top-5 — the corpus x corpus scale path. Rows-only: bucket-local "
+    "float ranking not worth a SQL mirror.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    return SIM.lsh_bucketed_topk(v, id_col="vec_id", emb_col="emb", n_bits=8, k=5)
