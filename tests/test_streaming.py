@@ -1,0 +1,146 @@
+"""Streaming CDC pipeline end-to-end: file-source JSON events ->
+parse -> decode -> mask -> foreachBatch upsert; schema-change audit
+log; routing keys. (processAllAvailable on a tiny fixture.)"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.cdc.decode import epoch_days_to_date
+from ripcurrent_spark.classify.library import ColumnClassification
+from ripcurrent_spark.rules.model import Rule, RulesLibrary
+from ripcurrent_spark.streaming.pipeline import (
+    masked_cdc_stream,
+    read_cdc_stream,
+    schema_change_audit,
+    upsert_foreach_batch,
+    with_routing_key,
+)
+
+
+def _event(op, ts, key, name=None, bal=None, day=None, before=None, ddl=None):
+    payload = {
+        "op": op,
+        "ts_ms": ts,
+        "source": {"db": "db1", "schema": "public", "table": "cust"},
+        "before": before,
+        "after": None
+        if op == "d"
+        else {"id": str(key), "name": name, "bal": bal, "day": str(day)},
+    }
+    if ddl is not None:
+        payload["ddl"] = ddl
+    return {
+        "key": json.dumps({"Schema": {"fields": [{"field": "id"}]}, "payload": {"id": str(key)}}),
+        "value": json.dumps({"payload": payload}),
+    }
+
+
+EVENTS = [
+    _event("c", 100, 1, "alice", "10.00", 1),
+    _event("c", 100, 2, "bob", "20.00", 2),
+    _event("u", 200, 1, "alice2", "11.00", 1),
+    _event("d", 300, 2, before={"id": "2", "name": "bob", "bal": "20.00", "day": "2"}),
+    _event("", 400, 0, ddl="ALTER TABLE cust ADD COLUMN z int"),
+]
+
+COLUMNS = [("id", "int"), ("name", "string"), ("bal", "decimal(12,2)"), ("day", "string")]
+
+
+def _write_events(path, events):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "part-000.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "events"
+    _write_events(d, EVENTS)
+    return d
+
+
+def test_streaming_upsert_pipeline(spark, tmp_path, stream_dir):
+    parsed = read_cdc_stream(spark, str(stream_dir))
+    rules = RulesLibrary().add("up", Rule("Expression", "toupper(${FIELDNAME})"))
+    cc = [ColumnClassification("name", "PERSON_NAME", "up", 1.0, True)]
+    masked = masked_cdc_stream(
+        parsed,
+        COLUMNS,
+        cc,
+        rules,
+        decoders={"day": lambda c: epoch_days_to_date(c).cast("string")},
+    )
+    target = tmp_path / "snapshot"
+    q = (
+        masked.filter(F.col("op").isin("c", "u", "d"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(upsert_foreach_batch(str(target), key_cols=["id"]))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    snap = {r.id: r for r in spark.read.parquet(str(target)).collect()}
+    assert set(snap) == {1}  # key 2 deleted
+    assert snap[1].ALTERED_name == "ALICE2"  # masked + latest update wins
+    assert str(snap[1].bal) == "11.00"
+    assert snap[1].day == "1970-01-02"  # epoch-day decode applied
+
+
+def test_streaming_incremental_batches(spark, tmp_path):
+    """Two files arriving in separate micro-batches must merge into the
+    same final snapshot (incremental upsert, not full recompute)."""
+    d = tmp_path / "ev"
+    _write_events(d, EVENTS[:2])
+    parsed = read_cdc_stream(spark, str(d), max_files_per_trigger=1)
+    typed = masked_cdc_stream(parsed, COLUMNS, [], RulesLibrary())
+    target = tmp_path / "snap2"
+    q = (
+        typed.filter(F.col("op").isin("c", "u", "d"))
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .foreachBatch(upsert_foreach_batch(str(target), key_cols=["id"]))
+        .start()
+    )
+    q.processAllAvailable()
+    with open(d / "part-001.json", "w") as f:
+        for e in [EVENTS[2], EVENTS[3]]:
+            f.write(json.dumps(e) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    snap = {r.id: r.name for r in spark.read.parquet(str(target)).collect()}
+    assert snap == {1: "alice2"}
+
+
+def test_schema_change_audit_log(spark, tmp_path, stream_dir):
+    parsed = read_cdc_stream(spark, str(stream_dir))
+    log = tmp_path / "schema_change_events.log"
+    q = (
+        parsed.writeStream.option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .foreachBatch(schema_change_audit(parsed, str(log)))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    lines = log.read_text().splitlines()
+    assert len(lines) == 1
+    # Main.java:299 format
+    assert "Database structure change event 'ALTER TABLE cust ADD COLUMN z int' detected for table 'db1.cust'." in lines[0]
+
+
+def test_routing_key(spark):
+    df = spark.createDataFrame(
+        [(e["key"], e["value"]) for e in EVENTS[:4]], "key string, value string"
+    )
+    from ripcurrent_spark.cdc.envelope import parse_envelope
+
+    keys = [r.routing_key for r in with_routing_key(parse_envelope(df)).collect()]
+    assert keys[0] == "public.cust|c|id,name,bal,day"
+    assert keys[2] == "public.cust|u|id,name,bal,day"
+    # delete routes by the BEFORE column set (its own plan)
+    assert keys[3].startswith("public.cust|d|")
