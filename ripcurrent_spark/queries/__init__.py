@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         cdc,
         dedup,
         masking,
+        multimodal,
         relational,
         text,
     )

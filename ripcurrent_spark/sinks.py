@@ -1,0 +1,68 @@
+"""Sink connectors: partitioned files + merge ("upsert") targets.
+
+The reference's targets are ODBC tables / flat files written by
+generated jobs with /APPEND, /UPDATE=(key), /DELETE=(key)
+(Main.java:456-498). Batch-side here: partitioned parquet/csv writers
+and an upsert-merge that applies c/u/d semantics onto an existing
+parquet target (the streaming twin lives in
+streaming.upsert_foreach_batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.cdc.apply import latest_snapshot
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).csv(path, header=header)
+
+
+def upsert_parquet(
+    changes: DataFrame,
+    target_dir: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("ts_ms",),
+    op_col: str = "op",
+) -> None:
+    """Merge a c/u/d changelog into a parquet target: latest event per
+    key wins over the current snapshot, deletes drop keys. Atomicity
+    via tmp-dir swap; a lakehouse deployment swaps this for
+    Delta/Iceberg MERGE with the same ordering contract."""
+    spark = changes.sparkSession
+    target = Path(target_dir)
+    staged = changes.withColumn("_is_snapshot", F.lit(0))
+    if (target / "_SUCCESS").exists():
+        current = spark.read.parquet(str(target)).withColumn("_is_snapshot", F.lit(1))
+        staged = staged.unionByName(current)
+    snap = latest_snapshot(
+        staged, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
+    ).drop("_is_snapshot")
+    tmp = str(target) + ".tmp"
+    snap.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(str(target))
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """JDBC sink (no driver jar in image — see sources.read_jdbc)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the scale contract.
+
+Correctness says the operator works at sf0.001; these say the PLAN
+still works at 100 TB — filters reach the parquet scan, dims
+broadcast, masking stays in whole-stage codegen with zero Python, and
+no candidate-generation path degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ripcurrent_spark.queries import all_queries
+from tests.conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # Only the 4 needed columns scanned, not the full lineitem width.
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier"])
+def test_dim_joins_broadcast(spark, name):
+    assert "BroadcastHashJoin" in _plan(spark, name)
+
+
+def test_masking_no_python_udf(spark):
+    plan = _plan(spark, "masked_replica_customer")
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert "*(1) Project" in plan  # '*' prefix = whole-stage codegen
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_topk"],
+)
+def test_candidate_joins_not_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_snapshot_single_shuffle(spark):
+    plan = _plan(spark, "cdc_latest_snapshot")
+    # one Exchange for the key window; AQE may add shuffle reads, so
+    # count only shuffle writes
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_streaming_masked_plan_no_python(spark):
+    from ripcurrent_spark.classify.library import ColumnClassification
+    from ripcurrent_spark.cdc.envelope import parse_envelope
+    from ripcurrent_spark.rules.model import Rule, RulesLibrary
+    from ripcurrent_spark.streaming.pipeline import masked_cdc_stream
+
+    df = spark.createDataFrame([("k", "v")], "key string, value string")
+    rules = RulesLibrary().add("up", Rule("Expression", "toupper(${FIELDNAME})"))
+    cc = [ColumnClassification("name", "X", "up", 1.0, True)]
+    out = masked_cdc_stream(parse_envelope(df), [("name", "string")], cc, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
