@@ -25,10 +25,12 @@ def main() -> None:
     reg = all_queries()
     names = [n for n, q in reg.items() if q.headline]
 
-    # Warmup: force JVM + parquet footer reads outside the timed region.
+    # Warmup: force JVM init, parquet footer reads, and Python/Arrow
+    # worker pool startup outside the timed region.
     spark.range(1).count()
     for t in ("lineitem", "orders", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
     per_query: dict[str, float] = {}
     for name in names:

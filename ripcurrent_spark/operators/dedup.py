@@ -40,17 +40,21 @@ def tokens_sql(expr: str) -> str:
 
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Empty array for docs with fewer
-    than n tokens (Spark's sequence() counts DOWN when stop < start,
-    so the short-doc case must be guarded explicitly)."""
+    """Distinct word n-gram shingles.
+
+    Built by zipping n shifted copies of the token array and
+    concatenating per element. The tempting alternative —
+    ``transform(sequence(...), i -> slice(tokens, i, n))`` — re-
+    evaluates the whole tokens expression (regexp + split) for EVERY
+    element inside the lambda (no common-subexpression elimination
+    across the HOF boundary), turning shingling O(tokens^2) per row."""
     t = tokens(col)
+    shifted = [F.slice(t, i + 1, 1 << 30) for i in range(n)]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
     )
-    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(grams)
 
 
 def ngrams_sql(expr: str, n: int = 3) -> str:
@@ -66,13 +70,22 @@ def ngrams_sql(expr: str, n: int = 3) -> str:
 def minhash_sig(ngram_col: Column, k: int = 12, prefix: str = "mh") -> Column:
     """k-permutation MinHash signature as an array<bigint>: element i =
     min over shingles of h32(shingle, seed=f'{prefix}{i}'). NULL-free
-    only for non-empty shingle sets."""
-    def _minhash(seed: str) -> Column:
-        # NB: the lambda must take exactly one arg — pyspark passes the
-        # element index to 2-arg lambdas, clobbering default-arg binds.
-        return F.array_min(F.transform(ngram_col, lambda x: h32(x, seed=seed)))
+    only for non-empty shingle sets.
 
-    return F.array(*[_minhash(f"{prefix}{i}") for i in range(k)])
+    Single traversal of the shingle array (one aggregate with an
+    elementwise zip_with/least merge) — the naive k x array_min form
+    references the shingle expression k times, and Catalyst's
+    projection collapse happily inlines k full recomputes.
+    (NB: inner lambdas take exactly one arg — pyspark passes the
+    element index to wider lambdas, clobbering default-arg binds.)"""
+
+    def _hashes(x: Column) -> Column:
+        return F.array(*[h32(x, seed=f"{prefix}{i}") for i in range(k)])
+
+    init = F.array_repeat(F.lit(1 << 33).cast("long"), k)
+    return F.aggregate(
+        ngram_col, init, lambda acc, x: F.zip_with(acc, _hashes(x), lambda a, b: F.least(a, b))
+    )
 
 
 def minhash_sig_sql(ngrams_expr: str, k: int = 12, prefix: str = "mh") -> str:

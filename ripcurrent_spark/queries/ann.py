@@ -23,11 +23,12 @@ WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ),
-q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+u AS (SELECT vec_id, {SIM.unit_sql('emb')} AS emb FROM v),
+q AS (SELECT * FROM u WHERE vec_id % 100 = 0),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {SIM.cosine_sql('q.emb', 'c.emb')} AS cos_raw
-  FROM q JOIN v c ON q.vec_id <> c.vec_id
+         list_sum(list_transform(range(1, len(q.emb)+1), i -> q.emb[i] * c.emb[i])) AS cos_raw
+  FROM q JOIN u c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
 FROM (
@@ -44,7 +45,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ranking. The exactness baseline for the LSH path."""
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") % 100 == 0)
-    return SIM.brute_force_topk(q, v, id_col="vec_id", emb_col="emb", k=10)
+    return SIM.brute_force_topk_np(q, v, id_col="vec_id", emb_col="emb", k=10)
 
 
 @register(

@@ -87,7 +87,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard >= 0.8. Inverted index
     with a document-frequency cap (hot shingles excluded from
     candidate generation, never from verification)."""
-    g = _ngram_docs(spark, sf_dir)
+    # Persist: the shingle frame is referenced by the inverted index
+    # (twice: df-cap + join) and by both sides of verification.
+    g = _ngram_docs(spark, sf_dir).persist()
     ex = g.select("doc_id", F.explode("ngs").alias("ng"))
     cands = DD.candidate_pairs_by_key(ex, "doc_id", "ng", max_df=_MAX_DF)
     return _verified_jaccard(cands, g, _JACCARD_T)
@@ -118,8 +120,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands x 3 rows) candidates, verified by
     true Jaccard >= 0.7. The band-bucket groupBy is the only shuffle;
     bucket skew at scale is handled by the banding itself + AQE."""
-    g = _ngram_docs(spark, sf_dir)
-    sigs = g.select("doc_id", DD.minhash_sig(F.col("ngs"), _MH_K).alias("sig"))
+    # Persist the (tiny) signature frame: band-key building references
+    # `sig` once per band and verification re-reads `ngs`; without a
+    # barrier Catalyst's projection collapse would inline the full
+    # signature computation into every reference. (In a production
+    # pipeline signatures are a precomputed stored column.)
+    g = _ngram_docs(spark, sf_dir).persist()
+    sigs = g.select("doc_id", DD.minhash_sig(F.col("ngs"), _MH_K).alias("sig")).persist()
     bk = sigs.select(
         "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey")
     )

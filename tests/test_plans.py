@@ -54,10 +54,13 @@ def test_candidate_joins_not_cartesian(spark, name):
     assert "CartesianProduct" not in plan
 
 
-def test_ann_brute_force_broadcasts_queries(spark):
+def test_ann_brute_force_vectorized_no_join(spark):
+    # Query matrix ships inside the mapInPandas closure (its own form
+    # of broadcast); the corpus is scored in Arrow batches — no join,
+    # no cartesian product in the plan.
     plan = _plan(spark, "ann_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
 
 
 def test_cdc_snapshot_single_shuffle(spark):
