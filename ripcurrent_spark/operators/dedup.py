@@ -72,25 +72,45 @@ def minhash_sig(ngram_col: Column, k: int = 12, prefix: str = "mh") -> Column:
     min over shingles of h32(shingle, seed=f'{prefix}{i}'). NULL-free
     only for non-empty shingle sets.
 
-    Single traversal of the shingle array (one aggregate with an
-    elementwise zip_with/least merge) — the naive k x array_min form
-    references the shingle expression k times, and Catalyst's
-    projection collapse happily inlines k full recomputes.
+    One md5 per shingle: permutation i is the affine map
+    (a_i * h32(shingle) + b_i) mod 2^32 with a_i = 2i+1 and b_i a
+    driver-side md5 constant — the classic k-permutations-from-one-
+    hash construction. Single traversal of the shingle array (one
+    aggregate with an elementwise zip_with/least merge); the naive
+    k x array_min form would recompute the shingle expression AND one
+    md5 per (element, seed).
     (NB: inner lambdas take exactly one arg — pyspark passes the
     element index to wider lambdas, clobbering default-arg binds.)"""
 
-    def _hashes(x: Column) -> Column:
-        return F.array(*[h32(x, seed=f"{prefix}{i}") for i in range(k)])
+    def _perms(x: Column) -> Column:
+        h = h32(x)
+        return F.array(
+            *[
+                (h * F.lit(_mh_a(i)) + F.lit(_mh_b(i, prefix))) % F.lit(1 << 32)
+                for i in range(k)
+            ]
+        )
 
     init = F.array_repeat(F.lit(1 << 33).cast("long"), k)
     return F.aggregate(
-        ngram_col, init, lambda acc, x: F.zip_with(acc, _hashes(x), lambda a, b: F.least(a, b))
+        ngram_col, init, lambda acc, x: F.zip_with(acc, _perms(x), lambda a, b: F.least(a, b))
     )
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 1  # odd -> bijective mod 2^32
+
+
+def _mh_b(i: int, prefix: str = "mh") -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{prefix}{i}".encode()).hexdigest()[:8], 16)
 
 
 def minhash_sig_sql(ngrams_expr: str, k: int = 12, prefix: str = "mh") -> str:
     parts = ", ".join(
-        f"list_min(list_transform({ngrams_expr}, x -> {h32_sql('x', f'{prefix}{i}')}))"
+        f"list_min(list_transform({ngrams_expr}, "
+        f"x -> ({h32_sql('x')} * {_mh_a(i)} + {_mh_b(i, prefix)}) % 4294967296))"
         for i in range(k)
     )
     return f"[{parts}]"
