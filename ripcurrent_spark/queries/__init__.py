@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         masking,
         multimodal,
         relational,
+        relational_ext,
         text,
     )
 
