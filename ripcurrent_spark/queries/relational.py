@@ -75,8 +75,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
               * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
@@ -87,8 +87,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = l.schema["l_shipdate"].dataType
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast(ts))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast(ts))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(ts))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -109,8 +109,8 @@ FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey
   AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
@@ -122,8 +122,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     ts = o.schema["o_orderdate"].dataType
-    o = o.filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast(ts))
-    l = l.filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast(ts))
+    o = o.filter(F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast(ts))
+    l = l.filter(F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast(ts))
     one = F.lit(1).cast("decimal(8,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -151,8 +151,8 @@ WHERE c_custkey = o_custkey
   AND s_nationkey = n_nationkey
   AND n_regionkey = r_regionkey
   AND r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
@@ -167,8 +167,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     ts = o.schema["o_orderdate"].dataType
     o = o.filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast(ts))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast(ts))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast(ts))
     )
     one = F.lit(1).cast("decimal(8,4)")
     return (

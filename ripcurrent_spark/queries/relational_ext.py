@@ -495,3 +495,268 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("c_custkey"))
     pending = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("c_custkey"))
     return building.intersect(big).subtract(pending)
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (SELECT ps_partkey AS bk, MIN(ps_supplycost) AS mc FROM eu GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM eu JOIN best ON ps_partkey = bk AND ps_supplycost = mc
+        JOIN part ON p_partkey = ps_partkey
+WHERE p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part in a region.
+
+    The driver schema has no partsupp table, so the part-supplier cost
+    relation is derived as MIN(extendedprice) per (part, supplier) from
+    lineitem (exact DECIMAL -> equality join against the per-part min is
+    bit-stable). Correlated MIN subquery de-correlated into an aggregate
+    + equi-join; all dims broadcast.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ps = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(_dec("l_extendedprice")).alias("ps_supplycost"))
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eu.groupBy(F.col("ps_partkey").alias("bk")).agg(F.min("ps_supplycost").alias("mc"))
+    return (
+        eu.join(best, (eu.ps_partkey == best.bk) & (eu.ps_supplycost == best.mc))
+        .join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+       / CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, {_REV_SQL} AS rev, sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share per year (conditional
+    revenue ratio over a 7-way join; all dims broadcast)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    ts = o.schema["o_orderdate"].dataType
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast(ts))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast(ts))
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    nat = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.round(F.sum(nat), 2).cast("double")
+                / F.round(F.sum(_rev()), 2).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         {_REV_SQL}
+           - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) / 100
+           AS amount
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year.
+
+    No partsupp.ps_supplycost in the driver schema: unit cost is
+    proxied as p_retailprice/100 (exact DECIMAL), preserving the
+    rev-minus-cost aggregate shape.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    amount = _rev() - _dec("p_retailprice") * _dec("l_quantity") / 100
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey AS ps_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+FROM val
+WHERE value * 500 > (SELECT SUM(value) FROM val)
+ORDER BY value DESC, ps_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs a global-fraction threshold
+    (scalar subquery). The fraction compare is cross-multiplied
+    (value*500 > total, i.e. value > 0.002*total) to stay in exact
+    DECIMAL; the 1-row total is broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("tot"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 500 > F.col("tot"))
+        .select("ps_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey AS k,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN l_suppkey END) AS n_late
+  FROM li GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM li JOIN per_order ON l_orderkey = k
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND n_late = 1
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier on multi-supplier
+    orders.
+
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) is
+    de-correlated into one per-order aggregate (distinct supplier
+    count + distinct late-supplier count) — one shuffle on orderkey
+    instead of two correlated self-joins. "Late" = shipped >90 days
+    after order date (driver schema has no commit/receipt dates).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    li = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        li.join(per_order, li.l_orderkey == per_order.k)
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1) & late)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
