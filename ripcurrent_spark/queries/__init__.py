@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         masking,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         text,

@@ -1,0 +1,154 @@
+"""Training-data pipeline queries: deterministic sampling / splits,
+bounded range join (click attribution), hierarchical time rollup.
+
+All oracle-checked: the sampling decisions ride the portable md5 hash
+(functions/hashing.py) so DuckDB computes bit-identical assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.io import load
+from ripcurrent_spark.operators.intervals import range_join_backward
+from ripcurrent_spark.operators.sampling import (
+    hash_sample,
+    hash_pct_sql,
+    split_label,
+    split_label_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+from ripcurrent_spark.queries import register
+
+
+def _dec(col: str, typ: str = "decimal(12,2)") -> F.Column:
+    return F.col(col).cast(typ)
+
+
+@register(
+    "sample_hash_docs",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hash_pct_sql('doc_id')} < 10
+""",
+)
+def sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of documents: pure scan predicate
+    (no RNG, no shuffle), stable under repartitioning/retries."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(hash_sample("doc_id", 10)).select("doc_id", "lang", "source")
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT {split_label_sql('doc_id')} AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split — disjoint + exhaustive by
+    construction (one hash bucket per doc), audited by size."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", split_label("doc_id"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+_STRAT_RATES = {"en": 80, "de": 20, "fr": 20, "es": 20}
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_kept
+FROM documents
+WHERE {stratified_sample_sql('doc_id', 'lang', _STRAT_RATES)}
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (the deterministic `sampleBy`):
+    keep 80% of English, 20% of other languages."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(stratified_sample("doc_id", "lang", _STRAT_RATES))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_range_join_click_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       date_diff('second', c.ts, p.ts) AS gap_s
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+""",
+)
+def q_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution: every (purchase, click-within-previous-30min)
+    pair per user, via the bucketed range join (equi-join on
+    (user, time-bucket) with fanout 2 — no nested-loop range scan)."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    pairs = range_join_backward(p, c, key="user_id", left_ts="p_ts", right_ts="c_ts", window_sec=1800)
+    gap = F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+    return pairs.select("purchase_id", "click_id", gap.alias("gap_s"))
+
+
+@register(
+    "q_hour_day_rollup",
+    oracle="""
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY bucket, event_type
+UNION ALL
+SELECT 'day' AS resolution, date_trunc('day', ts) AS bucket, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY bucket, event_type
+""",
+)
+def q_hour_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly aggregate from
+    raw, daily REUSES the hourly result (re-aggregating partials, never
+    rescanning raw — at 100 TB the raw scan happens exactly once and
+    each coarser tier shrinks geometrically). Exact because count/sum
+    are decomposable over DECIMAL partials."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("tv"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("tv").alias("tv"))
+    )
+    out_cols = ["resolution", "bucket", "event_type", "n", "tv"]
+    both = (
+        hourly.withColumn("resolution", F.lit("hour")).select(*out_cols)
+        .unionByName(daily.withColumn("resolution", F.lit("day")).select(*out_cols))
+    )
+    return both.select(
+        "resolution", "bucket", "event_type", "n", F.col("tv").cast("double").alias("total_value")
+    )
