@@ -31,6 +31,29 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
+    # Codegen warmup: the FIRST large whole-stage compile in a fresh
+    # JVM pays janino + C2 cold-start (measured ~60s attributed to
+    # whichever complex query runs first; ~3s once warm). Compile one
+    # tiny-but-complex pipeline so timed queries measure execution,
+    # not one-time compiler bring-up.
+    from pyspark.sql import functions as F
+    from ripcurrent_spark.operators import dedup as DD
+
+    tiny = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("warm up text sample number "),
+            F.col("id").cast("string"),
+            F.lit(" with some repeated filler words to shingle"),
+        ).alias("text"),
+    )
+    (
+        tiny.select("doc_id", DD.tokens("text").alias("toks"))
+        .select("doc_id", DD.ngrams_of_tokens(F.col("toks")).alias("ngs"))
+        .select("doc_id", DD.shingle_hashes(F.col("ngs")).alias("hs"))
+        .select("doc_id", DD.minhash_from_hashes(F.col("hs"), 12).alias("sig"))
+        .count()
+    )
 
     per_query: dict[str, float] = {}
     for name in names:

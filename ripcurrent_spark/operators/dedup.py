@@ -39,22 +39,36 @@ def tokens_sql(expr: str) -> str:
     return f"string_split({norm_text_sql(expr)}, ' ')"
 
 
-def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.
+def ngrams_of_tokens(tokens_ref: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a TOKENS COLUMN REFERENCE.
 
     Built by zipping n shifted copies of the token array and
     concatenating per element. The tempting alternative —
     ``transform(sequence(...), i -> slice(tokens, i, n))`` — re-
     evaluates the whole tokens expression (regexp + split) for EVERY
     element inside the lambda (no common-subexpression elimination
-    across the HOF boundary), turning shingling O(tokens^2) per row."""
-    t = tokens(col)
+    across the HOF boundary), turning shingling O(tokens^2) per row.
+
+    `tokens_ref` should be a materialized column (project `tokens()`
+    in a separate select first): it is referenced n+1 times here, and
+    an inlined regexp+split subtree would be duplicated that many
+    times — bloating codegen (janino compile seconds-to-minutes for
+    the full dedup pipeline) and re-running the regex per copy.
+    CollapseProject keeps the barrier: it never inlines non-trivial
+    producer expressions into multiple consumer references."""
+    t = tokens_ref
     shifted = [F.slice(t, i + 1, 1 << 30) for i in range(n)]
     zipped = F.slice(F.arrays_zip(*shifted), 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
     grams = F.transform(
         zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
     )
     return F.array_distinct(grams)
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column (small inputs / tests;
+    pipelines should project tokens first and use ngrams_of_tokens)."""
+    return ngrams_of_tokens(tokens(col), n)
 
 
 def ngrams_sql(expr: str, n: int = 3) -> str:
@@ -67,34 +81,44 @@ def ngrams_sql(expr: str, n: int = 3) -> str:
 
 # --- MinHash ----------------------------------------------------------
 
-def minhash_sig(ngram_col: Column, k: int = 12, prefix: str = "mh") -> Column:
-    """k-permutation MinHash signature as an array<bigint>: element i =
-    min over shingles of h32(shingle, seed=f'{prefix}{i}'). NULL-free
-    only for non-empty shingle sets.
+def shingle_hashes(ngram_col: Column) -> Column:
+    """Base 32-bit hash per shingle (ONE md5 per shingle — the only
+    md5 in the whole MinHash pipeline)."""
+    return F.transform(ngram_col, lambda x: h32(x))
 
-    One md5 per shingle: permutation i is the affine map
-    (a_i * h32(shingle) + b_i) mod 2^32 with a_i = 2i+1 and b_i a
-    driver-side md5 constant — the classic k-permutations-from-one-
-    hash construction. Single traversal of the shingle array (one
-    aggregate with an elementwise zip_with/least merge); the naive
-    k x array_min form would recompute the shingle expression AND one
-    md5 per (element, seed).
+
+def minhash_from_hashes(hash_ref: Column, k: int = 12, prefix: str = "mh") -> Column:
+    """k-permutation MinHash signature (array<bigint>) from the base
+    hashes: permutation i is the affine map (a_i*h + b_i) mod 2^32
+    with a_i = 2i+1 (odd -> bijective) and b_i a driver-side md5
+    constant — the classic k-permutations-from-one-hash construction.
+
+    Single traversal, pure arithmetic: the lambda var `h` is a cheap
+    slot reference, so the k copies below cost k multiplies — not k
+    md5 subtrees (which exploded generated-code size enough to take
+    janino ~minutes to compile, dominating first-run latency).
     (NB: inner lambdas take exactly one arg — pyspark passes the
     element index to wider lambdas, clobbering default-arg binds.)"""
-
-    def _perms(x: Column) -> Column:
-        h = h32(x)
-        return F.array(
-            *[
-                (h * F.lit(_mh_a(i)) + F.lit(_mh_b(i, prefix))) % F.lit(1 << 32)
-                for i in range(k)
-            ]
-        )
-
     init = F.array_repeat(F.lit(1 << 33).cast("long"), k)
     return F.aggregate(
-        ngram_col, init, lambda acc, x: F.zip_with(acc, _perms(x), lambda a, b: F.least(a, b))
+        hash_ref,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (h * F.lit(_mh_a(i)) + F.lit(_mh_b(i, prefix))) % F.lit(1 << 32)
+                    for i in range(k)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
+
+
+def minhash_sig(ngram_col: Column, k: int = 12, prefix: str = "mh") -> Column:
+    """MinHash signature straight from the shingle array."""
+    return minhash_from_hashes(shingle_hashes(ngram_col), k, prefix)
 
 
 def _mh_a(i: int) -> int:
@@ -143,21 +167,50 @@ def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
 
 # --- SimHash ----------------------------------------------------------
 
-def simhash(tokens_col: Column, bits: int = 16, seed: str = "sh") -> Column:
-    """Frequency-weighted SimHash fingerprint over tokens (bits wide).
-    bit b set iff sum over tokens of +/-1 (per token-hash bit b) > 0."""
-    h = F.transform(tokens_col, lambda x: h32(x, seed=seed))
+def token_hashes(tokens_col: Column, seed: str = "sh") -> Column:
+    """32-bit hash per token (one md5 per token)."""
+    return F.transform(tokens_col, lambda x: h32(x, seed=seed))
 
-    def _vote(mask: int) -> Column:
-        return F.aggregate(
-            h,
-            F.lit(0).cast("long"),
-            lambda a, x: a + (x.bitwiseAND(F.lit(mask)) != 0).cast("long") * 2 - 1,
-        )
 
+def simhash_votes(hash_ref: Column, bits: int = 16) -> Column:
+    """Per-bit vote counts (array<long>, length `bits`): one traversal
+    of the token hashes, each element contributing +/-1 to every bit
+    lane via an elementwise zip_with merge."""
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    return F.aggregate(
+        hash_ref,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(
+                *[(x.bitwiseAND(F.lit(1 << b)) != 0).cast("long") * 2 - 1 for b in range(bits)]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def simhash_from_votes(votes_ref: Column, bits: int = 16) -> Column:
+    """Fold the vote vector to the fingerprint int: bit b set iff
+    votes[b] > 0. `votes_ref` is referenced `bits` times — pass a
+    materialized column, not the aggregate expression."""
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        acc = acc + F.when(_vote(1 << b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        acc = acc + F.when(F.element_at(votes_ref, b + 1) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash(tokens_col: Column, bits: int = 16, seed: str = "sh") -> Column:
+    """Frequency-weighted SimHash fingerprint over tokens (bits wide).
+    bit b set iff sum over tokens of +/-1 (per token-hash bit b) > 0.
+
+    Convenience single-expression form: the vote vector is inlined
+    `bits` times. Pipelines should project token_hashes -> simhash_votes
+    -> simhash_from_votes as separate selects (see queries/dedup.py)."""
+    votes = simhash_votes(token_hashes(tokens_col, seed), bits)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return acc
 
 

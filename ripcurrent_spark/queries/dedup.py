@@ -38,8 +38,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged projections (tokens -> shingles): each expensive subtree
+    # (regexp+split, zip/concat shingling) is evaluated once and
+    # referenced as a plain column downstream — CollapseProject keeps
+    # the stages separate, so codegen stays small (fast janino compile)
+    # and the regex never re-runs per reference.
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.ngrams("text").alias("ngs")).filter(F.size("ngs") > 0)
+    return (
+        d.select("doc_id", DD.tokens("text").alias("toks"))
+        .select("doc_id", DD.ngrams_of_tokens(F.col("toks")).alias("ngs"))
+        .filter(F.size("ngs") > 0)
+    )
 
 
 def _verified_jaccard(cands: DataFrame, g: DataFrame, threshold: float) -> DataFrame:
@@ -126,7 +135,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature computation into every reference. (In a production
     # pipeline signatures are a precomputed stored column.)
     g = _ngram_docs(spark, sf_dir).persist()
-    sigs = g.select("doc_id", DD.minhash_sig(F.col("ngs"), _MH_K).alias("sig")).persist()
+    sigs = (
+        g.select("doc_id", DD.shingle_hashes(F.col("ngs")).alias("hs"))
+        .select("doc_id", DD.minhash_from_hashes(F.col("hs"), _MH_K).alias("sig"))
+        .persist()
+    )
     bk = sigs.select(
         "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey")
     )
@@ -145,39 +158,59 @@ SELECT doc_id, {DD.simhash_sql('toks')} AS simhash16 FROM t
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
+    return _simhash_docs(spark, sf_dir).withColumnRenamed("sh", "simhash16")
+
+
+def _simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """(doc_id, sh) via staged projections: tokens -> hashes -> votes
+    -> fingerprint, one md5 per token and one traversal per stage."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash(DD.tokens("text")).alias("simhash16"))
+    return (
+        d.select("doc_id", DD.tokens("text").alias("toks"))
+        .select("doc_id", DD.token_hashes(F.col("toks")).alias("hs"))
+        .select("doc_id", DD.simhash_votes(F.col("hs"), bits).alias("votes"))
+        .select("doc_id", DD.simhash_from_votes(F.col("votes"), bits).alias("sh"))
+    )
 
 
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, {DD.simhash_sql(DD.tokens_sql('text'))} AS sh FROM documents
+  SELECT doc_id, {DD.simhash_sql(DD.tokens_sql('text'), bits=32)} AS sh FROM documents
 ),
 bands AS (
-  SELECT doc_id, sh, b, (sh >> (4*b)) & 15 AS bval
+  SELECT doc_id, sh, b, (sh >> (8*b)) & 255 AS bval
   FROM t, (SELECT unnest(range(4)) AS b)
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, b.doc_id AS id_b, b.sh AS sh_b
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  bit_count(xor(a.sh, b.sh)) AS hamming
   FROM bands a JOIN bands b
     ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 3
 )
-SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+SELECT id_a, id_b, hamming FROM cand
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4-bit band join (pigeonhole guarantees
-    recall for hamming <= 3 over 4 bands), exact Hamming verify."""
-    d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", DD.simhash(DD.tokens("text")).alias("sh"))
+    """SimHash near-dup pairs: 32-bit fingerprint, 4 bands x 8 bits
+    (pigeonhole guarantees recall for hamming <= 3 over 4 bands),
+    exact Hamming verify BEFORE the distinct so the dedup shuffle
+    carries only true near-dups.
+
+    Fingerprint width is the scale lever: a w-bit simhash has only
+    2^(w/4) band values, so buckets (and the band join) blow up
+    quadratically once corpus >> 2^(w/4) — 16 bits already explodes at
+    5k docs (3M candidate pairs); 32 bits keeps buckets sparse here;
+    a 100 TB corpus wants 64 bits (two 32-bit halves on the oracle
+    side, since the portable md5 hash yields 32 bits per seed)."""
+    t = _simhash_docs(spark, sf_dir, bits=32)
     bands = t.select(
         "doc_id",
         "sh",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("b"), (F.shiftright(F.col("sh"), 4 * b) % 16).alias("bval")) for b in range(4)])
+            F.array(*[F.struct(F.lit(b).alias("b"), (F.shiftright(F.col("sh"), 8 * b) % 256).alias("bval")) for b in range(4)])
         ).alias("band"),
     ).select("doc_id", "sh", F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
     a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "b", "bval")
@@ -186,11 +219,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["b", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

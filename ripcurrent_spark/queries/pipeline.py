@@ -136,9 +136,13 @@ def q_hour_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each coarser tier shrinks geometrically). Exact because count/sum
     are decomposable over DECIMAL partials."""
     e = load(spark, sf_dir, "events")
+    # persist: both output tiers reference the hourly aggregate; without
+    # a barrier the union would re-scan raw events per tier (in a
+    # production hypertable the hourly tier is a stored table).
     hourly = (
         e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("tv"))
+        .persist()
     )
     daily = (
         hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")

@@ -63,6 +63,32 @@ def test_ann_brute_force_vectorized_no_join(spark):
     assert "CartesianProduct" not in plan and "Join" not in plan
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # The bounded range join must plan as an equi-join on
+    # (key, bucket) — a BroadcastNestedLoopJoin/cartesian on the raw
+    # range predicate is exactly the shape that dies at scale.
+    plan = _plan(spark, "q_range_join_click_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_scans_raw_once(spark):
+    # The daily tier re-aggregates hourly partials: both union branches
+    # must read the SAME cached hourly relation (raw events scanned
+    # once at runtime; toString prints the shared cached plan under
+    # each InMemoryTableScan reference).
+    plan = _plan(spark, "q_hour_day_rollup")
+    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("InMemoryRelation") == 2  # same relation, 2 prints
+
+
+def test_hash_sampling_no_shuffle_single_scan(spark):
+    # Deterministic sampling is a pure scan predicate: no Exchange.
+    plan = _plan(spark, "sample_hash_docs")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
 def test_cdc_snapshot_single_shuffle(spark):
     plan = _plan(spark, "cdc_latest_snapshot")
     # one Exchange for the key window; AQE may add shuffle reads, so
