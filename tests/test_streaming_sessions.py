@@ -1,0 +1,143 @@
+"""Streaming sessionization: native session_window (append mode,
+watermark-finalized) and the custom applyInPandasWithState operator.
+
+Fixture: two trigger files (maxFilesPerTrigger=1). Batch 2 carries a
+far-future event so (a) the watermark passes batch-1 sessions for the
+native path and (b) the gap closes batch-1 sessions for the stateful
+path — both must then emit identical closed sessions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from ripcurrent_spark.streaming.sessions import (
+    session_window_agg,
+    sessionize_stateful,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(minutes: float, user: int, value: float) -> dict:
+    return {
+        "ts": (T0 + timedelta(minutes=minutes)).strftime("%Y-%m-%d %H:%M:%S"),
+        "user_id": user,
+        "value": value,
+    }
+
+
+# user 1: two sessions (gap 40min > 30min); user 2: one session.
+BATCH1 = [
+    _ev(0, 1, 1.0),
+    _ev(10, 1, 2.0),
+    _ev(50, 1, 4.0),
+    _ev(55, 1, 8.0),
+    _ev(5, 2, 16.0),
+]
+# Far-future events: advance watermark + close all batch-1 sessions.
+BATCH2 = [_ev(24 * 60, 1, 32.0), _ev(24 * 60, 2, 64.0)]
+
+
+def _write_batches(src, batches):
+    """One file per trigger; file-source batch order follows mod time,
+    so pin strictly increasing mtimes (same-second writes tie and can
+    reorder triggers)."""
+    src.mkdir()
+    now = time.time()
+    for i, batch in enumerate(batches):
+        p = src / f"{i:03d}.json"
+        with open(p, "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+        os.utime(p, (now - 100 + 10 * i, now - 100 + 10 * i))
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    _write_batches(tmp_path / "src", [BATCH1, BATCH2])
+    return tmp_path
+
+
+def _read_stream(spark, src):
+    return (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+
+
+def _run_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+EXPECTED_CLOSED = {
+    # (user_id, start_min, end_min, n_events, total_value)
+    (1, 0, 10, 2, 3.0),
+    (1, 50, 55, 2, 12.0),
+    (2, 5, 5, 1, 16.0),
+}
+
+
+def _row_key(r):
+    start_min = int((r.session_start - T0).total_seconds() // 60)
+    end_min = int((r.session_end - T0).total_seconds() // 60)
+    return (r.user_id, start_min, end_min, r.n_events, float(r.total_value))
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark, stream_dir):
+    src = stream_dir / "src"
+    out = sessionize_stateful(_read_stream(spark, src), gap_sec=1800)
+    got = _run_to_memory(spark, out, "sess_stateful")
+    rows = got.collect()
+    assert {_row_key(r) for r in rows} == EXPECTED_CLOSED
+
+
+def test_session_window_agg_append_finalizes_on_watermark(spark, stream_dir):
+    src = stream_dir / "src"
+    out = session_window_agg(
+        _read_stream(spark, src), gap="30 minutes", watermark="1 hour"
+    )
+    got = _run_to_memory(spark, out, "sess_native")
+    rows = got.collect()
+    # session_window end = last_event + gap; normalize to last-event time.
+    seen = {
+        (
+            r.user_id,
+            int((r.session_start - T0).total_seconds() // 60),
+            int((r.session_end - timedelta(minutes=30) - T0).total_seconds() // 60),
+            r.n_events,
+            float(r.total_value),
+        )
+        for r in rows
+    }
+    assert EXPECTED_CLOSED <= seen
+
+
+def test_stateful_batch_boundary_does_not_split_sessions(spark, tmp_path):
+    # The same session spanning two triggers must merge via state.
+    src = tmp_path / "src2"
+    _write_batches(
+        src,
+        [
+            [_ev(0, 7, 1.0)],
+            [_ev(10, 7, 2.0), _ev(10 * 60, 7, 4.0)],  # merges, then closes
+        ],
+    )
+    out = sessionize_stateful(_read_stream(spark, src), gap_sec=1800)
+    got = _run_to_memory(spark, out, "sess_span")
+    rows = got.collect()
+    assert {_row_key(r) for r in rows} == {(7, 0, 10, 2, 3.0)}
