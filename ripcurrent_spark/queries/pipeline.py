@@ -7,7 +7,7 @@ All oracle-checked: the sampling decisions ride the portable md5 hash
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
@@ -155,4 +155,106 @@ def q_hour_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return both.select(
         "resolution", "bucket", "event_type", "n", F.col("tv").cast("double").alias("total_value")
+    )
+
+
+@register(
+    "q_exact_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS price_quantiles,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-identical). The exact form is
+    the small-group path; q_approx_stats is the 100 TB sketch path."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias("price_quantiles"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS n FROM toks WHERE length(term) > 3 GROUP BY term
+)
+SELECT term, n, rank FROM (
+  SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank FROM counts
+) WHERE rank <= 20
+""",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, exact top-20: explode -> two-phase
+    count (map-side partials shrink the shuffle to distinct terms) ->
+    single-reducer ranking of the (small) distinct-term aggregate."""
+    d = load(spark, sf_dir, "documents")
+    from ripcurrent_spark.operators.dedup import tokens
+
+    counts = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.length("term") > 3)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), "term")
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+),
+q AS (
+  SELECT * FROM t
+  WHERE len(string_split(norm, ' ')) >= 10 AND n_chars <= 20000
+),
+keep AS (SELECT MIN(doc_id) AS keep_id FROM q GROUP BY md5(norm))
+SELECT {split_label_sql('doc_id')} AS split, lang,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM q
+WHERE doc_id IN (SELECT keep_id FROM keep)
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate (>=10 tokens, <=20k chars) ->
+    exact dedup (normalized-content hash, keep min doc_id) ->
+    deterministic train/val/test split -> per-(split, lang) audit.
+    Single scan + one dedup shuffle + one count shuffle; every stage
+    is the operator tested standalone elsewhere."""
+    d = load(spark, sf_dir, "documents")
+    from ripcurrent_spark.operators.dedup import norm_text
+
+    t = d.select("doc_id", "lang", "n_chars", norm_text("text").alias("norm"))
+    q = t.filter((F.size(F.split(F.col("norm"), " ")) >= 10) & (F.col("n_chars") <= 20000))
+    keep = q.groupBy(F.md5("norm").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    return (
+        q.join(keep, q.doc_id == keep.keep_id, "left_semi")
+        .withColumn("split", split_label("doc_id"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
     )
