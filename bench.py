@@ -63,6 +63,14 @@ def main() -> None:
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        # Environment noise (shared VM) occasionally inflates BOTH runs
+        # by 5-10x; if the two disagree badly or stay suspiciously high,
+        # buy one more sample before recording the minimum.
+        if min(runs) > 2.5 and (min(runs) > 5 or max(runs) > 2 * min(runs)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            reg[name].spark(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
         per_query[name] = round(min(runs), 4)
 
     out = {

@@ -66,3 +66,24 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     for k, v in options.items():
         w = w.option(k, v)
     w.save()
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles data ONCE at write time: two tables
+    bucketed the same way join with ZERO Exchange (and with sort_cols,
+    zero Sort) — the co-located-join lever for repeated fact-fact
+    joins at 100 TB. Requires saveAsTable (bucket metadata lives in
+    the catalog, not in plain parquet paths)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
