@@ -116,7 +116,11 @@ def parse_envelope(df: DataFrame, value_col: str = "value", key_col: str = "key"
         key_field = F.lit(None).cast("string")
         key_value = F.lit(None).cast("string")
     p = F.col("_env.payload")
+    extra = (
+        [F.col("value_schema_fields")] if "value_schema_fields" in df.columns else []
+    )
     return parsed.select(
+        *extra,
         p["op"].alias("op"),
         p["ts_ms"].alias("ts_ms"),
         p["source"]["db"].alias("db"),
@@ -129,3 +133,89 @@ def parse_envelope(df: DataFrame, value_col: str = "value", key_col: str = "key"
         key_value.alias("key_value"),
         F.when(p["op"] == "d", p["before"]).otherwise(p["after"]).alias("row_payload"),
     )
+
+
+# Value-side embedded schema: schema.fields[0].fields = the row field
+# descriptors ({field, type, name}) the reference walks to find logical
+# date/time columns (Main.java:190-232).
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "schema",
+            T.StructType(
+                [
+                    T.StructField(
+                        "fields",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "fields",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("field", T.StringType()),
+                                                    T.StructField("type", T.StringType()),
+                                                    T.StructField("name", T.StringType()),
+                                                ]
+                                            )
+                                        ),
+                                    )
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        )
+    ]
+)
+
+
+def with_value_schema_fields(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Attach ``value_schema_fields`` (array<struct<field,type,name>>)
+    parsed from the event's embedded Connect schema."""
+    vs = F.from_json(F.col(value_col), VALUE_SCHEMA)
+    return df.withColumn("value_schema_fields", vs["schema"]["fields"][0]["fields"])
+
+
+def schema_driven_decode(parsed: DataFrame, payload_col: str = "row_payload") -> DataFrame:
+    """Decode logical date/time values IN PLACE, driven by the event's
+    own schema — the reference's conversion pass (Main.java:196-232):
+    a field whose descriptor names ``io.debezium.time.Date`` /
+    ``MicroTime`` / ``Timestamp`` is rewritten from its wire integer
+    to the ISO string form; everything else passes through.
+
+    Pure Column expressions: per entry, the (small) descriptor array is
+    probed for the field's logical name; no Python, no extra shuffle —
+    the decode rides the same scan/projection as the parse.
+    """
+    from ripcurrent_spark.cdc.decode import (
+        epoch_days_to_date,
+        epoch_ms_to_datetime,
+        micros_of_day_to_time,
+    )
+
+    fields = F.col("value_schema_fields")
+
+    def _decode_entry(k: Column, v: Column) -> Column:
+        matches = F.filter(fields, lambda f: f["field"] == k)
+        lname = F.when(F.size(matches) > 0, matches[0]["name"])
+        return (
+            F.when(v.isNull(), v)
+            .when(lname == "io.debezium.time.Date", epoch_days_to_date(v).cast("string"))
+            .when(lname == "io.debezium.time.MicroTime", micros_of_day_to_time(v))
+            .when(
+                lname == "io.debezium.time.Timestamp",
+                epoch_ms_to_datetime(v),
+            )
+            .otherwise(v)
+        )
+
+    decoded = F.map_from_entries(
+        F.transform(
+            F.map_entries(F.col(payload_col)),
+            lambda e: F.struct(e["key"].alias("key"), _decode_entry(e["key"], e["value"]).alias("value")),
+        )
+    )
+    return parsed.withColumn(payload_col, F.when(F.col(payload_col).isNotNull(), decoded))

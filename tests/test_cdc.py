@@ -128,3 +128,45 @@ def test_scd2_history(spark):
 def test_changelog_counts(spark):
     got = {r.op: r.n_events for r in changelog_counts(_log(spark)).collect()}
     assert got == {"c": 3, "u": 1, "d": 1}
+
+
+def test_schema_driven_decode(spark):
+    """The reference walks the event's embedded Connect schema and
+    decodes any field whose descriptor names a Debezium logical type
+    (Main.java:190-232); fields with null names pass through."""
+    import json
+
+    from ripcurrent_spark.cdc.envelope import (
+        parse_envelope,
+        schema_driven_decode,
+        with_value_schema_fields,
+    )
+
+    value = {
+        "schema": {
+            "fields": [
+                {
+                    "fields": [
+                        {"field": "id", "type": "int32", "name": None},
+                        {"field": "day", "type": "int32", "name": "io.debezium.time.Date"},
+                        {"field": "t", "type": "int64", "name": "io.debezium.time.MicroTime"},
+                        {"field": "ts", "type": "int64", "name": "io.debezium.time.Timestamp"},
+                    ]
+                }
+            ]
+        },
+        "payload": {
+            "op": "c",
+            "ts_ms": 1,
+            "source": {"db": "d", "schema": "s", "table": "t"},
+            "before": None,
+            "after": {"id": "7", "day": "19723", "t": "45296000000", "ts": "1704110696000"},
+        },
+    }
+    df = spark.createDataFrame([(json.dumps(value),)], "value string")
+    out = schema_driven_decode(parse_envelope(with_value_schema_fields(df)))
+    row = out.select("row_payload").collect()[0]["row_payload"]
+    assert row["id"] == "7"  # null logical name -> untouched
+    assert row["day"] == "2024-01-01"  # 19723 epoch-days
+    assert row["t"] == "12:34:56"  # 45296s of day
+    assert row["ts"] == "2024-01-01T12:04:56"  # epoch-millis, UTC
