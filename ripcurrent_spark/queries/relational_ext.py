@@ -760,3 +760,86 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "q_cube_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all 2^k grouping-set combinations in one pass
+    (Expand + single shuffle, not k separate scans)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_moving_revenue_7d",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS rev_7d
+FROM lineitem
+WHERE l_suppkey <= 5
+""",
+)
+def q_moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: trailing-7-day revenue per supplier.
+    RANGE (value-based) frames differ from ROWS frames whenever
+    timestamps tie or gap — both engines frame on epoch seconds."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        # NTZ has no direct long cast; NTZ -> TZ is exact under the
+        # UTC session, matching DuckDB's epoch().
+        .orderBy(F.col("l_shipdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum(_dec("l_extendedprice")).over(w).cast("double").alias("rev_7d"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (lag over per-user time order):
+    one shuffle for the window, partial-aggregated count."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
