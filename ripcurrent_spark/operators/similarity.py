@@ -145,27 +145,44 @@ def brute_force_topk_np(
     )
 
 
-def lsh_signature(emb: Column, n_bits: int = 8, seed: str = "hp") -> Column:
-    """Signed-random-projection signature: bit j = (w_j . emb > 0)
-    with deterministic +/-1 weights w_j[d] = sign(h32(f'{seed}{j}:{d}')).
-    Buckets nearby directions together; deterministic across engines."""
+def lsh_weights(n_bits: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """Deterministic +/-1 projection weights, computed DRIVER-SIDE:
+    w_j[d] = sign(md5(f'{seed}{j}:{d}')) — the same portable hash the
+    engines share, but evaluated once per (bit, dim) as a Python
+    constant instead of 8 x dim md5 calls PER ROW (which also kept the
+    signature out of any SQL mirror)."""
+    import hashlib
+
+    def sgn(j: int, d: int) -> float:
+        h = int(hashlib.md5(f"{seed}{j}:{d}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[sgn(j, d) for d in range(dim)] for j in range(n_bits)]
+
+
+def lsh_signature(emb: Column, n_bits: int = 8, dim: int = 64, seed: str = "hp") -> Column:
+    """Signed-random-projection signature: bit j = (w_j . emb > 0).
+    Buckets nearby directions together; pure arithmetic at runtime
+    (weights are literal arrays), bit-identical across engines."""
     acc = F.lit(0)
-    for j in range(n_bits):
-        # Weighted projection: sum_d sign(h32(seed,j,d)) * emb[d].
+    for j, w in enumerate(lsh_weights(n_bits, dim, seed)):
+        wl = F.array(*[F.lit(x) for x in w])
         proj = F.aggregate(
-            F.zip_with(emb, _signs(emb, j, seed), lambda x, s: x * s),
-            F.lit(0.0),
-            lambda a, x: a + x,
+            F.zip_with(emb, wl, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
         )
         acc = acc + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 
 
-def _signs(emb: Column, j: int, seed: str) -> Column:
-    return F.transform(
-        emb,
-        lambda _, i: F.when(h32(F.concat(F.lit(f"{seed}{j}:"), i.cast("string"))) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-    )
+def lsh_signature_sql(emb_expr: str, n_bits: int = 8, dim: int = 64, seed: str = "hp") -> str:
+    """DuckDB mirror of :func:`lsh_signature` (same literal weights,
+    same sequential-sum order)."""
+    terms = []
+    for j, w in enumerate(lsh_weights(n_bits, dim, seed)):
+        wl = "[" + ", ".join(str(x) for x in w) + "]"
+        proj = f"list_sum(list_transform(range(1, {dim}+1), i -> {emb_expr}[i] * ({wl})[i]))"
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
 
 
 def lsh_bucketed_topk(
@@ -174,6 +191,7 @@ def lsh_bucketed_topk(
     emb_col: str = "emb",
     n_bits: int = 8,
     k: int = 5,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate all-pairs top-k: exact cosine ranking WITHIN each
     LSH bucket. The bucket groupBy is the only shuffle; bucket count
@@ -181,7 +199,7 @@ def lsh_bucketed_topk(
     sig = df.select(
         F.col(id_col).alias("vid"),
         F.col(emb_col).alias("emb"),
-        lsh_signature(F.col(emb_col), n_bits).alias("bucket"),
+        lsh_signature(F.col(emb_col), n_bits, dim).alias("bucket"),
     )
     a = sig.select(F.col("vid").alias("query_id"), F.col("emb").alias("q_emb"), "bucket")
     b = sig.select(F.col("vid").alias("neighbor_id"), F.col("emb").alias("c_emb"), "bucket")

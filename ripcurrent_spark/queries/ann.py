@@ -50,10 +50,32 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    doc="LSH (signed random projection, 8 bits) bucketed approximate "
-    "top-5 — the corpus x corpus scale path. Rows-only: bucket-local "
-    "float ranking not worth a SQL mirror.",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, emb, {SIM.lsh_signature_sql('emb', 8, 64)} AS bucket FROM v
+),
+scored AS (
+  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+         {SIM.cosine_sql('a.emb', 'b.emb')} AS cos_raw
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT query_id, bucket, neighbor_id, rank, round(cos_raw, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (signed random projection, 8 bits) bucketed approximate
+    top-5 — the corpus x corpus scale path. Projection weights are
+    shared literal constants, so the whole pipeline (bucket, cosine,
+    ranking) is bit-identical to the DuckDB oracle."""
     v = _vectors(spark, sf_dir)
-    return SIM.lsh_bucketed_topk(v, id_col="vec_id", emb_col="emb", n_bits=8, k=5)
+    return SIM.lsh_bucketed_topk(v, id_col="vec_id", emb_col="emb", n_bits=8, k=5, dim=64)

@@ -228,9 +228,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    doc="Embedding-cosine near-dup pairs (same-label blocking, cosine "
-    ">= 0.35). Rows-only: float reduction order isn't bit-stable "
-    "across engines.",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         round(
+           list_sum(list_transform(range(1, len(a.emb)+1), i -> a.emb[i] * b.emb[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(a.emb)+1), i -> a.emb[i] * a.emb[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.emb)+1), i -> b.emb[i] * b.emb[i])))),
+           6) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, cosine FROM pairs WHERE cosine >= 0.35
+""",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by embedding cosine within label blocks (blocking keeps

@@ -120,3 +120,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm_text("text")).alias("content_md5"),
         TX.bag_fingerprint("text").alias("bag_fp"),
     )
+
+
+_CHUNK, _STRIDE = 50, 40  # tokens per chunk / stride (overlap 10)
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - {_CHUNK - _STRIDE}, 1), {_STRIDE})) AS start_tok,
+         toks
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok / {_STRIDE} AS BIGINT) AS chunk_no,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + {_CHUNK}), ' ') AS chunk_text,
+       least(len(toks) - start_tok, {_CHUNK}) AS n_tokens
+FROM chunks
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 50-token chunks, stride 40 (overlap
+    10) — the context-window prep step. Tokens are projected once;
+    chunk starts are a generated sequence exploded into rows (pure
+    codegen; at scale this is a narrow op — no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - (_CHUNK - _STRIDE) - 1, F.lit(0)),
+        F.lit(_STRIDE),
+    )
+    ch = t.select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+    return ch.select(
+        "doc_id",
+        (F.col("start_tok") / _STRIDE).cast("long").alias("chunk_no"),
+        F.concat_ws(" ", F.slice("toks", F.col("start_tok") + 1, _CHUNK)).alias("chunk_text"),
+        F.least(F.size("toks") - F.col("start_tok"), F.lit(_CHUNK)).alias("n_tokens"),
+    )
+
+
+# RE2-and-Java-safe scrubbing patterns (no lookaround).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_DIGITS_RE = "[0-9][0-9 .-]{6,}[0-9]"
+
+
+@register(
+    "text_scrub_pii",
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_URL_RE}', '<URL>', 'g'),
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_DIGITS_RE}', '<NUMBER>', 'g') AS scrubbed,
+       length(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       length(regexp_extract_all(text, '{_URL_RE}')) AS n_urls
+FROM documents
+""",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus scrubbing: URLs, emails, long digit runs ->
+    placeholder tokens, plus per-doc detection counts. Single scan,
+    codegen regexes (patterns stay in the RE2/Java common subset).
+    The masking-engine twin for free text: same transform discipline
+    as the column-level rules, applied inside the value."""
+    d = load(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _URL_RE, "<URL>"),
+            _EMAIL_RE,
+            "<EMAIL>",
+        ),
+        _DIGITS_RE,
+        "<NUMBER>",
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_URL_RE)).alias("n_urls"),
+    )

@@ -1,0 +1,140 @@
+"""Operator semantics on PLANTED cases (constructed inputs with known
+answers) — complementary to the DuckDB-oracle parity gate, which
+checks engine agreement but not intent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.operators import dedup as DD
+from ripcurrent_spark.operators import similarity as SIM
+from ripcurrent_spark.operators.intervals import range_join_backward
+from ripcurrent_spark.operators.sampling import hash_pct, split_label
+
+
+# --- dedup -------------------------------------------------------------
+
+def test_exact_dedup_groups_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.keep_id: r.n_docs
+        for r in DD.exact_dedup_groups(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 2, 3: 1}  # punctuation/case/whitespace-insensitive
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely unrelated sentence about spark plans")],
+        "doc_id long, text string",
+    )
+    g = df.select("doc_id", DD.tokens("text").alias("toks")).select(
+        "doc_id", DD.ngrams_of_tokens(F.col("toks")).alias("ngs")
+    )
+    sigs = g.select("doc_id", DD.minhash_sig(F.col("ngs")).alias("sig"))
+    rows = {r.doc_id: r.sig for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_near_identical_low_hamming(spark):
+    base = "spark catalyst optimizer rewrites logical plans into physical plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " quickly"), (3, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    t = (
+        df.select("doc_id", DD.tokens("text").alias("toks"))
+        .select("doc_id", DD.token_hashes(F.col("toks")).alias("hs"))
+        .select("doc_id", DD.simhash_votes(F.col("hs"), 32).alias("votes"))
+        .select("doc_id", DD.simhash_from_votes(F.col("votes"), 32).alias("sh"))
+    )
+    sh = {r.doc_id: r.sh for r in t.collect()}
+    near = bin(sh[1] ^ sh[2]).count("1")
+    far = bin(sh[1] ^ sh[3]).count("1")
+    assert near < far
+    assert near <= 6
+
+
+# --- similarity --------------------------------------------------------
+
+def test_brute_force_topk_finds_planted_neighbor(spark):
+    # vec 100 is (almost) a copy of vec 0; vec 2 is orthogonal.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (100, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = SIM.brute_force_topk_np(q, df, k=2).collect()
+    # vec 2 and vec 3 are both orthogonal to the query (cosine 0);
+    # the tie breaks on neighbor_id.
+    assert [r.neighbor_id for r in got] == [100, 2]
+    assert got[0].cosine > 0.999
+
+
+def test_lsh_weights_deterministic_and_signature_buckets(spark):
+    assert SIM.lsh_weights(2, 4) == SIM.lsh_weights(2, 4)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0, 0.0]), (2, [-1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, emb array<double>",
+    )
+    sig = df.select("vec_id", SIM.lsh_signature(F.col("emb"), 8, dim=4).alias("b"))
+    b = {r.vec_id: r.b for r in sig.collect()}
+    assert b[0] == b[1]  # same direction -> same bucket
+    assert b[0] != b[2]  # opposite direction -> different bucket
+
+
+# --- sampling ----------------------------------------------------------
+
+def test_split_label_disjoint_exhaustive_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    lab = df.select(
+        "doc_id", split_label("doc_id").alias("s"), hash_pct("doc_id", salt="split").alias("p")
+    )
+    rows = lab.collect()
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        counts[r.s] += 1
+        expected = "train" if r.p < 80 else ("val" if r.p < 90 else "test")
+        assert r.s == expected
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900  # ~80%
+    # stability: a repartitioned run assigns identically
+    again = {r.doc_id: r.s for r in df.repartition(7).select(
+        "doc_id", split_label("doc_id").alias("s")).collect()}
+    assert all(again[r.doc_id] == r.s for r in rows)
+
+
+# --- range join --------------------------------------------------------
+
+def test_range_join_backward_window_semantics(spark):
+    from datetime import datetime
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m, 0)
+
+    left = spark.createDataFrame(
+        [(1, 100, t(40)), (2, 200, t(10))], "user_id long, pid long, p_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 11, t(15)),  # 25 min before pid=100 -> match
+            (1, 12, t(39)),  # 1 min before -> match
+            (1, 13, t(9)),   # 31 min before -> NO (window 30m)
+            (1, 14, t(41)),  # after -> NO
+            (2, 21, t(10)),  # same instant -> match (inclusive)
+        ],
+        "user_id long, cid long, c_ts timestamp",
+    )
+    got = range_join_backward(left, right, "user_id", "p_ts", "c_ts", 1800)
+    pairs = sorted((r.pid, r.cid) for r in got.collect())
+    assert pairs == [(100, 11), (100, 12), (200, 21)]
