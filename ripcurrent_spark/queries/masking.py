@@ -212,12 +212,28 @@ def mask_blur_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", M.blur_date("o_orderdate", 7).alias("orderdate_blur"))
 
 
+_FPE_SQL = """
+array_to_string(list_transform(range(1, length(c_name)+1), i ->
+  CASE WHEN substr(c_name, i, 1) >= '0' AND substr(c_name, i, 1) <= '9'
+       THEN CAST((CAST(substr(c_name, i, 1) AS INT)
+                  + CAST('0x' || substr(md5('k1' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 10)
+                 % 10 AS VARCHAR)
+       ELSE substr(c_name, i, 1) END), '')
+"""
+
+
 @register(
     "mask_fpe_digits",
-    doc="Format-preserving digit permutation (deterministic stub — no "
-    "crypto lib in image; see functions/masking.py fpe_digits). "
-    "Rows-only: position-seeded transform not worth mirroring in SQL.",
+    oracle=f"""
+SELECT c_custkey, {_FPE_SQL} AS name_fpe
+FROM customer
+""",
 )
 def mask_fpe_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving digit shift (deterministic FPE stand-in — no
+    crypto lib in image): digit at position i rotates by a
+    position-keyed portable hash; non-digits untouched, so layout,
+    length, and charset are preserved. A production deployment swaps
+    in FF1/FF3 with the same per-position contract."""
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", M.fpe_digits("c_name").alias("name_fpe"))

@@ -258,3 +258,32 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "q_salted_brand_revenue",
+    oracle="""
+SELECT p_brand,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join demo: lineitem x part spread over 8 salt sub-keys
+    (a hot part key lands on 8 reducers instead of one). The result is
+    identical to the plain join — the oracle IS the plain join."""
+    from ripcurrent_spark.operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+    j = salted_join(l, p, "l_partkey", "p_partkey", fact_row_key="l_orderkey", n_salt=8)
+    return (
+        j.groupBy("p_brand")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("p_brand")
+    )
