@@ -287,3 +287,52 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_outlier_orders",
+    oracle="""
+WITH stats AS (
+  SELECT o_orderpriority AS pr,
+         COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS ss
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)),
+             6) AS zscore
+FROM orders JOIN stats ON o_orderpriority = pr
+WHERE abs((o_totalprice - CAST(s AS DOUBLE) / n)
+          / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))) > 1.6
+ORDER BY o_orderkey
+""",
+)
+def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|z| > 1.6 within order priority).
+
+    The moments are EXACT decimal sums (sum, sum-of-squares) — float
+    summation order never enters — and only the final mean/variance
+    arithmetic runs in double, in the same operation order as the
+    oracle, so results hash-match. Group stats are a broadcast join
+    back onto the fact rows: one scan + one tiny aggregate."""
+    o = load(spark, sf_dir, "orders")
+    tp = _dec("o_totalprice")
+    stats = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(tp).alias("s"),
+        F.sum(tp * tp).alias("ss"),
+    )
+    n = F.col("n")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col("o_totalprice") - mean) / F.sqrt(var)
+    return (
+        o.join(F.broadcast(stats), o.o_orderpriority == F.col("pr"))
+        .filter(F.abs(z) > 1.6)
+        .select("o_orderkey", "o_orderpriority", F.round(z, 6).alias("zscore"))
+        .orderBy("o_orderkey")
+    )
