@@ -12,6 +12,7 @@ from ripcurrent_spark.cdc import decode as D
 from ripcurrent_spark.cdc.apply import changelog_counts, latest_snapshot, scd2_history
 from ripcurrent_spark.cdc.envelope import build_envelope_json, parse_envelope
 from ripcurrent_spark.cdc.synth import CHANGELOG_CTE, synth_changelog
+from ripcurrent_spark.functions.hashing import h32, h32_sql
 from ripcurrent_spark.io import load
 from ripcurrent_spark.queries import register
 
@@ -192,3 +193,108 @@ def cdc_changelog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replication audit: per-op event counts + ts range (the
     reference logs per-script row flow; this is the set-level view)."""
     return changelog_counts(synth_changelog(spark, sf_dir))
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+),
+dst AS (
+  -- replica drift, synthesized deterministically: every 97th key lost,
+  -- every 31st key's balance corrupted by +1
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 31 = 0 THEN CAST(c_acctbal AS DECIMAL(12,2)) + 1
+              ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+  FROM customer WHERE c_custkey % 97 <> 0
+)
+SELECT COALESCE(src.c_custkey, dst.c_custkey) AS key,
+       CASE WHEN dst.c_custkey IS NULL THEN 'missing_in_replica'
+            WHEN src.c_custkey IS NULL THEN 'extra_in_replica'
+            ELSE 'value_mismatch' END AS diff_kind,
+       CAST(src.bal AS DOUBLE) AS src_bal,
+       CAST(dst.bal AS DOUBLE) AS dst_bal
+FROM src FULL OUTER JOIN dst ON src.c_custkey = dst.c_custkey
+WHERE dst.c_custkey IS NULL OR src.c_custkey IS NULL
+   OR src.bal <> dst.bal OR src.c_name <> dst.c_name
+ORDER BY key
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication drift detection: full-outer diff of source vs
+    replica, classifying missing / extra / value-mismatch rows — the
+    verification the reference's replicate-then-mask contract implies
+    but never checks. One co-partitioned shuffle join; at 100 TB both
+    sides bucket on the key and the diff is exchange-free.
+
+    The replica is synthesized from the source with deterministic
+    drift (every 97th key dropped, every 31st balance off by one) so
+    the oracle sees identical inputs."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    src = c.select("c_custkey", "c_name", bal.alias("bal"))
+    dst = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 31 == 0, bal + 1).otherwise(bal).alias("bal"),
+        )
+    )
+    s = src.alias("s")
+    d = dst.alias("d")
+    joined = s.join(d, F.col("s.c_custkey") == F.col("d.c_custkey"), "full_outer")
+    missing = F.col("d.c_custkey").isNull()
+    extra = F.col("s.c_custkey").isNull()
+    kind = (
+        F.when(missing, "missing_in_replica")
+        .when(extra, "extra_in_replica")
+        .otherwise("value_mismatch")
+    )
+    return (
+        joined.filter(
+            missing
+            | extra
+            | (F.col("s.bal") != F.col("d.bal"))
+            | (F.col("s.c_name") != F.col("d.c_name"))
+        )
+        .select(
+            F.coalesce(F.col("s.c_custkey"), F.col("d.c_custkey")).alias("key"),
+            kind.alias("diff_kind"),
+            F.col("s.bal").cast("double").alias("src_bal"),
+            F.col("d.bal").cast("double").alias("dst_bal"),
+        )
+        .orderBy("key")
+    )
+
+
+@register(
+    "cdc_replication_audit",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       SUM({h32_sql("concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment)")}) AS content_checksum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_total
+FROM customer
+""",
+)
+def cdc_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table audit: row count + additive content
+    checksum (sum of per-row portable hashes over canonicalized
+    fields) + control total. Running it on source and replica and
+    comparing the three numbers verifies replication without moving
+    either table — a single scan each side, no join, no sort."""
+    c = load(spark, sf_dir, "customer")
+    canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h32(canon)).alias("content_checksum"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("bal_total"),
+    )
