@@ -251,3 +251,55 @@ def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: 
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) with
+    component = min node id reachable — the grouping step that turns
+    pairwise matches into dedup groups.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes (checked with a 1-row aggregate per round, bounded
+    by ``max_iter``). Near-dup graphs are unions of small cliques, so
+    rounds ~ cluster diameter (single digits); each round is one
+    self-join + groupBy on the (tiny relative to corpus) pair set —
+    the corpus itself is never touched."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -317,3 +317,44 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("edit_dist") <= 20)
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: MinHash+LSH verified pairs -> connected
+    components (min-reachable-id label). The Spark side iterates
+    min-label propagation to convergence; the oracle computes the
+    same fixpoint as a recursive transitive-closure CTE."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return DD.connected_components(pairs)
