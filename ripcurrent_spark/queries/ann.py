@@ -79,3 +79,78 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking) is bit-identical to the DuckDB oracle."""
     v = _vectors(spark, sf_dir)
     return SIM.lsh_bucketed_topk(v, id_col="vec_id", emb_col="emb", n_bits=8, k=5, dim=64)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {SIM.unit_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS emb
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 25 = 0),
+assign AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT v.vec_id, v.emb, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.emb)+1), i -> v.emb[i] * cent.cemb[i])) DESC,
+                      cent.cid) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT * FROM assign WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.cid AS cell, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.emb)+1), i -> q.emb[i] * c.emb[i])) AS cos_raw
+  FROM q JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cell, neighbor_id, rank, round(cos_raw, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into cells by nearest
+    centroid (deterministic centroid pick: every 25th vector), search
+    confined to the query's cell. The coarse quantizer is a broadcast
+    cross join against ~sqrt(N) centroids (linear scan, tiny constant);
+    the fine search shuffles once on cell id — the inverted-file
+    counterpart to the LSH path, trading recall for a bounded
+    candidate set per query."""
+    from pyspark.sql import Window as W
+
+    v = _vectors(spark, sf_dir).select("vec_id", SIM.unit(F.col("emb")).alias("emb"))
+    cent = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    dot_c = SIM.dot(F.col("emb"), F.col("cemb"))
+    wassign = W.partitionBy("vec_id").orderBy(F.desc("d"), "cid")
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("d", dot_c)
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    q = assign.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), F.col("cid").alias("cell")
+    )
+    c = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), "cid"
+    )
+    scored = (
+        q.join(c, q.cell == c.cid)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", SIM.dot(F.col("q_emb"), F.col("c_emb")))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cell", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -410,3 +410,40 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("clicked_after_view"),
         F.sum(full.cast("long")).alias("full_funnel"),
     )
+
+
+@register(
+    "q_sliding_window_events",
+    oracle="""
+WITH w AS (
+  SELECT event_type, value, ts,
+         unnest([
+           to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
+           to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT))
+         ]) AS win_start
+  FROM events
+)
+SELECT win_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM w
+WHERE ts >= win_start AND ts < win_start + INTERVAL 10 MINUTE
+GROUP BY win_start, event_type
+""",
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 10-minute windows every 5
+    minutes — each event lands in exactly window_len/slide windows
+    (constant fanout, like the range join's bucketing). Batch twin of
+    the streaming hopping-window aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").start.alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
