@@ -447,3 +447,59 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_group_regression",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY user_id HAVING COUNT(*) >= 3
+)
+SELECT user_id, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+         AS slope_per_sec
+FROM stats
+ORDER BY user_id
+""",
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (value over time per user) from
+    EXACT sufficient statistics: the four sums accumulate in
+    BIGINT/DECIMAL (no float order-dependence), and only the final
+    slope formula runs in double, in oracle-identical order. The
+    distributed-statistics pattern: any per-group model whose
+    sufficient statistics are sums fits in one aggregate pass."""
+    e = load(spark, sf_dir, "events")
+    x = F.col("ts").cast("timestamp").cast("long") - F.lit(1704067200)
+    y = _dec("value")
+    pts = e.select("user_id", x.alias("x"), y.alias("y"))
+    stats = (
+        pts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "user_id", "n", F.round(slope, 9).alias("slope_per_sec")
+    ).orderBy("user_id")
