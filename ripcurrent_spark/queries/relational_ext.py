@@ -843,3 +843,56 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "q_window_ranks",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NTILE(10) OVER w AS decile,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       round(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions (NTILE / PERCENT_RANK / CUME_DIST)
+    over a total order (price, key) so every rank is deterministic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q_string_agg_nations",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect + sort inside the
+    aggregate so the concatenation order is total and engine-stable."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("r_name")
+    )

@@ -53,3 +53,22 @@ def test_bucketed_join_no_shuffle(spark, no_broadcast):
     finally:
         for tbl in ("bkt_lineitem", "bkt_orders"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-partitioned writes let the reader skip entire directories:
+    the partition predicate must show up as PartitionFilters (pruning)
+    rather than a post-scan filter."""
+    from ripcurrent_spark.io import load
+    from ripcurrent_spark.sinks import write_parquet
+
+    e = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "event_type", "value")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(e, out, partition_by=["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    clicks = e.filter(F.col("event_type") == "click").count()
+    assert df.count() == clicks
