@@ -896,3 +896,32 @@ def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# One SQL text, two engines: stays in the ANSI subset both parse.
+_SHARED_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q_sql_api_nation_revenue", oracle=_SHARED_SQL)
+def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end parity: the Spark side executes the IDENTICAL
+    ANSI SQL text the oracle runs (spark.sql over registered views) —
+    the engine is usable as a drop-in SQL endpoint, with Catalyst
+    doing the same pushdown/broadcast work as the DataFrame API."""
+    from ripcurrent_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
