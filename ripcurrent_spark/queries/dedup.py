@@ -273,49 +273,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         substr({DD.norm_text_sql('text')}, 1, 200) AS prefix,
+         substr({DD.norm_text_sql('text')}, 1, 64) AS prefix,
          {DD.simhash_sql(DD.tokens_sql('text'), bits=32)} AS sh
   FROM documents
 ),
 bands AS (
-  SELECT doc_id, prefix, b, (sh >> (8*b)) & 255 AS bval
+  SELECT doc_id, b, (sh >> (8*b)) & 255 AS bval
   FROM t, (SELECT unnest(range(4)) AS b)
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  levenshtein(a.prefix, b.prefix) AS edit_dist
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, edit_dist FROM cand WHERE edit_dist <= 20
+SELECT id_a, id_b, levenshtein(ta.prefix, tb.prefix) AS edit_dist
+FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+WHERE levenshtein(ta.prefix, tb.prefix) <= 8
 """,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs: SimHash-band candidate generation, exact
-    edit-distance verify (<=20 on the 200-char normalized prefix —
-    full-text Levenshtein is O(n*m) per pair, so the distance runs on
-    a bounded prefix and ONLY on banded candidates, never all pairs)."""
+    edit-distance verify (<=8 on the 64-char normalized prefix).
+
+    The O(n*m) distance is the expensive verifier, so it runs exactly
+    ONCE per DISTINCT candidate pair: ids dedup first (cheap shuffle
+    of id pairs), prefixes join back after; prefix width bounds the per-pair cost
+    (64 chars -> 4k DP cells). Computing the distance
+    inside the band join looked equivalent but did the quadratic work
+    per band collision (4x) and shuffled 200-char strings through the
+    distinct — the difference between seconds and minutes at 5k docs,
+    and between feasible and not at corpus scale. Wider prefixes buy
+    precision linearly in cost^2 — tune per corpus."""
     d = load(spark, sf_dir, "documents")
     t = (
         d.select("doc_id", DD.norm_text("text").alias("norm"), DD.tokens("text").alias("toks"))
-        .select("doc_id", F.substring("norm", 1, 200).alias("prefix"), DD.token_hashes(F.col("toks")).alias("hs"))
+        .select("doc_id", F.substring("norm", 1, 64).alias("prefix"), DD.token_hashes(F.col("toks")).alias("hs"))
         .select("doc_id", "prefix", DD.simhash_votes(F.col("hs"), 32).alias("votes"))
         .select("doc_id", "prefix", DD.simhash_from_votes(F.col("votes"), 32).alias("sh"))
+        .persist()
     )
     bands = t.select(
         "doc_id",
-        "prefix",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("b"), (F.shiftright(F.col("sh"), 8 * b) % 256).alias("bval")) for b in range(4)])
         ).alias("band"),
-    ).select("doc_id", "prefix", F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
-    a = bands.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"), "b", "bval")
-    b = bands.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"), "b", "bval")
-    return (
+    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
+    a = bands.select(F.col("doc_id").alias("id_a"), "b", "bval")
+    b = bands.select(F.col("doc_id").alias("id_b"), "b", "bval")
+    cand = (
         a.join(b, ["b", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+        .select("id_a", "id_b")
         .distinct()
-        .filter(F.col("edit_dist") <= 20)
+    )
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 8)
     )
 
 
