@@ -219,3 +219,16 @@ def schema_driven_decode(parsed: DataFrame, payload_col: str = "row_payload") ->
         )
     )
     return parsed.withColumn(payload_col, F.when(F.col(payload_col).isNotNull(), decoded))
+
+
+def split_dead_letters(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Separate well-formed change events from dead letters.
+
+    ``from_json`` is PERMISSIVE: malformed JSON or a missing payload
+    yields null envelope columns instead of failing the job (the
+    reference's per-record try/catch, Main.java:165-167 — but here bad
+    records are ROUTED, not just logged: the second frame feeds a
+    quarantine sink for replay)."""
+    ok = parsed.filter(F.col("op").isNotNull() | F.col("ddl").isNotNull())
+    dead = parsed.filter(F.col("op").isNull() & F.col("ddl").isNull())
+    return ok, dead

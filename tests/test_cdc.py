@@ -170,3 +170,32 @@ def test_schema_driven_decode(spark):
     assert row["day"] == "2024-01-01"  # 19723 epoch-days
     assert row["t"] == "12:34:56"  # 45296s of day
     assert row["ts"] == "2024-01-01T12:04:56"  # epoch-millis, UTC
+
+
+def test_malformed_events_route_to_dead_letters(spark):
+    """Garbage JSON and schema-less payloads must not fail the job —
+    they parse to null envelopes and split into the quarantine frame."""
+    import json
+
+    from ripcurrent_spark.cdc.envelope import parse_envelope, split_dead_letters
+
+    good = {
+        "payload": {
+            "op": "c",
+            "ts_ms": 1,
+            "source": {"db": "d", "schema": "s", "table": "t"},
+            "before": None,
+            "after": {"id": "1"},
+        }
+    }
+    rows = [
+        ("k1", json.dumps(good)),
+        ("k2", "{not valid json at all"),
+        ("k3", json.dumps({"something": "else"})),
+        ("k4", None),
+    ]
+    df = spark.createDataFrame(rows, "key string, value string")
+    ok, dead = split_dead_letters(parse_envelope(df))
+    assert ok.count() == 1
+    assert ok.collect()[0].op == "c"
+    assert dead.count() == 3
