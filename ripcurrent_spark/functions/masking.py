@@ -170,3 +170,25 @@ def fpe_digits(col: Column | str, key: str = "k1") -> Column:
         ).otherwise(ch),
     )
     return F.array_join(shifted, "")
+
+
+def fpe_alnum(col: Column | str, key: str = "k1") -> Column:
+    """Alphanumeric format-preserving shift: digits rotate mod 10,
+    letters rotate mod 26 WITHIN their case class, everything else is
+    untouched — length, layout, charset class all preserved. Shift is
+    position-keyed by the portable hash (deterministic, engine-stable);
+    swap for FF1/FF3 in production with the same per-position contract."""
+    c = _c(col)
+    chars = F.split(c, "")
+
+    def _shift(ch: Column, i: Column) -> Column:
+        s = h32(F.concat(F.lit(key), i.cast("string")))
+        a = F.ascii(ch)
+        return (
+            F.when(ch.rlike("^[0-9]$"), ((ch.cast("int") + s % 10) % 10).cast("string"))
+            .when(ch.rlike("^[a-z]$"), F.chr(F.lit(97) + (a - 97 + s % 26) % 26))
+            .when(ch.rlike("^[A-Z]$"), F.chr(F.lit(65) + (a - 65 + s % 26) % 26))
+            .otherwise(ch)
+        )
+
+    return F.array_join(F.transform(chars, _shift), "")

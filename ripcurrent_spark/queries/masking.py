@@ -237,3 +237,37 @@ def mask_fpe_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     in FF1/FF3 with the same per-position contract."""
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", M.fpe_digits("c_name").alias("name_fpe"))
+
+
+_FPE_ALNUM_SQL = """
+array_to_string(list_transform(range(1, length(c_name)+1), i ->
+  CASE
+    WHEN substr(c_name, i, 1) BETWEEN '0' AND '9'
+      THEN CAST((CAST(substr(c_name, i, 1) AS INT)
+                 + CAST('0x' || substr(md5('k1' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 10)
+                % 10 AS VARCHAR)
+    WHEN substr(c_name, i, 1) BETWEEN 'a' AND 'z'
+      THEN chr(97 + CAST((ascii(substr(c_name, i, 1)) - 97
+                 + CAST('0x' || substr(md5('k1' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 26)
+                % 26 AS INT))
+    WHEN substr(c_name, i, 1) BETWEEN 'A' AND 'Z'
+      THEN chr(65 + CAST((ascii(substr(c_name, i, 1)) - 65
+                 + CAST('0x' || substr(md5('k1' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 26)
+                % 26 AS INT))
+    ELSE substr(c_name, i, 1) END), '')
+"""
+
+
+@register(
+    "mask_fpe_alnum",
+    oracle=f"""
+SELECT c_custkey, {_FPE_ALNUM_SQL} AS name_fpe
+FROM customer
+""",
+)
+def mask_fpe_alnum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alphanumeric FPE: digits and letters rotate within their char
+    class by a position-keyed shift — masked values keep the exact
+    visual format of the source (case, punctuation, layout)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", M.fpe_alnum("c_name").alias("name_fpe"))
