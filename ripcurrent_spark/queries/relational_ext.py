@@ -925,3 +925,51 @@ def q_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+@register(
+    "q_revenue_share",
+    oracle=f"""
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(ROUND(SUM({_REV_SQL}), 2) AS DECIMAL(18,2)) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(revenue AS DOUBLE) AS revenue,
+       round(CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS share,
+       CAST(FIRST_VALUE(revenue) OVER (ORDER BY revenue DESC, n_name) AS DOUBLE) AS top_revenue
+FROM per_nation
+ORDER BY revenue DESC, n_name
+""",
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (unpartitioned window over the aggregate) +
+    FIRST_VALUE over a total order: the ratio-to-report pattern. The
+    whole-frame window runs on the (tiny) aggregate, never the fact
+    table; sums stay DECIMAL so the shares divide identical numbers."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).cast("decimal(18,2)").alias("revenue"))
+    )
+    w_all = W.partitionBy()
+    w_rank = W.partitionBy().orderBy(F.desc("revenue"), "n_name")
+    return per_nation.select(
+        "n_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(w_all).cast("double"), 6
+        ).alias("share"),
+        F.first("revenue").over(w_rank).cast("double").alias("top_revenue"),
+    ).orderBy(F.desc("revenue"), "n_name")
