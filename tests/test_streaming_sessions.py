@@ -141,3 +141,27 @@ def test_stateful_batch_boundary_does_not_split_sessions(spark, tmp_path):
     got = _run_to_memory(spark, out, "sess_span")
     rows = got.collect()
     assert {_row_key(r) for r in rows} == {(7, 0, 10, 2, 3.0)}
+
+
+def test_session_window_late_data_no_duplicate_emission(spark, tmp_path):
+    """The watermark contract Spark actually guarantees: a session is
+    emitted exactly ONCE, finalized — a ~24h-late replay must never
+    produce a second/updated output row for the same session. (Strict
+    DROPPING of late rows is best-effort, not guaranteed: if session
+    state has not yet been evicted the late row may still merge, so
+    this test pins emission uniqueness, not the merge.)"""
+    src = tmp_path / "late"
+    _write_batches(
+        src,
+        [
+            [_ev(0, 1, 1.0), _ev(5, 1, 2.0), _ev(24 * 60, 9, 4.0)],
+            [_ev(6, 1, 8.0), _ev(25 * 60, 9, 16.0)],  # _ev(6,...) is ~24h late
+        ],
+    )
+    out = session_window_agg(
+        _read_stream(spark, src), gap="30 minutes", watermark="1 hour"
+    )
+    got = _run_to_memory(spark, out, "sess_late")
+    u1 = [r for r in got.collect() if r.user_id == 1]
+    assert len(u1) == 1  # one finalized session row, never re-emitted
+    assert u1[0].n_events in (2, 3)  # late merge allowed, duplication not
