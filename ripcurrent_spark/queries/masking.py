@@ -271,3 +271,25 @@ def mask_fpe_alnum(spark: SparkSession, sf_dir: str) -> DataFrame:
     visual format of the source (case, punctuation, layout)."""
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", M.fpe_alnum("c_name").alias("name_fpe"))
+
+
+@register(
+    "masked_replica_supplier",
+    oracle=f"""
+SELECT s_suppkey,
+       {M.pseudonym_sql('s_name', PSEUDO_NAMES)} AS ALTERED_s_name,
+       s_nationkey,
+       CAST({M.blur_number_sql('s_acctbal', 50)} AS DOUBLE) AS ALTERED_s_acctbal
+FROM supplier
+""",
+)
+def masked_replica_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME classify->rules->mask flow as the customer flagship,
+    on a different table with zero per-table code: the class library's
+    name/data matchers pick up s_name (entity-name pattern) and
+    s_acctbal (balance name matcher) on their own — the reference's
+    any-table replication property."""
+    df = load(spark, sf_dir, "supplier")
+    decisions = classify_columns(df, default_classes(), threshold=0.8)
+    masked = apply_rules(df, decisions, default_rules())
+    return masked.withColumn("ALTERED_s_acctbal", F.col("ALTERED_s_acctbal").cast("double"))

@@ -1,0 +1,69 @@
+"""Arbitrary stateful processing via transformWithStateInPandas
+(the successor API to applyInPandasWithState: named state variables,
+TTL, timers, initial state).
+
+`running_user_totals` maintains one ValueState row per key (event
+count + value sum) and emits the updated running totals every
+micro-batch — the incremental form of a lifetime-aggregate table,
+O(keys) state, no reprocessing. A TTL (optional) bounds state for
+keys that go quiet — the piece applyInPandasWithState lacks natively.
+
+Environment note: the transformWithState protocol requires
+google.protobuf at runtime (absent in this test image, so the e2e
+test import-skips there); sessions.sessionize_stateful covers the
+same cross-batch-state semantics on the older API.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, tv double"
+
+
+def _make_processor(ttl_ms: int | None):
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA, ttl_ms)
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
+        ) -> Iterator["pd.DataFrame"]:
+            n, tv = (self._totals.get() if self._totals.exists() else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                tv += float(pdf["value"].sum())
+            self._totals.update((n, tv))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tv]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_user_totals(
+    events: DataFrame, key_col: str = "user_id", ttl_ms: int | None = None
+) -> DataFrame:
+    """Per-key running (count, sum) over a stream, emitted as updates."""
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_make_processor(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

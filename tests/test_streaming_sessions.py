@@ -165,3 +165,37 @@ def test_session_window_late_data_no_duplicate_emission(spark, tmp_path):
     u1 = [r for r in got.collect() if r.user_id == 1]
     assert len(u1) == 1  # one finalized session row, never re-emitted
     assert u1[0].n_events in (2, 3)  # late merge allowed, duplication not
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas keeps named per-key state across
+    micro-batches: totals emitted in batch 2 must include batch 1.
+
+    The API's state-server protocol needs google.protobuf, which this
+    image lacks — skip there; the applyInPandasWithState tests above
+    cover the same cross-batch-state semantics on the older API."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from ripcurrent_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "tws"
+    _write_batches(
+        src,
+        [
+            [_ev(0, 1, 1.0), _ev(1, 2, 2.0)],
+            [_ev(2, 1, 4.0), _ev(3, 1, 8.0)],
+        ],
+    )
+    out = running_user_totals(_read_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("tws_totals").collect()
+    # final (largest) emission per user carries the lifetime totals
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, float(r.total_value))
+    assert final[1] == (3, 13.0)
+    assert final[2] == (1, 2.0)
