@@ -73,3 +73,37 @@ def bag_fingerprint(col: Column | str) -> Column:
 
 def bag_fingerprint_sql(expr: str) -> str:
     return h32_sql(f"array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' ')")
+
+
+def ewma_per_key(
+    df,  # DataFrame
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+):
+    """Per-key exponentially-weighted moving average, emitted per event
+    (time-ordered within key) — the canonical order-dependent fold that
+    built-in window functions can't express exactly.
+
+    groupBy().applyInPandas: each key's history lands in ONE Arrow
+    batch, the fold runs vectorized-ish in pandas, output schema stays
+    columnar. State never crosses keys, so scale = shuffle on key + the
+    largest single key's history in memory (bound keys upstream or
+    switch to the streaming stateful form for unbounded histories)."""
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        out = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                ts_col: pdf[ts_col],
+                value_col: pdf[value_col],
+                "ewma": out,
+            }
+        )
+
+    schema = f"{key_col} long, {ts_col} timestamp, {value_col} double, ewma double"
+    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(fold, schema)

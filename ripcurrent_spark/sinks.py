@@ -87,3 +87,20 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write with controlled output-file count (small-files defense):
+    repartition to ceil(rows / target) before writing, so downstream
+    scans see a few well-sized files instead of one per upstream task.
+    The count() pre-pass is one cheap extra job; production pipelines
+    that know their row counts (or use AQE advisory partition sizes)
+    can skip it."""
+    n = df.count()
+    parts = max(1, -(-n // target_rows_per_file))
+    df.repartition(parts).write.mode(mode).parquet(path)

@@ -72,3 +72,16 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
     clicks = e.filter(F.col("event_type") == "click").count()
     assert df.count() == clicks
+
+
+def test_sized_write_controls_file_count(spark, tmp_path):
+    import glob
+
+    from ripcurrent_spark.sinks import write_parquet_sized
+
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "sized")
+    write_parquet_sized(df, out, target_rows_per_file=2_500)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4
+    assert spark.read.parquet(out).count() == 10_000

@@ -138,3 +138,28 @@ def test_range_join_backward_window_semantics(spark):
     got = range_join_backward(left, right, "user_id", "p_ts", "c_ts", 1800)
     pairs = sorted((r.pid, r.cid) for r in got.collect())
     assert pairs == [(100, 11), (100, 12), (200, 21)]
+
+
+# --- applyInPandas EWMA ------------------------------------------------
+
+def test_ewma_per_key_fold(spark):
+    from datetime import datetime
+
+    from ripcurrent_spark.operators.text import ewma_per_key
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 10.0),
+        (1, datetime(2024, 1, 1, 0, 1), 20.0),
+        (1, datetime(2024, 1, 1, 0, 2), 30.0),
+        (2, datetime(2024, 1, 1, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.ts.minute): r.ewma
+        for r in ewma_per_key(df, "user_id", "ts", "value", alpha=0.5).collect()
+    }
+    # adjust=False: e0 = v0; e_t = 0.5*v_t + 0.5*e_{t-1}
+    assert got[(1, 0)] == 10.0
+    assert got[(1, 1)] == 15.0
+    assert got[(1, 2)] == 22.5
+    assert got[(2, 0)] == 5.0
