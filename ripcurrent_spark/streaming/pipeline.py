@@ -161,3 +161,44 @@ def schema_change_audit(parsed: DataFrame, log_path: str) -> Callable[[DataFrame
                 )
 
     return _apply
+
+
+def scd2_foreach_batch(
+    log_dir: str,
+    history_dir: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("ts_ms",),
+    op_col: str = "op",
+) -> Callable[[DataFrame, int], None]:
+    """Incremental SCD2 (validity-interval) history maintenance.
+
+    Per micro-batch: append the raw events to an immutable changelog,
+    then rebuild history ONLY for the keys present in the batch (their
+    full event run re-read from the log, intervals recomputed by the
+    batch scd2_history operator) and splice it over the untouched
+    keys' history. Work per trigger scales with touched keys, not
+    table size — the incremental form of the batch SCD2 apply, and at
+    scale a MERGE against a lakehouse table with identical splice
+    semantics."""
+    from ripcurrent_spark.cdc.apply import scd2_history
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.write.mode("append").parquet(log_dir)
+        log = spark.read.parquet(log_dir)
+        keys = batch.select(*key_cols).distinct()
+        affected_events = log.join(keys, list(key_cols), "left_semi")
+        rebuilt = scd2_history(affected_events, key_cols=key_cols, order_cols=order_cols, op_col=op_col)
+        target = Path(history_dir)
+        if (target / "_SUCCESS").exists():
+            untouched = spark.read.parquet(str(target)).join(
+                keys, list(key_cols), "left_anti"
+            )
+            merged = untouched.unionByName(rebuilt)
+        else:
+            merged = rebuilt
+        tmp = str(target) + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(str(target))
+
+    return _apply

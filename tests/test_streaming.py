@@ -144,3 +144,49 @@ def test_routing_key(spark):
     assert keys[2] == "public.cust|u|id,name,bal,day"
     # delete routes by the BEFORE column set (its own plan)
     assert keys[3].startswith("public.cust|d|")
+
+
+def test_scd2_foreach_batch_incremental_equals_batch(spark, tmp_path):
+    """Two triggers of change events maintained incrementally must
+    yield the SAME history as the batch SCD2 over all events."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from ripcurrent_spark.cdc.apply import scd2_history
+    from ripcurrent_spark.streaming.pipeline import scd2_foreach_batch
+
+    rows = [
+        # (op, seq, ts_ms, id, val) — key 1 updated across triggers,
+        # key 2 deleted in trigger 2.
+        ("c", 1, 100, 1, "a"),
+        ("c", 1, 100, 2, "b"),
+        ("u", 2, 200, 1, "a2"),
+        ("d", 2, 300, 2, None),
+        ("c", 1, 150, 3, "c"),
+    ]
+    batches = [rows[:2], rows[2:]]
+    src = tmp_path / "ev"
+    src.mkdir()
+    now = _time.time()
+    for i, b in enumerate(batches):
+        p = src / f"{i:03d}.json"
+        with open(p, "w") as f:
+            for op, seq, ts, k, v in b:
+                f.write(_json.dumps({"op": op, "seq": seq, "ts_ms": ts, "id": k, "val": v}) + "\n")
+        _os.utime(p, (now - 100 + 10 * i, now - 100 + 10 * i))
+
+    schema = "op string, seq int, ts_ms long, id int, val string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    sink = scd2_foreach_batch(
+        str(tmp_path / "log"), str(tmp_path / "hist"), key_cols=["id"], order_cols=["ts_ms", "seq"]
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "hist"))
+    expected = scd2_history(
+        spark.createDataFrame(rows, schema), key_cols=["id"], order_cols=["ts_ms", "seq"]
+    )
+    k = lambda r: (r.id, r.valid_from, r.valid_to, r.is_current, r.val)
+    assert sorted(map(k, got.collect())) == sorted(map(k, expected.collect()))
