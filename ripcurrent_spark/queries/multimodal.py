@@ -1,5 +1,4 @@
-"""Multimodal query surface (rows-only: feature extraction crosses the
-Arrow/Pandas boundary — no SQL mirror)."""
+"""Multimodal query surface."""
 
 from __future__ import annotations
 
@@ -9,14 +8,35 @@ from ripcurrent_spark.io import load
 from ripcurrent_spark.multimodal import attach_media, extract_features
 from ripcurrent_spark.queries import register
 
+# The stub decoder's pseudo-features are pure functions of the payload
+# md5, so even the Arrow/Pandas path gets a full value oracle: feature
+# i = hexpair_i(digest)/256 (dyadic -> exact in float32 on both sides).
+_FEATS = ", ".join(
+    f"CAST(CAST('0x' || substr(digest, {2 * i + 1}, 2) AS INT) / 256.0 AS FLOAT)"
+    for i in range(8)
+)
+
 
 @register(
     "mm_extract_features",
-    doc="Binary media column + typed metadata -> Arrow-batched "
-    "mapInPandas feature extraction (stubbed decoder; real plumbing). "
-    "Rows-only by nature.",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         'application/octet-stream' AS mime,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT media_id, mime, n_bytes, digest, [{_FEATS}] AS feature
+FROM m
+""",
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata -> Arrow-batched
+    mapInPandas feature extraction. The decoder is the documented
+    deterministic stub (no media libs in-image), which makes the whole
+    Python boundary value-checkable: the oracle recomputes the same
+    md5-derived features in SQL."""
     d = load(spark, sf_dir, "documents")
     return extract_features(attach_media(d, "doc_id", "text"))
 
