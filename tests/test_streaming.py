@@ -190,3 +190,29 @@ def test_scd2_foreach_batch_incremental_equals_batch(spark, tmp_path):
     )
     k = lambda r: (r.id, r.valid_from, r.valid_to, r.is_current, r.val)
     assert sorted(map(k, got.collect())) == sorted(map(k, expected.collect()))
+
+
+def test_upsert_sink_idempotent_under_replay(spark, tmp_path):
+    """foreachBatch re-delivers a batch after failures; the upsert
+    merge must be idempotent — applying the same batch twice yields
+    the identical snapshot (latest-per-key is a set operation, and
+    snapshot rows lose ties to fresh events of equal order keys)."""
+    from ripcurrent_spark.sinks import upsert_parquet
+
+    target = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        [("c", 100, 1, "a"), ("c", 100, 2, "b"), ("u", 200, 1, "a2")],
+        "op string, ts_ms long, id int, val string",
+    )
+    upsert_parquet(batch, target, key_cols=["id"], order_cols=["ts_ms"])
+    first = sorted((r.id, r.val) for r in spark.read.parquet(target).collect())
+    upsert_parquet(batch, target, key_cols=["id"], order_cols=["ts_ms"])  # replay
+    second = sorted((r.id, r.val) for r in spark.read.parquet(target).collect())
+    assert first == second == [(1, "a2"), (2, "b")]
+
+    # a delete replayed twice stays deleted
+    dels = spark.createDataFrame([("d", 300, 2, None)], "op string, ts_ms long, id int, val string")
+    upsert_parquet(dels, target, key_cols=["id"], order_cols=["ts_ms"])
+    upsert_parquet(dels, target, key_cols=["id"], order_cols=["ts_ms"])
+    final = sorted((r.id, r.val) for r in spark.read.parquet(target).collect())
+    assert final == [(1, "a2")]
