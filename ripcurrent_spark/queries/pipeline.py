@@ -503,3 +503,30 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "user_id", "n", F.round(slope, 9).alias("slope_per_sec")
     ).orderBy("user_id")
+
+
+@register(
+    "sample_weighted_by_length",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {hash_pct_sql('doc_id', salt='wsample')} < least(80, n_chars // 50)
+ORDER BY doc_id
+""",
+)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling: inclusion probability proportional to
+    document length (capped at 80%) — the token-budget subsampler that
+    prefers long documents. Pure integer arithmetic on the portable
+    hash (no pow/log, whose libm rounding differs across engines), so
+    the draw is reproducible AND oracle-exact; still a bare scan
+    predicate: no shuffle, stable under repartitioning."""
+    from ripcurrent_spark.operators.sampling import hash_pct
+
+    d = load(spark, sf_dir, "documents")
+    pct_cap = F.least(F.lit(80), (F.col("n_chars") / 50).cast("long"))
+    return (
+        d.filter(hash_pct("doc_id", salt="wsample") < pct_cap)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
