@@ -530,3 +530,43 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_hourly_spikes",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+  FROM events GROUP BY bucket, event_type
+),
+with_prev AS (
+  SELECT bucket, event_type, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_n
+  FROM hourly
+)
+SELECT bucket, event_type, n, prev_n,
+       round(CAST(n AS DOUBLE) / prev_n, 6) AS ratio
+FROM with_prev
+WHERE prev_n IS NOT NULL AND n * 10 > prev_n * 13
+ORDER BY bucket, event_type
+""",
+)
+def q_hourly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour spike detection: aggregate once, lag over the
+    (tiny) hourly series per type, flag >1.3x jumps. The spike
+    threshold is cross-multiplied (n*10 > prev*13) so the FILTER stays
+    in exact integers; only the reported ratio is float."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    wp = hourly.withColumn("prev_n", F.lag("n").over(w))
+    return (
+        wp.filter(F.col("prev_n").isNotNull() & (F.col("n") * 10 > F.col("prev_n") * 13))
+        .select(
+            "bucket", "event_type", "n", "prev_n",
+            F.round(F.col("n").cast("double") / F.col("prev_n"), 6).alias("ratio"),
+        )
+        .orderBy("bucket", "event_type")
+    )
