@@ -108,3 +108,18 @@ def test_streaming_masked_plan_no_python(spark):
     out = masked_cdc_stream(parse_envelope(df), [("name", "string")], cc, rules)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_q1_map_side_partial_aggregation(spark):
+    # The 8-agg groupBy must combine map-side before the exchange —
+    # at 100 TB the shuffle carries (flag, status) partials, not rows.
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_funnel_single_conditional_agg_pass(spark):
+    # n-stage funnel = one groupBy over users + one global agg; a
+    # per-stage self-join shape would show multiple joins here.
+    plan = _plan(spark, "q_funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
