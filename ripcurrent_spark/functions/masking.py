@@ -192,3 +192,21 @@ def fpe_alnum(col: Column | str, key: str = "k1") -> Column:
         )
 
     return F.array_join(F.transform(chars, _shift), "")
+
+
+def fpe_digits_decode(col: Column | str, key: str = "k1") -> Column:
+    """Inverse of :func:`fpe_digits` — subtract the same position-keyed
+    shift mod 10. Masking stays reversible for authorized re-identify
+    flows (the decode_hex counterpart for the FPE rule)."""
+    c = _c(col)
+    chars = F.split(c, "")
+    shifted = F.transform(
+        chars,
+        lambda ch, i: F.when(
+            ch.rlike("^[0-9]$"),
+            (
+                (ch.cast("int") - h32(F.concat(F.lit(key), i.cast("string"))) % 10 + 10) % 10
+            ).cast("string"),
+        ).otherwise(ch),
+    )
+    return F.array_join(shifted, "")

@@ -32,6 +32,10 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Runtime bloom-filter pruning: a selective filter on one join
+        # side prunes the other side's scan at run time — free win for
+        # selective fact-fact joins at scale, off by default upstream.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     }

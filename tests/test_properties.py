@@ -82,3 +82,10 @@ def test_split_label_disjoint_exhaustive(spark, ids):
     rows = df.select("doc_id", split_label("doc_id").alias("s")).collect()
     assert all(r.s in ("train", "val", "test") for r in rows)
     assert len(rows) == len(set(ids))
+
+
+@given(texts)
+@SET.__call__
+def test_fpe_digits_roundtrip(spark, vals):
+    out = _col_out(spark, vals, M.fpe_digits_decode(M.fpe_digits(F.col("v"))))
+    assert out == vals
