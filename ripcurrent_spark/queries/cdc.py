@@ -101,7 +101,7 @@ SELECT o_orderkey,
        {D.micros_of_day_to_time_sql("(o_orderkey * 40000000) % 86400000000")} AS dec_time,
        {D.epoch_ms_to_datetime_sql("epoch_ms(o_orderdate) + (o_orderkey % 86400) * 1000")} AS dec_datetime,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_decimal_str,
-       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)) AS dec_decimal,
+       CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)) AS DOUBLE) AS dec_decimal,
        {D.base64_of_string_sql('o_orderstatus')} AS enc_base64
 FROM orders
 """,
@@ -122,7 +122,11 @@ def cdc_decode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.micros_of_day_to_time(micro_time).alias("dec_time"),
         D.epoch_ms_to_datetime(ms).alias("dec_datetime"),
         dec_str.alias("dec_decimal_str"),
-        D.decimal_string_to_decimal(dec_str).alias("dec_decimal"),
+        # emit DOUBLE: Spark DECIMAL reaches pandas as Decimal objects
+        # while DuckDB DECIMAL lands as float64 — value-equal but
+        # hash-different under the driver canonicalizer. The string twin
+        # dec_decimal_str pins exactness.
+        D.decimal_string_to_decimal(dec_str).cast("double").alias("dec_decimal"),
         D.base64_of_string("o_orderstatus").alias("enc_base64"),
     )
 
@@ -274,7 +278,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_replication_audit",
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
-       SUM({h32_sql("concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment)")}) AS content_checksum,
+       CAST(CAST(SUM({h32_sql("concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment)")}) AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_total
 FROM customer
 """,
@@ -293,8 +297,14 @@ def cdc_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
         F.col("c_mktsegment"),
     )
+    # The checksum accumulates in DECIMAL(38,0) and is emitted as a
+    # decimal STRING on both engines: BIGINT would overflow at ~2^31
+    # rows x 2^32 per-row hashes (100 TB territory) and DOUBLE loses
+    # integer precision above 2^53, so neither is audit-grade. String
+    # output is also the only representation both pandas canonicalizers
+    # agree on exactly (DuckDB HUGEINT otherwise lands as float64).
     return c.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h32(canon)).alias("content_checksum"),
+        F.sum(h32(canon).cast("decimal(38,0)")).cast("string").alias("content_checksum"),
         F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("bal_total"),
     )

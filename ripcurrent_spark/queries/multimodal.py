@@ -11,8 +11,10 @@ from ripcurrent_spark.queries import register
 # The stub decoder's pseudo-features are pure functions of the payload
 # md5, so even the Arrow/Pandas path gets a full value oracle: feature
 # i = hexpair_i(digest)/256 (dyadic -> exact in float32 on both sides).
+# Emitted as scalar columns f0..f7 — an array-typed output column
+# crashes the driver's pandas canonicalizer (unhashable list).
 _FEATS = ", ".join(
-    f"CAST(CAST('0x' || substr(digest, {2 * i + 1}, 2) AS INT) / 256.0 AS FLOAT)"
+    f"CAST(CAST('0x' || substr(digest, {2 * i + 1}, 2) AS INT) / 256.0 AS FLOAT) AS f{i}"
     for i in range(8)
 )
 
@@ -27,7 +29,7 @@ WITH m AS (
          md5(text) AS digest
   FROM documents
 )
-SELECT media_id, mime, n_bytes, digest, [{_FEATS}] AS feature
+SELECT media_id, mime, n_bytes, digest, {_FEATS}
 FROM m
 """,
 )
@@ -36,9 +38,20 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction. The decoder is the documented
     deterministic stub (no media libs in-image), which makes the whole
     Python boundary value-checkable: the oracle recomputes the same
-    md5-derived features in SQL."""
+    md5-derived features in SQL. The operator keeps the embedding as
+    an array column (what a real pipeline stores); the query flattens
+    it to scalars only for the canonicalizer-facing output."""
+    from pyspark.sql import functions as F
+
     d = load(spark, sf_dir, "documents")
-    return extract_features(attach_media(d, "doc_id", "text"))
+    feats = extract_features(attach_media(d, "doc_id", "text"))
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "digest",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @register(

@@ -47,7 +47,7 @@ def sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {split_label_sql('doc_id')} AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY split
 ORDER BY split
@@ -162,7 +162,9 @@ def q_hour_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_exact_quantiles",
     oracle="""
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS price_quantiles,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
        CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
        CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
 FROM lineitem
@@ -173,12 +175,16 @@ ORDER BY l_returnflag
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, verified bit-identical). The exact form is
-    the small-group path; q_approx_stats is the 100 TB sketch path."""
+    the small-group path; q_approx_stats is the 100 TB sketch path.
+    Quantiles emitted as scalar columns — array-typed output columns
+    crash the driver's pandas canonicalizer (unhashable list)."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias("price_quantiles"),
+            F.expr("percentile(l_extendedprice, 0.25D)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95D)").alias("p95"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
         )
@@ -232,7 +238,7 @@ q AS (
 ),
 keep AS (SELECT MIN(doc_id) AS keep_id FROM q GROUP BY md5(norm))
 SELECT {split_label_sql('doc_id')} AS split, lang,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM q
 WHERE doc_id IN (SELECT keep_id FROM keep)
 GROUP BY split, lang
@@ -343,7 +349,7 @@ def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 WHERE props IS NOT NULL
@@ -417,9 +423,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT event_type, value, ts,
+         -- make_timestamp(µs) yields a NAIVE timestamp: to_timestamp()
+         -- returns TIMESTAMPTZ and the driver canonicalizer flags the
+         -- tz-aware dtype against Spark's naive window start.
          unnest([
-           to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
-           to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT))
+           make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000),
+           make_timestamp((CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)) * 1000000)
          ]) AS win_start
   FROM events
 )

@@ -333,11 +333,15 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_approx_stats", doc="Sketch aggregates (HLL distinct, approx quantiles) — implementations differ from DuckDB's sketches, so rows-only check.")
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct + quantiles: the 100-TB-friendly forms."""
+    """Approximate distinct + quantiles: the 100-TB-friendly forms.
+    Scalar output columns (no arrays — the driver's pandas
+    canonicalizer can't sort list cells even in rows-only mode)."""
     l = load(spark, sf_dir, "lineitem")
     return l.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99"),
     )
 
 
@@ -354,8 +358,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,
