@@ -35,29 +35,88 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
     df.write.mode(mode).csv(path, header=header)
 
 
+def key_bucket(key_cols: Sequence[str], n_buckets: int) -> F.Column:
+    """Deterministic key-hash bucket id in [0, n_buckets): the
+    partition key for merge targets. xxhash64 is JVM-side and
+    null-safe; the same expression computed at write and at merge
+    time guarantees a key always lands in the same bucket dir."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def has_bucketed_data(path: str | Path) -> bool:
+    """True when a bucket-partitioned target already holds data. (The
+    dynamic-partition-overwrite committer does not write a root
+    _SUCCESS marker, so presence is detected by partition dirs.)"""
+    p = Path(path)
+    return p.exists() and any(p.glob("_bucket=*"))
+
+
 def upsert_parquet(
     changes: DataFrame,
     target_dir: str,
     key_cols: Sequence[str],
     order_cols: Sequence[str] = ("ts_ms",),
     op_col: str = "op",
+    n_buckets: int = 16,
 ) -> None:
     """Merge a c/u/d changelog into a parquet target: latest event per
-    key wins over the current snapshot, deletes drop keys. Atomicity
-    via tmp-dir swap; a lakehouse deployment swaps this for
-    Delta/Iceberg MERGE with the same ordering contract."""
+    key wins over the current snapshot, deletes drop keys.
+
+    The target is laid out as ``_bucket=<key-hash>`` partitions so the
+    merge touches only buckets containing batch keys: the current
+    snapshot read is partition-pruned to touched buckets, and the
+    write uses dynamic partition overwrite so untouched bucket dirs
+    are never rewritten. Per-merge I/O is therefore proportional to
+    touched buckets, not table size — the reference's per-row
+    /UPDATE=(key) / /DELETE=(key) apply (Main.java:456-498) expressed
+    as partition-scoped file replacement. A lakehouse deployment swaps
+    this for Delta/Iceberg MERGE with the same ordering contract.
+    """
     spark = changes.sparkSession
     target = Path(target_dir)
-    staged = changes.withColumn("_is_snapshot", F.lit(0))
-    if (target / "_SUCCESS").exists():
-        current = spark.read.parquet(str(target)).withColumn("_is_snapshot", F.lit(1))
+    staged = changes.withColumn("_bucket", key_bucket(key_cols, n_buckets)).withColumn(
+        "_is_snapshot", F.lit(0)
+    )
+    touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
+    if not touched:
+        return
+    if has_bucketed_data(target):
+        current = (
+            spark.read.parquet(str(target))
+            .filter(F.col("_bucket").isin(touched))  # partition-pruned scan
+            .withColumn("_is_snapshot", F.lit(1))
+        )
         staged = staged.unionByName(current)
     snap = latest_snapshot(
         staged, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
     ).drop("_is_snapshot")
+    # Stage touched buckets (can't overwrite a path while reading it),
+    # then dynamic-overwrite ONLY those bucket dirs in the target.
     tmp = str(target) + ".tmp"
-    snap.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(str(target))
+    snap.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    if has_bucketed_data(tmp):  # all-deletes merges stage zero files
+        (
+            spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(str(target))
+        )
+    drop_empty_touched_buckets(target, tmp, touched)
+
+
+def drop_empty_touched_buckets(target: Path, tmp: str, touched: Sequence[int]) -> None:
+    """Dynamic partition overwrite only replaces partitions PRESENT in
+    the written data — a touched bucket whose every key was deleted
+    produces zero output rows, so its stale dir would silently
+    survive. Remove those dirs explicitly (a lakehouse MERGE's DELETE
+    branch covers this case natively)."""
+    import shutil
+
+    staged_buckets = {p.name for p in Path(tmp).glob("_bucket=*")}
+    for b in touched:
+        if f"_bucket={b}" not in staged_buckets:
+            shutil.rmtree(Path(target) / f"_bucket={b}", ignore_errors=True)
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:

@@ -23,7 +23,6 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ripcurrent_spark.cdc.apply import latest_snapshot
 from ripcurrent_spark.cdc.envelope import parse_envelope
 from ripcurrent_spark.classify.library import ColumnClassification
 from ripcurrent_spark.rules.model import RulesLibrary
@@ -110,29 +109,25 @@ def upsert_foreach_batch(
     key_cols: Sequence[str],
     order_cols: Sequence[str] = ("ts_ms",),
     op_col: str = "op",
+    n_buckets: int = 16,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch merge: new events + current snapshot -> latest per
-    key, deletes dropped, snapshot rewritten. (Parquet rewrite locally;
-    the merge semantics map 1:1 to Delta MERGE at scale.)"""
+    key, deletes dropped. The snapshot is key-hash-bucket partitioned
+    and only buckets containing batch keys are read and rewritten
+    (sinks.upsert_parquet), so per-trigger I/O scales with touched
+    buckets, not table size. Idempotent under foreachBatch replay
+    (latest-per-key is a set operation). Maps 1:1 to Delta MERGE."""
+    from ripcurrent_spark.sinks import upsert_parquet
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        target = Path(target_dir)
-        merged = batch
-        if (target / "_SUCCESS").exists():
-            current = spark.read.parquet(str(target)).withColumn(
-                "_is_snapshot", F.lit(1)
-            )
-            merged = batch.withColumn("_is_snapshot", F.lit(0)).unionByName(current)
-        else:
-            merged = batch.withColumn("_is_snapshot", F.lit(0))
-        snap = latest_snapshot(
-            merged, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
-        ).drop("_is_snapshot")
-        tmp = str(target) + ".tmp"
-        snap.write.mode("overwrite").parquet(tmp)
-        final = batch.sparkSession.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(str(target))
+        upsert_parquet(
+            batch,
+            target_dir,
+            key_cols=key_cols,
+            order_cols=order_cols,
+            op_col=op_col,
+            n_buckets=n_buckets,
+        )
 
     return _apply
 
@@ -169,36 +164,74 @@ def scd2_foreach_batch(
     key_cols: Sequence[str],
     order_cols: Sequence[str] = ("ts_ms",),
     op_col: str = "op",
+    n_buckets: int = 16,
 ) -> Callable[[DataFrame, int], None]:
     """Incremental SCD2 (validity-interval) history maintenance.
 
-    Per micro-batch: append the raw events to an immutable changelog,
-    then rebuild history ONLY for the keys present in the batch (their
-    full event run re-read from the log, intervals recomputed by the
-    batch scd2_history operator) and splice it over the untouched
-    keys' history. Work per trigger scales with touched keys, not
-    table size — the incremental form of the batch SCD2 apply, and at
-    scale a MERGE against a lakehouse table with identical splice
-    semantics."""
+    Per micro-batch: land the raw events in the changelog, rebuild
+    history ONLY for the keys present in the batch (their full event
+    run re-read from the log, intervals recomputed by the batch
+    scd2_history operator) and splice it over the untouched keys'
+    history. Both compute AND I/O scale with the touched keys:
+
+    - The changelog is partitioned by (key-hash ``_bucket``,
+      ``_batch_id``) and written with dynamic partition overwrite, so
+      a replayed batch (foreachBatch is at-least-once) REPLACES its
+      own partitions instead of appending duplicates, and the
+      touched-key re-read is partition-pruned to touched buckets.
+    - The history is ``_bucket``-partitioned; only buckets containing
+      batch keys are read for the splice and only those dirs are
+      rewritten (dynamic partition overwrite) — untouched bucket
+      files are never touched.
+
+    At scale this is a MERGE against a lakehouse table with identical
+    splice semantics."""
     from ripcurrent_spark.cdc.apply import scd2_history
+    from ripcurrent_spark.sinks import (
+        drop_empty_touched_buckets,
+        has_bucketed_data,
+        key_bucket,
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch.write.mode("append").parquet(log_dir)
-        log = spark.read.parquet(log_dir)
+        staged = batch.withColumn("_bucket", key_bucket(key_cols, n_buckets))
+        touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
+        if not touched:
+            return
+        # Idempotent changelog landing: replay overwrites its own
+        # (_bucket, _batch_id) leaf dirs rather than appending twice.
+        (
+            staged.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket", "_batch_id")
+            .parquet(log_dir)
+        )
+        log = spark.read.parquet(log_dir).filter(F.col("_bucket").isin(touched))
         keys = batch.select(*key_cols).distinct()
-        affected_events = log.join(keys, list(key_cols), "left_semi")
+        affected_events = log.join(keys, list(key_cols), "left_semi").drop("_batch_id")
         rebuilt = scd2_history(affected_events, key_cols=key_cols, order_cols=order_cols, op_col=op_col)
         target = Path(history_dir)
-        if (target / "_SUCCESS").exists():
-            untouched = spark.read.parquet(str(target)).join(
-                keys, list(key_cols), "left_anti"
+        if has_bucketed_data(target):
+            untouched_keys = (
+                spark.read.parquet(str(target))
+                .filter(F.col("_bucket").isin(touched))  # partition-pruned
+                .join(keys, list(key_cols), "left_anti")
             )
-            merged = untouched.unionByName(rebuilt)
+            merged = untouched_keys.unionByName(rebuilt)
         else:
             merged = rebuilt
         tmp = str(target) + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(str(target))
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        if has_bucketed_data(tmp):  # all-deletes merges stage zero files
+            (
+                spark.read.parquet(tmp)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_bucket")
+                .parquet(str(history_dir))
+            )
+        drop_empty_touched_buckets(target, tmp, touched)
 
     return _apply
