@@ -116,9 +116,13 @@ def parse_envelope(df: DataFrame, value_col: str = "value", key_col: str = "key"
         key_field = F.lit(None).cast("string")
         key_value = F.lit(None).cast("string")
     p = F.col("_env.payload")
-    extra = (
-        [F.col("value_schema_fields")] if "value_schema_fields" in df.columns else []
-    )
+    # value_schema_fields (embedded-schema decode) and "_"-prefixed
+    # provenance columns (Kafka _topic/_partition/_offset) pass through.
+    extra = [
+        F.col(c)
+        for c in df.columns
+        if c == "value_schema_fields" or c.startswith("_")
+    ]
     return parsed.select(
         *extra,
         p["op"].alias("op"),
