@@ -4,8 +4,9 @@ A naive range join (`a.ts BETWEEN b.ts - w AND b.ts`) on two big
 fact tables forces a broadcast-nested-loop or a per-key sort-merge
 with quadratic blowup on hot keys. The scalable form for a BOUNDED
 window `w` quantizes time into width-`w` buckets: a left row in
-bucket `b` can only match right rows in buckets `b` and `b+1`, so
-duplicating the left side twice (constant fanout) turns the range
+bucket `b` can only match right rows whose own bucket is `b` or
+`b-1` — equivalently, exploding each RIGHT row into buckets `b` and
+`b+1` (constant fanout of 2) turns the range
 join into an equi-join on (key, bucket) + a residual range filter —
 one shuffle, AQE-skew-splittable, linear in input size.
 

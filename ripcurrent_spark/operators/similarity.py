@@ -163,7 +163,13 @@ def lsh_weights(n_bits: int, dim: int, seed: str = "hp") -> list[list[float]]:
 def lsh_signature(emb: Column, n_bits: int = 8, dim: int = 64, seed: str = "hp") -> Column:
     """Signed-random-projection signature: bit j = (w_j . emb > 0).
     Buckets nearby directions together; pure arithmetic at runtime
-    (weights are literal arrays), bit-identical across engines."""
+    (weights are literal arrays), bit-identical across engines.
+
+    Raises at runtime if ``size(emb) != dim``: a shorter/longer vector
+    would NULL-pad through zip_with, silently zero every projection,
+    and collapse all rows into bucket 0 (LSH degrades to one O(n^2)
+    bucket with no error — and the SQL mirror fails identically, so
+    the oracle can't catch it)."""
     acc = F.lit(0)
     for j, w in enumerate(lsh_weights(n_bits, dim, seed)):
         wl = F.array(*[F.lit(x) for x in w])
@@ -171,7 +177,15 @@ def lsh_signature(emb: Column, n_bits: int = 8, dim: int = 64, seed: str = "hp")
             F.zip_with(emb, wl, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
         )
         acc = acc + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    return F.when(F.size(emb) == dim, acc).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_signature: embedding length "),
+                F.size(emb).cast("string"),
+                F.lit(f" != dim={dim}; signature would collapse to bucket 0"),
+            )
+        ).cast("int")
+    )
 
 
 def lsh_signature_sql(emb_expr: str, n_bits: int = 8, dim: int = 64, seed: str = "hp") -> str:

@@ -34,7 +34,16 @@ def salted_join(
     """Join ``fact`` to ``dim`` on fact_key = dim_key with the fact
     side spread over ``n_salt`` sub-keys. ``fact_row_key`` must be a
     row-unique (or near-unique) fact column that seeds the salt.
-    Result equals the plain equi-join (oracle-checkable)."""
+    Result equals the plain equi-join (oracle-checkable).
+
+    Only ``inner`` and ``left`` joins are supported: with ``right`` or
+    ``full``, each UNMATCHED dim row is replicated ``n_salt`` times
+    (one per salt value) and would surface ``n_salt`` duplicates."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            f"right/full would emit each unmatched dim row n_salt times"
+        )
     salt = h32(F.col(fact_row_key).cast("string"), seed="salt") % n_salt
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))

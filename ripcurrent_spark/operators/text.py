@@ -105,5 +105,12 @@ def ewma_per_key(
             }
         )
 
-    schema = f"{key_col} long, {ts_col} timestamp, {value_col} double, ewma double"
-    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(fold, schema)
+    # Output schema mirrors the caller's actual field types (string/int
+    # keys, non-double values all work); only `ewma` is fixed (double).
+    proj = df.select(key_col, ts_col, value_col)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(proj.schema.fields) + [T.StructField("ewma", T.DoubleType())]
+    )
+    return proj.groupBy(key_col).applyInPandas(fold, schema)

@@ -163,3 +163,46 @@ def test_ewma_per_key_fold(spark):
     assert got[(1, 1)] == 15.0
     assert got[(1, 2)] == 22.5
     assert got[(2, 0)] == 5.0
+
+
+def test_ewma_per_key_string_key_and_int_value(spark):
+    """Output schema derives from the caller's actual types — a string
+    key / integer value must not hit a hardcoded 'long/double' cast."""
+    from datetime import datetime
+
+    from ripcurrent_spark.operators.text import ewma_per_key
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 10), ("a", datetime(2024, 1, 2), 20)],
+        "k string, ts timestamp, v int",
+    )
+    out = ewma_per_key(df, "k", "ts", "v", alpha=0.5)
+    assert dict(out.dtypes) == {"k": "string", "ts": "timestamp", "v": "int", "ewma": "double"}
+    got = sorted((r.k, r.v, r.ewma) for r in out.collect())
+    assert got == [("a", 10, 10.0), ("a", 20, 15.0)]
+
+
+def test_lsh_signature_rejects_dim_mismatch(spark):
+    """A wrong-length embedding must raise, not silently collapse every
+    vector into bucket 0 (NULL-padded zip_with zeroes the projections)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, emb array<double>")
+    with pytest.raises(SparkRuntimeException, match="lsh_signature"):
+        df.select(SIM.lsh_signature(F.col("emb"), 4, dim=3).alias("b")).collect()
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    from ripcurrent_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k long, rid long")
+    dim = spark.createDataFrame([(1, "x")], "dk long, name string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(fact, dim, "k", "dk", "rid", n_salt=4, how=how)
+    # inner/left still work and equal the plain join
+    got = salted_join(fact, dim, "k", "dk", "rid", n_salt=4, how="left").collect()
+    assert [(r.k, r.name) for r in got] == [(1, "x")]
