@@ -108,7 +108,11 @@ def load_dataclass_xml(
 
 def _read_set_file(details: str, search_dirs: list[str | Path]) -> list[str] | None:
     p = Path(details)
-    candidates = [p] + [Path(d) / p.name for d in search_dirs]
+    # Shipped libraries record Windows paths (C:\IRI\...\names.set); on
+    # POSIX, Path.name doesn't split backslashes, so derive the basename
+    # separator-agnostically for the search-dir fallback.
+    basename = details.replace("\\", "/").rsplit("/", 1)[-1]
+    candidates = [p] + [Path(d) / basename for d in search_dirs]
     for cand in candidates:
         try:
             if cand.is_file():

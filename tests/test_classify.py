@@ -153,3 +153,59 @@ def test_apply_rules_emits_altered_columns(spark):
     out = apply_rules(df, cc, rules)
     assert out.columns == ["ALTERED_name", "n"]
     assert out.collect()[0].ALTERED_name == "BOB"
+
+
+# --- the ACTUAL reference library files (read-only, content-as-data) ---
+
+REF_RULES = "/root/reference/iriLibrary.rules"
+REF_DATACLASS = "/root/reference/iriLibrary.dataclass"
+
+
+def test_reference_rules_file_parses():
+    """Pin the on-disk format against the real shipped library
+    (RulesLibrary.java:28-60 reads exactly this file)."""
+    rules = load_rules_xml(REF_RULES)
+    assert set(rules) == {
+        "FieldEncodingRule",
+        "FieldEncodingRule2",
+        "FieldStringRule",
+        "FieldSetRule",
+        "FieldPseudonymRule",
+        "FieldPseudonymRule2",
+    }
+    assert rules["FieldEncodingRule"] == Rule("Expression", "decode_hex(${FIELDNAME})")
+    assert rules["FieldEncodingRule2"] == Rule("Expression", "encode_hex(${FIELDNAME})")
+    assert rules["FieldStringRule"] == Rule("Expression", "toupper(${FIELDNAME})")
+    # SET values: quotes stripped, " SELECT=ANY" suffix removed
+    assert rules["FieldSetRule"] == Rule("Set", "C:/IRI/cosort105/sets/tadig-codes.set")
+    assert rules["FieldPseudonymRule"].type == "Set"
+
+
+def test_reference_dataclass_file_parses(tmp_path):
+    """The real .dataclass library: classes without a resolvable
+    default rule are skipped (DataClassLibrary.java:46-51 — PIN_US
+    references a FieldBlurRule the rules file doesn't define;
+    POSTAL_CODE_US/TADIG-CODE/Timestamp carry no defaultRule at all),
+    and FILE matchers resolve by basename via set_search_dirs when the
+    recorded Windows path doesn't exist."""
+    rules = load_rules_xml(REF_RULES)
+
+    # Without set dirs: only EMAIL survives (regex matcher + resolvable rule).
+    lib = load_dataclass_xml(REF_DATACLASS, rules)
+    assert [c.name for c in lib.classes] == ["EMAIL"]
+    email = lib.classes[0]
+    assert email.rule_name == "FieldEncodingRule"
+    assert isinstance(email.data_matcher, PatternMatcher)
+    assert email.data_matcher.pattern == r"\b[\w._%+-]+@[\w.-]+\.[A-Za-z]{2,4}\b"
+
+    # With set dirs holding the basenames the library records:
+    (tmp_path / "names_first.set").write_text("ALICE\nBOB\n")
+    (tmp_path / "names_last.set").write_text("SMITH\nJONES\n")
+    lib2 = load_dataclass_xml(REF_DATACLASS, rules, set_search_dirs=[tmp_path])
+    names = [c.name for c in lib2.classes]
+    assert names == ["FIRST_NAME", "LAST_NAME", "EMAIL"]
+    first = lib2.classes[0]
+    assert first.rule_name == "FieldPseudonymRule"
+    assert isinstance(first.data_matcher, SetMatcher)
+    assert first.data_matcher.entries == ("ALICE", "BOB")
+    # first-match-wins ordering preserved from file order (Main.java:351-365)
