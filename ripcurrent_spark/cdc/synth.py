@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.timeutil import epoch_millis
 from ripcurrent_spark.io import load
 
 DAY_MS = 86_400_000
@@ -27,9 +28,9 @@ DAY_MS = 86_400_000
 def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(12,2)")
-    # o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the cast
-    # to TIMESTAMP is value-preserving and unix_millis matches epoch_ms.
-    ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    # Wall-clock-as-UTC epoch millis regardless of session tz, so the
+    # synthetic ts_ms matches DuckDB's epoch_ms on any driver.
+    ts = epoch_millis(o, "o_orderdate")
     base = o.select(
         "o_orderkey",
         "o_custkey",

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.timeutil import epoch_seconds
+
 
 def range_join_backward(
     left: DataFrame,
@@ -37,8 +39,8 @@ def range_join_backward(
     exploded to its own bucket and the next one (fanout exactly 2);
     the join is a plain equi-join on (key, bucket).
     """
-    lb = F.floor(F.col(left_ts).cast("long") / window_sec)
-    rb = F.floor(F.col(right_ts).cast("long") / window_sec)
+    lb = F.floor(epoch_seconds(left, left_ts) / window_sec)
+    rb = F.floor(epoch_seconds(right, right_ts) / window_sec)
     l = left.withColumn("__b", lb)
     r = right.withColumn("__b", F.explode(F.array(rb, rb + 1)))
     return (

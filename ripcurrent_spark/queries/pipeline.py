@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.timeutil import epoch_seconds
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators.intervals import range_join_backward
 from ripcurrent_spark.operators.sampling import (
@@ -113,7 +114,7 @@ def q_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
     )
     pairs = range_join_backward(p, c, key="user_id", left_ts="p_ts", right_ts="c_ts", window_sec=1800)
-    gap = F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+    gap = epoch_seconds(pairs, "p_ts") - epoch_seconds(pairs, "c_ts")
     return pairs.select("purchase_id", "click_id", gap.alias("gap_s"))
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.timeutil import epoch_expr
 from ripcurrent_spark.io import load
 from ripcurrent_spark.queries import register
 
@@ -375,7 +376,8 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    ts_type = e.schema["ts"].dataType.simpleString()
+    gap = epoch_expr(F.col("ts"), ts_type) - epoch_expr(F.lag("ts").over(w), ts_type)
     flagged = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),

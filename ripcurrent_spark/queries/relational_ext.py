@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.timeutil import epoch_seconds
 from ripcurrent_spark.io import load
 from ripcurrent_spark.queries import register
 
@@ -801,9 +802,9 @@ def q_moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
     w = (
         W.partitionBy("l_suppkey")
-        # NTZ has no direct long cast; NTZ -> TZ is exact under the
-        # UTC session, matching DuckDB's epoch().
-        .orderBy(F.col("l_shipdate").cast("timestamp").cast("long"))
+        # Wall-clock-as-UTC epoch, independent of session tz — matches
+        # DuckDB's epoch() over the naive column on any driver.
+        .orderBy(epoch_seconds(l, "l_shipdate"))
         .rangeBetween(-7 * 86400, 0)
     )
     return l.select(
