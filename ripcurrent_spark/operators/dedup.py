@@ -39,7 +39,7 @@ def tokens_sql(expr: str) -> str:
     return f"string_split({norm_text_sql(expr)}, ' ')"
 
 
-def ngrams_of_tokens(tokens_ref: Column, n: int = 3) -> Column:
+def ngrams_of_tokens(tokens_ref: Column, n: int = 3, distinct: bool = True) -> Column:
     """Distinct word n-gram shingles from a TOKENS COLUMN REFERENCE.
 
     Built by zipping n shifted copies of the token array and
@@ -62,7 +62,7 @@ def ngrams_of_tokens(tokens_ref: Column, n: int = 3) -> Column:
     grams = F.transform(
         zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
@@ -71,12 +71,13 @@ def ngrams(col: Column | str, n: int = 3) -> Column:
     return ngrams_of_tokens(tokens(col), n)
 
 
-def ngrams_sql(expr: str, n: int = 3) -> str:
+def ngrams_sql(expr: str, n: int = 3, distinct: bool = True) -> str:
     t = tokens_sql(expr)
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len({t})-{n - 1}, 0)+1), "
-        f"i -> array_to_string(list_slice({t}, i, i+{n - 1}), ' ')))"
+    grams = (
+        f"list_transform(range(1, greatest(len({t})-{n - 1}, 0)+1), "
+        f"i -> array_to_string(list_slice({t}, i, i+{n - 1}), ' '))"
     )
+    return f"list_distinct({grams})" if distinct else grams
 
 
 # --- MinHash ----------------------------------------------------------
@@ -261,16 +262,28 @@ def connected_components(
     pairwise matches into dedup groups.
 
     Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converged when no
-    label changes (checked with a 1-row aggregate per round, bounded
-    by ``max_iter``). Near-dup graphs are unions of small cliques, so
+    smallest label among itself and its neighbors, bounded by
+    ``max_iter``. Near-dup graphs are unions of small cliques, so
     rounds ~ cluster diameter (single digits); each round is one
-    self-join + groupBy on the (tiny relative to corpus) pair set —
-    the corpus itself is never touched."""
+    join + groupBy on the (tiny relative to corpus) pair set — the
+    corpus itself is never touched.
+
+    Scale posture: edges are hash-partitioned on ``dst`` once and
+    reused every round, and every label frame inherits hash
+    partitioning on ``node`` from its groupBy/join, so the per-round
+    propagation join never re-shuffles the edge set.  Change
+    detection rides the propagation step itself (a ``_chg`` flag, no
+    extra self-join) and is only acted on every ``check_every``
+    rounds, so two propagation rounds chain into one Spark job —
+    halving job-scheduling overhead at the cost of at most one
+    redundant round after the fixpoint (idempotent, output
+    unchanged)."""
+    check_every = 2
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("dst")
         .persist()
     )
     labels = (
@@ -279,27 +292,27 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("_chg"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = stepped
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            # One action materializes the chained rounds AND answers
+            # "did anything move since the last check".
+            if stepped.filter(F.col("_chg")).limit(1).count() == 0:
+                break
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
