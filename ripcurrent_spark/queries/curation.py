@@ -1,0 +1,318 @@
+"""Corpus-curation queries: benchmark decontamination, repetition
+quality, sequence packing, domain mixture rebalancing.
+
+These are the remaining corpus-preparation stages of an LLM
+training-data pipeline beyond dedup/sampling/text stats: drop
+documents that leak evaluation data, drop degenerate repetitive text
+(Gopher-style repetition signals), pack variable-length documents
+into fixed-token-budget training sequences, and rebalance the
+language mixture to target proportions.
+
+Scale posture (100 TB):
+- decontamination joins the corpus's exploded n-grams against a
+  BROADCAST distinct benchmark-gram set (the eval corpus is small by
+  definition) — one shuffle for the per-doc hit count, none for the
+  membership test;
+- repetition stats are per-row array expressions plus one
+  explode+groupBy for the top-token multiplicity (two shuffles total,
+  all JVM-side, no UDFs);
+- packing windows are PARTITIONED by a hash bucket, never global —
+  each bucket packs independently (exactly how a multi-worker
+  pre-tokenizer shards), so the sort parallelizes;
+- mixture rates come from a 5-row aggregate broadcast back against
+  the corpus; the keep decision is the same portable md5 predicate as
+  operators/sampling.py (deterministic under retries/repartitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.functions.hashing import h32_sql
+from ripcurrent_spark.io import load
+from ripcurrent_spark.operators.dedup import ngrams_of_tokens, ngrams_sql, tokens, tokens_sql
+from ripcurrent_spark.operators.sampling import hash_pct, hash_pct_sql
+from ripcurrent_spark.queries import register
+
+_N_DECON = 5          # decontamination shingle width (docs are short)
+_BENCH_MOD = 97       # doc_id % 97 == 0 stands in for the eval set
+_PACK_CAP = 256       # token budget per packed training sequence
+_PACK_BUCKETS = 16    # independent packing shards
+_MIX_PCTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH g AS (SELECT doc_id, {ngrams_sql('text', _N_DECON)} AS grams FROM documents),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+corp AS (SELECT doc_id, grams FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+x AS (SELECT doc_id, unnest(grams) AS gram FROM corp),
+hits AS (SELECT x.doc_id, COUNT(*) AS n FROM x JOIN bench USING (gram) GROUP BY x.doc_id)
+SELECT corp.doc_id,
+       CAST(len(corp.grams) AS BIGINT) AS n_grams,
+       COALESCE(hits.n, 0) AS n_contaminated,
+       COALESCE(hits.n, 0) > 0 AS is_contaminated
+FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 5-gram with the held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for it). The benchmark's distinct grams
+    broadcast; the per-doc hit count is the only shuffle."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    g = t.select("doc_id", ngrams_of_tokens(F.col("toks"), _N_DECON).alias("grams"))
+    bench = (
+        g.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corp = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        corp.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        corp.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+_G2_ALL = ngrams_sql("text", 2, distinct=False)
+
+
+@register(
+    "text_repetition_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+row_stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len({_G2_ALL}) AS BIGINT) AS g_total,
+         CAST(len(list_distinct({_G2_ALL})) AS BIGINT) AS g_distinct
+  FROM documents JOIN t USING (doc_id)),
+tf AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_freq
+        FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tf GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+m AS (
+  SELECT r.doc_id, r.n_tokens,
+         round(CAST(COALESCE(top.top_freq, 0) AS DOUBLE) / r.n_tokens, 6) AS top_token_frac,
+         round(1 - CAST(r.n_distinct AS DOUBLE) / r.n_tokens, 6) AS dup_token_frac,
+         CASE WHEN r.g_total > 0
+              THEN round(1 - CAST(r.g_distinct AS DOUBLE) / r.g_total, 6)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM row_stats r LEFT JOIN top ON r.doc_id = top.doc_id)
+SELECT doc_id, n_tokens, top_token_frac, dup_token_frac, dup_2gram_frac,
+       (top_token_frac > 0.1 OR dup_2gram_frac > 0.2) AS flagged
+FROM m
+""",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style): duplicate
+    token fraction, most-frequent-token fraction, duplicate word
+    2-gram fraction; flag degenerate docs. Array stats are per-row
+    expressions; only the top-token multiplicity needs an
+    explode+groupBy."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    g2 = ngrams_of_tokens(F.col("toks"), 2, distinct=False)
+    row_stats = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(g2).cast("long").alias("g_total"),
+        F.size(F.array_distinct(g2)).cast("long").alias("g_distinct"),
+    )
+    top = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_freq"))
+    )
+    m = (
+        row_stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("top_freq"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_frac"),
+            F.round(1 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.when(
+                F.col("g_total") > 0,
+                F.round(1 - F.col("g_distinct").cast("double") / F.col("g_total"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_frac"),
+        )
+    )
+    return m.withColumn(
+        "flagged", (F.col("top_token_frac") > 0.1) | (F.col("dup_2gram_frac") > 0.2)
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             CAST({h32_sql("CAST(doc_id AS VARCHAR)", seed="pack")} % {_PACK_BUCKETS} AS BIGINT) AS bucket
+      FROM t),
+c AS (SELECT bucket, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM b),
+binned AS (SELECT bucket, n_tokens,
+                  CAST(floor((cum - n_tokens) / {_PACK_CAP}.0) AS BIGINT) AS bin_id
+           FROM c)
+SELECT bucket, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_tokens) AS BIGINT) / {_PACK_CAP}.0, 6) AS fill_ratio
+FROM binned GROUP BY bucket, bin_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (longest-first) to
+    fixed-token-budget training sequences by cumulative fill within a
+    hash-bucket shard. The window is PARTITIONED by bucket — each
+    shard packs independently, so no global sort; the deterministic
+    offset rule (bin = floor(preceding_fill / cap)) is the
+    SQL-expressible twin of first-fit-decreasing."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    b = t.withColumn("bucket", _bucket_of(F.col("doc_id")).cast("long"))
+    w = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    binned = b.withColumn(
+        "bin_id", F.floor((cum - F.col("n_tokens")) / float(_PACK_CAP)).cast("long")
+    )
+    return (
+        binned.groupBy("bucket", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn("fill_ratio", F.round(F.col("total_tokens") / float(_PACK_CAP), 6))
+    )
+
+
+def _bucket_of(doc_id: F.Column) -> F.Column:
+    """Packing shard: portable md5 bucket, twin of the oracle's
+    h32_sql(...) % buckets."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    return h32(doc_id.cast("string"), seed="pack") % _PACK_BUCKETS
+
+
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_PCTS.items())
+    + " ELSE 5 END"
+)
+
+
+@register(
+    "sample_domain_mix",
+    oracle=f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang),
+rates AS (SELECT lang, n_orig,
+                 LEAST(100, ({_MIX_CASE} *
+                       (SELECT CAST(SUM(n_orig) AS BIGINT) FROM counts)) // n_orig) AS keep_pct
+          FROM counts),
+kept AS (SELECT d.lang, COUNT(*) AS n_kept
+         FROM documents d JOIN rates r ON d.lang = r.lang
+         WHERE {hash_pct_sql('doc_id', 'mix')} < r.keep_pct
+         GROUP BY d.lang)
+SELECT r.lang, r.n_orig, r.keep_pct, COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+""",
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture rebalancing: derive per-language keep
+    rates from target shares (en 40%, others 15%) against observed
+    counts, then keep rows by the deterministic md5 percentile — the
+    quota-sampling step that shapes a training mixture. Rates are a
+    5-row broadcast; the keep decision is a scan predicate."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_orig"))
+    pct_target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_PCTS.items()],
+        F.lit(5),
+    )
+    rates = (
+        counts.withColumn("t", F.sum("n_orig").over(W.partitionBy()))
+        .withColumn("pct_target", pct_target)
+        .withColumn("keep_pct", F.least(F.lit(100), F.expr("(pct_target * t) DIV n_orig")))
+        .select("lang", "n_orig", "keep_pct")
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(hash_pct(F.col("doc_id"), salt="mix") < F.col("keep_pct"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_orig",
+        "keep_pct",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "q_ewma_user_value",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, rn, x AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, 0.5 * r.ewma + 0.5 * b.x
+  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, rn, ewma FROM r
+""",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA of click values (alpha = 0.5) through the
+    applyInPandas fold operator (operators/text.py:ewma_per_key) —
+    the one sanctioned order-dependent Python fold. alpha = 0.5 makes
+    every step exact binary halving, so the Arrow fold and the
+    oracle's recursive CTE agree bit-for-bit — the Python boundary is
+    value-checked, not just row-counted. Sort key is a precomputed
+    (ts, event_id) row number so ties can't reorder the fold."""
+    from ripcurrent_spark.operators.text import ewma_per_key
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.col("value").cast("double").alias("x"),
+    )
+    out = ewma_per_key(base, "user_id", "seq", "x", alpha=0.5)
+    return out.select("user_id", F.col("seq").cast("long").alias("rn"), "ewma")

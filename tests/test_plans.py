@@ -123,3 +123,36 @@ def test_funnel_single_conditional_agg_pass(spark):
     plan = _plan(spark, "q_funnel_conversion")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_decontaminate_bench_set_broadcasts(spark):
+    # The eval-set gram index must broadcast (it is small by
+    # definition); a shuffled membership join would move the whole
+    # corpus's exploded grams twice.
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_quality_no_python(spark):
+    # Array stats are per-row JVM expressions; only the top-token
+    # multiplicity aggregates. Zero Python in the plan.
+    plan = _plan(spark, "text_repetition_quality")
+    assert "Python" not in plan
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    # The packing window must partition by the hash-bucket shard —
+    # a global (empty-partition) window would serialize the corpus
+    # through one task.
+    plan = _plan(spark, "pack_sequences")
+    assert "Window" in plan
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_domain_mix_rates_broadcast(spark):
+    # Per-language keep rates are a 5-row aggregate joined back
+    # against the corpus: must broadcast, and the keep decision is a
+    # post-join filter (no extra corpus shuffle).
+    plan = _plan(spark, "sample_domain_mix")
+    assert "BroadcastHashJoin" in plan
