@@ -1,0 +1,105 @@
+"""K-means (Lloyd) centroid training on a DataFrame of vectors.
+
+The iterative-algorithm pattern the IVF ANN index needs for real
+centroids (queries/ann.py's IVF currently derives cells from a
+heuristic); also the template for any fixed-point loop on Spark:
+broadcast the small state (centroids), recompute assignments with a
+scan + broadcast join, re-aggregate the state, repeat.
+
+Determinism contract (what makes this oracle-checkable across
+engines, which float k-means normally is not):
+- centroid updates accumulate in DECIMAL(38,12) — exact, summation-
+  order-independent — and divide as DOUBLE only at the end;
+- assignment distances are rounded to 6 decimals before the argmin,
+  with the cluster id as tie-break, so 1-ulp float drift between
+  engines cannot flip an assignment;
+- initial centroids are the k lowest-id vectors (no RNG).
+
+Scale posture (100 TB corpus): per iteration one corpus scan, one
+broadcast join against k centroids (k rows), and one
+posexplode+groupBy shuffle of (cluster, dim) partial sums — partial
+aggregation map-side-combines the n*d explosion down to k*d rows per
+partition. Centroids never leave the JVM; no driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_SUM_DEC = "decimal(38,12)"
+
+
+def _dist2(a, b):
+    """Squared L2 distance, left-to-right fold (rounded by callers)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, emb, cluster).
+
+    `centroids` is (cluster, cemb) with k rows — always broadcast.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", F.round(_dist2(F.col("emb"), F.col("cemb")), 6)
+    )
+    w = W.partitionBy("vec_id").orderBy("_d", "cluster")
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") == 1)
+        .select("vec_id", "emb", "cluster")
+    )
+
+
+def centroid_stats(assigned: DataFrame) -> DataFrame:
+    """Per-(cluster, dim) exact-decimal mean: (cluster, dim, c_val, n).
+
+    dim is 1-based to match SQL list indexing."""
+    exploded = assigned.select(
+        "cluster", F.posexplode("emb").alias("pos", "val")
+    ).select(
+        "cluster",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast(_SUM_DEC).alias("vdec"),
+    )
+    return exploded.groupBy("cluster", "dim").agg(
+        (F.sum("vdec").cast("double") / F.count(F.lit(1))).alias("c_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _rebuild(stats: DataFrame) -> DataFrame:
+    """(cluster, dim, c_val) rows -> (cluster, cemb) centroid arrays."""
+    return stats.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c_val"))),
+            lambda s: s["c_val"],
+        ).alias("cemb")
+    )
+
+
+def kmeans_centroid_stats(
+    vectors: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Run `iters` Lloyd rounds from the k lowest-id vectors; return
+    the final per-(cluster, dim) stats frame (scalar columns only —
+    no array outputs, so the result is canonicalizer-friendly)."""
+    # TakeOrderedAndProject (distributed top-k) first; the global
+    # row_number window then runs on k rows, not the corpus.
+    topk = vectors.orderBy("vec_id").limit(k)
+    init = (
+        topk.withColumn("_r", F.row_number().over(W.orderBy("vec_id")))
+        .select((F.col("_r") - 1).cast("long").alias("cluster"), F.col("emb").alias("cemb"))
+    )
+    centroids = init
+    stats = None
+    for _ in range(iters):
+        stats = centroid_stats(assign(vectors, centroids))
+        centroids = _rebuild(stats)
+    return stats.select(
+        "cluster", "dim", F.round(F.col("c_val"), 6).alias("c_val"), "n"
+    )

@@ -154,3 +154,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "cell", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+_KM_K = 8
+_KM_D2 = (
+    "round(list_sum(list_transform(range(1, len({v})+1), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
+)
+
+
+def _km_iter_sql(vsrc: str, csrc: str, tag: str) -> str:
+    """One unrolled Lloyd round: assign to nearest centroid (rounded
+    distance, cluster tie-break), then per-(cluster, dim) exact
+    DECIMAL(38,12) mean — the SQL twin of operators/clustering.py."""
+    d2 = _KM_D2.format(v="v.emb", c="c.cemb")
+    return f"""
+a{tag} AS (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT v.vec_id, v.emb, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cluster) AS rnk
+    FROM {vsrc} v CROSS JOIN {csrc} c) WHERE rnk = 1
+),
+m{tag} AS (
+  SELECT cluster, CAST(i AS BIGINT) AS dim,
+         CAST(SUM(CAST(emb[i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c_val,
+         COUNT(*) AS n
+  FROM a{tag} CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+  GROUP BY cluster, i
+)"""
+
+
+@register(
+    "ann_kmeans_centroids",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         emb AS cemb
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_KM_K})
+),{_km_iter_sql('v', 'c0', '1')},
+c1 AS (SELECT cluster, list(c_val ORDER BY dim) AS cemb FROM m1 GROUP BY cluster)
+,{_km_iter_sql('v', 'c1', '2')}
+SELECT cluster, dim, round(c_val, 6) AS c_val, n FROM m2
+""",
+)
+def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (k=8) over the embedding corpus —
+    the centroid trainer behind a real IVF index, and the template
+    for iterative algorithms on DataFrames (broadcast state, scan +
+    reassign, exact-decimal re-aggregate). Deterministic across
+    engines: DECIMAL sums, rounded-distance argmin, lowest-id init —
+    see operators/clustering.py."""
+    from ripcurrent_spark.operators.clustering import kmeans_centroid_stats
+
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    return kmeans_centroid_stats(v, k=_KM_K, iters=2)

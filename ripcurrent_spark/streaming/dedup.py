@@ -1,0 +1,164 @@
+"""Incremental near-duplicate detection over a document stream.
+
+Batch dedup (operators/dedup.py) answers "which existing docs
+duplicate each other"; a training-data INGEST pipeline needs the
+streaming twin: as new documents arrive, decide duplicate-vs-unique
+against everything already admitted, and admit only the unique ones —
+without ever rescanning the full corpus.
+
+Design (foreachBatch over a persistent LSH band-key index):
+- The index holds one row per (admitted doc, LSH band key) with the
+  doc's full MinHash signature, parquet-partitioned by
+  ``_bucket = pmod(xxhash64(bkey), n_buckets)`` and ``_batch_id``.
+- Per micro-batch: compute batch docs' signatures + band keys, read
+  ONLY the index buckets containing the batch's band keys (partition
+  pruning — per-trigger read I/O scales with batch size, not corpus
+  size), join on band key, and estimate Jaccard as the fraction of
+  agreeing MinHash components (>= threshold => duplicate). In-batch
+  duplicates resolve the same way against batch peers (lower doc_id
+  wins).
+- Unique docs' band keys append to the index under the batch's own
+  ``_batch_id`` partition with dynamic partition overwrite, and
+  decisions land under ``_batch_id`` the same way — a replayed batch
+  (foreachBatch is at-least-once) overwrites its own partitions
+  instead of duplicating them, and the index read excludes the
+  current ``_batch_id`` so a replay never matches a doc against its
+  own earlier write.
+
+This is the streaming counterpart of `dedup_minhash_lsh` and shares
+its signature primitives, so batch and stream admit the same docs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.operators import dedup as DD
+from ripcurrent_spark.sinks import has_bucketed_data
+
+
+def band_keyed_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+) -> DataFrame:
+    """(doc_id, sig, bkey) — one row per (doc, band key); docs too
+    short to shingle produce no rows (nothing to match on)."""
+    t = docs.select(F.col(id_col).alias("doc_id"), DD.tokens(text_col).alias("toks"))
+    g = t.select("doc_id", DD.ngrams_of_tokens(F.col("toks")).alias("ngs")).filter(
+        F.size("ngs") > 0
+    )
+    sigs = g.select(
+        "doc_id", DD.minhash_from_hashes(DD.shingle_hashes(F.col("ngs")), k).alias("sig")
+    )
+    return sigs.select(
+        "doc_id", "sig", F.explode(DD.lsh_band_keys(F.col("sig"), bands, rows)).alias("bkey")
+    )
+
+
+def _sig_agreement(a, b) -> F.Column:
+    """Estimated Jaccard: fraction of equal MinHash components."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(a)
+
+
+def streaming_dedup_foreach_batch(
+    index_dir: str,
+    decisions_dir: str,
+    threshold: float = 0.7,
+    n_buckets: int = 16,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch fn for a (doc_id, text) stream: write per-doc
+    admit/duplicate decisions and grow the band-key index with the
+    admitted docs."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bk = band_keyed_signatures(batch, k=k, bands=bands, rows=rows).withColumn(
+            "_bucket", F.pmod(F.xxhash64("bkey"), F.lit(n_buckets)).cast("int")
+        )
+        bk = bk.persist()
+        touched = sorted({r[0] for r in bk.select("_bucket").distinct().collect()})
+
+        # Candidates from the persisted index: pruned to touched
+        # buckets, excluding this batch's own (possibly replayed) rows.
+        matches = None
+        if touched and has_bucketed_data(index_dir):
+            idx = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("_bucket").isin([int(b) for b in touched]))
+                .filter(F.col("_batch_id") != batch_id)
+                .select(
+                    F.col("doc_id").alias("idx_doc_id"),
+                    F.col("sig").alias("idx_sig"),
+                    "bkey",
+                )
+            )
+            matches = (
+                bk.join(idx, "bkey")
+                .filter(F.col("idx_doc_id") != F.col("doc_id"))
+                .withColumn("est_j", _sig_agreement(F.col("sig"), F.col("idx_sig")))
+                .filter(F.col("est_j") >= threshold)
+                .groupBy("doc_id")
+                .agg(F.min("idx_doc_id").alias("dup_of"))
+            )
+
+        # In-batch duplicates: same band-key join against batch peers;
+        # the lower doc_id is the canonical survivor.
+        peers = (
+            bk.alias("a")
+            .join(bk.alias("b"), "bkey")
+            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+            .withColumn("est_j", _sig_agreement(F.col("a.sig"), F.col("b.sig")))
+            .filter(F.col("est_j") >= threshold)
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("b.doc_id")).alias("dup_of_peer"))
+        )
+
+        decisions = (
+            batch.select("doc_id").distinct()
+            .join(matches, "doc_id", "left") if matches is not None
+            else batch.select("doc_id").distinct().withColumn("dup_of", F.lit(None).cast("long"))
+        )
+        decisions = (
+            decisions.join(peers, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("dup_of", "dup_of_peer").alias("dup_of"),
+            )
+            .withColumn("is_duplicate", F.col("dup_of").isNotNull())
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        decisions.write.mode("overwrite").partitionBy("_batch_id").parquet(decisions_dir)
+
+        admitted = decisions.filter(~F.col("is_duplicate")).select("doc_id")
+        (
+            bk.join(admitted, "doc_id", "left_semi")
+            .select("doc_id", "sig", "bkey", "_bucket")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_bucket", "_batch_id")
+            .parquet(index_dir)
+        )
+        bk.unpersist()
+
+    return _apply
+
+
+def read_decisions(spark, decisions_dir: str) -> DataFrame:
+    return spark.read.parquet(decisions_dir)
+
+
+def index_size(spark, index_dir: str | Path) -> int:
+    return spark.read.parquet(str(index_dir)).select("doc_id").distinct().count()

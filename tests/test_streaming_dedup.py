@@ -1,0 +1,118 @@
+"""Streaming incremental dedup: new docs are admitted or flagged
+duplicate against the persistent LSH index across micro-batches, and
+a replayed batch neither duplicates the index nor matches docs
+against their own earlier write."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.streaming.dedup import (
+    index_size,
+    streaming_dedup_foreach_batch,
+)
+
+A = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+A_NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden nearby"
+)
+B = (
+    "completely different content about databases indexes and query "
+    "planning with hash joins broadcast joins and shuffle partitions"
+)
+C = (
+    "a third unrelated document discussing sailing boats harbors tides "
+    "and the weather patterns of the northern atlantic ocean in winter"
+)
+
+
+def _write_batch(d, name, docs, mtime):
+    d.mkdir(parents=True, exist_ok=True)
+    p = d / name
+    with open(p, "w") as f:
+        for doc_id, text in docs:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.utime(p, (mtime, mtime))  # file-source orders batches by mtime
+
+
+def _start(spark, src, tmp_path, index, decisions):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    return (
+        stream.writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(streaming_dedup_foreach_batch(str(index), str(decisions)))
+        .start()
+    )
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = tmp_path / "docs"
+    index = tmp_path / "index"
+    decisions = tmp_path / "decisions"
+    t0 = time.time()
+    _write_batch(src, "b0.json", [(1, A), (2, B)], t0)
+
+    q = _start(spark, src, tmp_path, index, decisions)
+    q.processAllAvailable()
+    # batch 2: near-copy of an INDEXED doc + a fresh one + an in-batch
+    # near-copy pair (5 before 4 checks lowest-id-wins)
+    _write_batch(src, "b1.json", [(3, A_NEAR), (4, C), (5, C)], t0 + 2)
+    q.processAllAvailable()
+    q.stop()
+
+    dec = {
+        r.doc_id: (r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(str(decisions)).collect()
+    }
+    assert dec[1] == (False, None)
+    assert dec[2] == (False, None)
+    assert dec[3] == (True, 1)  # matched the admitted doc from batch 0
+    assert dec[4] == (False, None)
+    assert dec[5] == (True, 4)  # in-batch pair: lower id admitted
+    # Only admitted docs are in the index.
+    assert index_size(spark, index) == 3
+    idx_docs = {
+        r.doc_id
+        for r in spark.read.parquet(str(index)).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 2, 4}
+
+
+def test_streaming_dedup_replay_idempotent(spark, tmp_path):
+    """Re-running a batch (at-least-once foreachBatch) must leave the
+    index and decisions unchanged: partitions overwrite in place and
+    the index read excludes the batch's own rows."""
+    src = tmp_path / "docs"
+    index = tmp_path / "index"
+    decisions = tmp_path / "decisions"
+    t0 = time.time()
+    _write_batch(src, "b0.json", [(1, A), (2, B)], t0)
+    q = _start(spark, src, tmp_path, index, decisions)
+    q.processAllAvailable()
+    q.stop()
+
+    fn = streaming_dedup_foreach_batch(str(index), str(decisions))
+    batch = spark.createDataFrame([(1, A), (2, B)], "doc_id long, text string")
+    fn(batch, 0)  # manual replay of batch 0
+
+    dec = {
+        r.doc_id: (r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(str(decisions)).collect()
+    }
+    # Not flagged duplicate against their own earlier index rows.
+    assert dec == {1: (False, None), 2: (False, None)}
+    assert index_size(spark, index) == 2
+    # One index row per (admitted doc, band key): replay overwrote.
+    n_rows = spark.read.parquet(str(index)).count()
+    assert n_rows == spark.read.parquet(str(index)).dropDuplicates(["doc_id", "bkey"]).count()
