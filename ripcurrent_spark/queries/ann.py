@@ -213,3 +213,74 @@ def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir).select("vec_id", "emb")
     return kmeans_centroid_stats(v, k=_KM_K, iters=2)
+
+
+_COV_D = 8  # leading dims profiled (full 64x64 is the same plan, more rows)
+
+
+@register(
+    "emb_covariance",
+    oracle=f"""
+WITH v AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+),
+p AS (
+  SELECT a.i, b.j, emb[a.i] AS x, emb[b.j] AS y
+  FROM v,
+       (SELECT unnest(range(1, {_COV_D + 1})) AS i) a,
+       (SELECT unnest(range(1, {_COV_D + 1})) AS j) b
+  WHERE b.j >= a.i
+)
+SELECT i, j, COUNT(*) AS n,
+       round(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), 6) AS cov
+FROM p GROUP BY i, j
+""",
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance (upper triangle of the leading 8 dims) —
+    the sufficient statistics for whitening / PCA prep over a vector
+    corpus. One scan, no join: each row emits its 36 pair products
+    inline, and moments accumulate in DECIMAL(38,12) (exact,
+    order-independent) so the covariance hash-matches the oracle.
+    The double arithmetic (div, div, mul, sub) is ordered identically
+    on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    dec = "decimal(38,12)"
+    d = F.transform(F.slice("embedding", 1, _COV_D), lambda x: x.cast("double"))
+    v = e.select(d.alias("emb"))
+    combos = [(i, j) for i in range(1, _COV_D + 1) for j in range(i, _COV_D + 1)]
+    pairs = v.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("i"),
+                        F.lit(j).cast("long").alias("j"),
+                        F.col("emb")[i - 1].cast(dec).alias("x"),
+                        F.col("emb")[j - 1].cast(dec).alias("y"),
+                        (F.col("emb")[i - 1] * F.col("emb")[j - 1]).cast(dec).alias("xy"),
+                    )
+                    for i, j in combos
+                ]
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.x", "s.y", "s.xy")
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+    )
+    n = F.col("n")
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        F.round(
+            F.col("sxy").cast("double") / n
+            - (F.col("sx").cast("double") / n) * (F.col("sy").cast("double") / n),
+            6,
+        ).alias("cov"),
+    )

@@ -316,3 +316,44 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ewma_per_key(base, "user_id", "seq", "x", alpha=0.5)
     return out.select("user_id", F.col("seq").cast("long").alias("rn"), "ewma")
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS total_rows, COUNT(*) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_c FROM c),
+top10 AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_c
+          FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10))
+SELECT total_rows, n_keys,
+       round(CAST(max_c AS DOUBLE) / total_rows, 6) AS top1_share,
+       round(CAST(top10_c AS DOUBLE) / total_rows, 6) AS top10_share
+FROM t, top10
+""",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: hottest-key and top-10-key row
+    shares — the measurement that decides between a plain shuffle,
+    AQE skew split, and explicit salting (operators/skew.py). The
+    heavy side is one groupBy; the top-10 comes from TakeOrdered
+    (distributed top-k, no global sort) and the shares from 1-row
+    broadcast frames."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
+    )
+    top10 = (
+        counts.orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_c"))
+    )
+    return totals.crossJoin(F.broadcast(top10)).select(
+        "total_rows",
+        "n_keys",
+        F.round(F.col("max_c").cast("double") / F.col("total_rows"), 6).alias("top1_share"),
+        F.round(F.col("top10_c").cast("double") / F.col("total_rows"), 6).alias("top10_share"),
+    )

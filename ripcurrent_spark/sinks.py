@@ -163,3 +163,105 @@ def write_parquet_sized(
     n = df.count()
     parts = max(1, -(-n // target_rows_per_file))
     df.repartition(parts).write.mode(mode).parquet(path)
+
+
+def compact_snapshot_buckets(
+    spark,
+    target_dir: str,
+    min_files: int = 2,
+) -> list[int]:
+    """Maintenance compaction for a ``_bucket``-partitioned merge
+    target: rewrite every bucket holding >= `min_files` parquet files
+    into a single file; leave the rest byte-untouched.
+
+    Merge writes fragment buckets over time (each trigger's rewrite
+    emits one file per task that held the bucket's rows), and at
+    100 TB the resulting small files dominate scan open/seek cost.
+    Repartitioning the read by ``_bucket`` before the rewrite puts
+    each bucket's rows in exactly one task => exactly one output file
+    per bucket dir. Runs offline (between triggers), like a lakehouse
+    OPTIMIZE. Returns the compacted bucket ids."""
+    import shutil
+
+    target = Path(target_dir)
+    fat = sorted(
+        int(d.name.split("=", 1)[1])
+        for d in target.glob("_bucket=*")
+        if len(list(d.glob("*.parquet"))) >= min_files
+    )
+    if not fat:
+        return []
+    tmp = str(target) + ".compact.tmp"
+    (
+        spark.read.parquet(str(target))
+        .filter(F.col("_bucket").isin(fat))
+        .repartition(len(fat), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp)
+    )
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(str(target))
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return fat
+
+
+COMPACTED_BATCH_ID = -1
+
+
+def compact_log_batches(
+    spark,
+    log_dir: str,
+    keep_latest: int = 1,
+) -> list[int]:
+    """Fold old ``(_bucket, _batch_id)`` changelog partitions into a
+    single compacted base partition (``_batch_id = -1``) per bucket.
+
+    The SCD2 changelog accrues one leaf dir per (bucket, trigger);
+    reads stay partition-pruned but file counts grow without bound.
+    Folding closed batches into the base bounds them. The newest
+    `keep_latest` batch ids are left in place so foreachBatch replay
+    (which only re-runs batches at/after the last checkpoint) still
+    overwrites its own partition instead of colliding with the base.
+    Row content is preserved exactly; like the snapshot compactor this
+    runs offline between triggers (a lakehouse would checkpoint its
+    transaction log the same way). Returns the folded batch ids."""
+    import shutil
+
+    root = Path(log_dir)
+    batch_ids = sorted(
+        {
+            int(d.name.split("=", 1)[1])
+            for d in root.glob("_bucket=*/_batch_id=*")
+            if int(d.name.split("=", 1)[1]) != COMPACTED_BATCH_ID
+        }
+    )
+    fold = batch_ids[:-keep_latest] if keep_latest > 0 else batch_ids
+    if not fold:
+        return []
+    folded = (
+        spark.read.parquet(str(root))
+        .filter(F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID]))
+        .withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    tmp = str(root) + ".compact.tmp"
+    folded.repartition("_bucket").write.mode("overwrite").partitionBy(
+        "_bucket", "_batch_id"
+    ).parquet(tmp)
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket", "_batch_id")
+        .parquet(str(root))
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    for d in root.glob("_bucket=*/_batch_id=*"):
+        if int(d.name.split("=", 1)[1]) in fold:
+            shutil.rmtree(d, ignore_errors=True)
+    return fold
