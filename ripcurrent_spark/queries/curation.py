@@ -357,3 +357,81 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_c").cast("double") / F.col("total_rows"), 6).alias("top1_share"),
         F.round(F.col("top10_c").cast("double") / F.col("total_rows"), 6).alias("top10_share"),
     )
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 64   # buckets per row
+
+
+def _cms_bucket_sql(i: int) -> str:
+    return f"{h32_sql('CAST(user_id AS VARCHAR)', seed=f'cms{i}')} % {_CMS_W}"
+
+
+@register(
+    "q_countmin_user_counts",
+    oracle=f"""
+WITH cms AS (
+  SELECT i, bucket, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {i} AS i, {_cms_bucket_sql(i)} AS bucket FROM events" for i in range(_CMS_D))}
+  ) GROUP BY i, bucket
+),
+qk AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events WHERE user_id < 20 GROUP BY user_id
+),
+probes AS (
+  SELECT user_id, true_n, i, bucket FROM (
+    {" UNION ALL ".join(f"SELECT user_id, true_n, {i} AS i, {_cms_bucket_sql(i)} AS bucket FROM qk" for i in range(_CMS_D))}
+  )
+)
+SELECT p.user_id, p.true_n, CAST(MIN(cms.cnt) AS BIGINT) AS est,
+       CAST(MIN(cms.cnt) AS BIGINT) >= p.true_n AS never_underestimates
+FROM probes p JOIN cms ON p.i = cms.i AND p.bucket = cms.bucket
+GROUP BY p.user_id, p.true_n
+""",
+)
+def q_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=64 buckets) over event keys: the
+    mergeable approximate-counting structure for key frequencies when
+    exact per-key state is too big. The build is one explode(d) +
+    groupBy — partial aggregation map-side-combines to d*w cells per
+    partition, and two sketches merge by cell-wise addition (the
+    groupBy IS the merge). Probes for keys < 20 return the min over
+    their d cells next to the true count; the one-sided error
+    guarantee (never underestimates) is asserted per row."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    e = load(spark, sf_dir, "events")
+
+    def bucket(i: int) -> F.Column:
+        return h32(F.col("user_id").cast("string"), seed=f"cms{i}") % _CMS_W
+
+    rows = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("i"), bucket(i).alias("bucket"))
+            for i in range(_CMS_D)
+        ]
+    )
+    cms = (
+        e.select(F.explode(rows).alias("s"))
+        .groupBy(F.col("s.i").alias("i"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qk = (
+        e.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    probes = qk.select("user_id", "true_n", F.explode(rows).alias("s")).select(
+        "user_id", "true_n", "s.i", "s.bucket"
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        "est",
+        (F.col("est") >= F.col("true_n")).alias("never_underestimates"),
+    )

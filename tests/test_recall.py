@@ -88,3 +88,37 @@ def test_lsh_ann_recall(spark):
     recall = len(hits) / len(planted)
     # near-identical vectors almost always share all 6 sign bits
     assert recall >= 0.8, f"ANN LSH recall {recall:.2f}"
+
+
+def test_streaming_dedup_recall_matches_batch(spark, tmp_path):
+    """The incremental path plays the same banding gamble as batch
+    MinHash-LSH: streaming the corpus in two batches must flag at
+    least the planted twins whose band keys collide — i.e. recall no
+    worse than the batch candidate generator on the same corpus."""
+    from ripcurrent_spark.streaming.dedup import streaming_dedup_foreach_batch
+
+    docs, planted = _corpus()
+    base = [(i, t) for i, t in docs if i < 1000]
+    twins = [(i, t) for i, t in docs if i >= 1000]
+
+    fn = streaming_dedup_foreach_batch(
+        str(tmp_path / "index"), str(tmp_path / "decisions"), threshold=0.7
+    )
+    fn(spark.createDataFrame(base, "doc_id long, text string"), 0)
+    fn(spark.createDataFrame(twins, "doc_id long, text string"), 1)
+
+    dec = {
+        r.doc_id: r.dup_of
+        for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+        if r.is_duplicate
+    }
+    stream_hits = {(orig, twin) for twin, orig in dec.items() if (orig, twin) in planted}
+    recall = len(stream_hits) / len(planted)
+    assert recall >= 0.7, f"streaming recall {recall:.2f}"
+    # Base docs were all admitted (no false dups among random docs).
+    admitted = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+        if not r.is_duplicate
+    }
+    assert {i for i, _ in base} <= admitted
