@@ -435,3 +435,68 @@ def q_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") >= F.col("true_n")).alias("never_underestimates"),
     )
+
+
+_PROFILE_COLS = [
+    # (name, canonical-string expression twin: spark fn tag)
+    ("c_custkey", "CAST(c_custkey AS VARCHAR)"),
+    ("c_name", "c_name"),
+    ("c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+    ("c_acctbal", "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("c_mktsegment", "c_mktsegment"),
+]
+
+
+@register(
+    "q_profile_customer",
+    oracle=f"""
+{" UNION ALL ".join(
+    f'''SELECT '{name}' AS column_name, COUNT(*) AS n,
+        CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null,
+        CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+        MIN({canon}) AS min_s, MAX({canon}) AS max_s
+    FROM customer''' for name, canon in _PROFILE_COLS)}
+""",
+)
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (data-discovery pass): per-column row/null/
+    exact-distinct counts and lexical min/max over a canonical string
+    form. One aggregate pass PER COLUMN is deliberately avoided —
+    Spark computes all columns' stats in a single scan with one agg
+    (count/count_distinct/min/max per column are independent
+    aggregate expressions), then unpivots the 1-row result; doubles
+    canonicalize through DECIMAL(12,2) so both engines print the same
+    string."""
+    c = load(spark, sf_dir, "customer")
+
+    def canon(name: str) -> F.Column:
+        if name == "c_acctbal":
+            return F.col(name).cast("decimal(12,2)").cast("string")
+        return F.col(name).cast("string")
+
+    aggs = []
+    for name, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__n"),
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__n_null"),
+            F.count_distinct(F.col(name)).alias(f"{name}__n_distinct"),
+            F.min(canon(name)).alias(f"{name}__min_s"),
+            F.max(canon(name)).alias(f"{name}__max_s"),
+        ]
+    one = c.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"{name}__n").alias("n"),
+                F.col(f"{name}__n_null").alias("n_null"),
+                F.col(f"{name}__n_distinct").alias("n_distinct"),
+                F.col(f"{name}__min_s").alias("min_s"),
+                F.col(f"{name}__max_s").alias("max_s"),
+            )
+            for name, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("s")).select(
+        "s.column_name", "s.n", "s.n_null", "s.n_distinct", "s.min_s", "s.max_s"
+    )

@@ -374,3 +374,57 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint as a recursive transitive-closure CTE."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     return DD.connected_components(pairs)
+
+
+@register(
+    "dedup_canonical_map",
+    oracle=f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(comp.component, d.doc_id) AS canonical_id,
+       COALESCE(comp.component, d.doc_id) <> d.doc_id AS is_replaced
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+""",
+)
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end product: a doc_id -> canonical_id map for the
+    WHOLE corpus (docs in a near-dup component map to its lowest id;
+    everything else maps to itself). Downstream pipelines semi-join
+    on canonical_id = doc_id to keep survivors, or join the map to
+    re-point references. Component labels come from the iterative
+    propagation over verified pairs; the pair set is tiny relative to
+    the corpus, so the final step is one left join."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    comp = DD.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("canonical_id"),
+        (F.coalesce("component", "doc_id") != F.col("doc_id")).alias("is_replaced"),
+    )

@@ -93,7 +93,11 @@ def upsert_parquet(
     # Stage touched buckets (can't overwrite a path while reading it),
     # then dynamic-overwrite ONLY those bucket dirs in the target.
     tmp = str(target) + ".tmp"
-    snap.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    # Static mode explicitly: the stage dir may hold a previous merge's
+    # partitions, and a session-wide dynamic override would leak them.
+    snap.write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy(
+        "_bucket"
+    ).parquet(tmp)
     if has_bucketed_data(tmp):  # all-deletes merges stage zero files
         (
             spark.read.parquet(tmp)
@@ -197,6 +201,7 @@ def compact_snapshot_buckets(
         .filter(F.col("_bucket").isin(fat))
         .repartition(len(fat), "_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("_bucket")
         .parquet(tmp)
     )
@@ -250,9 +255,9 @@ def compact_log_batches(
         .withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
     )
     tmp = str(root) + ".compact.tmp"
-    folded.repartition("_bucket").write.mode("overwrite").partitionBy(
-        "_bucket", "_batch_id"
-    ).parquet(tmp)
+    folded.repartition("_bucket").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("_bucket", "_batch_id").parquet(tmp)
     (
         spark.read.parquet(tmp)
         .write.mode("overwrite")
@@ -265,3 +270,80 @@ def compact_log_batches(
         if int(d.name.split("=", 1)[1]) in fold:
             shutil.rmtree(d, ignore_errors=True)
     return fold
+
+
+def merge_into(
+    source: DataFrame,
+    target_dir: str,
+    on: Sequence[str],
+    update: dict[str, str] | str | None = "all",
+    delete_when: str | None = None,
+    insert: bool = True,
+    n_buckets: int = 16,
+) -> None:
+    """Lakehouse-MERGE facade over the bucket-partitioned parquet
+    layout: one call expresses the reference's generated /UPDATE=(key)
+    + /DELETE=(key) + /APPEND target jobs (Main.java:456-498).
+
+    - rows matched on `on` where `delete_when` (SQL over aliases
+      ``s``/``t``) holds are dropped;
+    - other matched rows are replaced by the source row
+      (``update="all"``), updated per-column from SQL expressions over
+      ``s``/``t`` (dict), or kept (``update=None``);
+    - unmatched source rows are inserted when `insert`;
+    - unmatched target rows pass through untouched.
+
+    Source and target must be schema-aligned. I/O follows the merge
+    sinks' bucket discipline: only buckets containing source keys are
+    read and rewritten (dynamic partition overwrite), so cost scales
+    with touched buckets, not table size. Swaps 1:1 for a real
+    Delta/Iceberg MERGE INTO when those libs are present."""
+    spark = source.sparkSession
+    target = Path(target_dir)
+    cols = [c for c in source.columns]
+    staged = source.withColumn("_bucket", key_bucket(on, n_buckets))
+    touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
+    if not touched:
+        return
+    if has_bucketed_data(target):
+        current = spark.read.parquet(str(target)).filter(F.col("_bucket").isin(touched))
+    else:
+        current = spark.createDataFrame([], staged.schema)
+    s, t = staged.alias("s"), current.alias("t")
+    joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in on], "full_outer")
+    matched = F.col(f"s.{on[0]}").isNotNull() & F.col(f"t.{on[0]}").isNotNull()
+    s_only = F.col(f"t.{on[0]}").isNull()
+    deleted = matched & (F.expr(delete_when) if delete_when else F.lit(False))
+    kept = ~deleted & (F.lit(True) if insert else ~s_only)
+
+    def out(col: str) -> F.Column:
+        s_c, t_c = F.col(f"s.{col}"), F.col(f"t.{col}")
+        if col in on:
+            return F.coalesce(s_c, t_c)
+        if update == "all":
+            upd = s_c
+        elif isinstance(update, dict):
+            upd = F.expr(update[col]) if col in update else t_c
+        else:
+            upd = t_c
+        return (
+            F.when(matched, upd).when(s_only, s_c).otherwise(t_c)
+        )
+
+    merged = joined.filter(kept).select(
+        *[out(c).alias(c) for c in cols],
+        F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
+    )
+    tmp = str(target) + ".tmp"
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy(
+        "_bucket"
+    ).parquet(tmp)
+    if has_bucketed_data(tmp):
+        (
+            spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(str(target))
+        )
+    drop_empty_touched_buckets(target, tmp, touched)

@@ -139,8 +139,15 @@ def streaming_dedup_foreach_batch(
             .withColumn("is_duplicate", F.col("dup_of").isNotNull())
             .withColumn("_batch_id", F.lit(batch_id))
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        decisions.write.mode("overwrite").partitionBy("_batch_id").parquet(decisions_dir)
+        # Writer-level option, NOT spark.conf.set: a session-wide
+        # dynamic mode would silently change every other overwrite in
+        # the session (tmp-stage writes rely on static truncation).
+        (
+            decisions.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(decisions_dir)
+        )
 
         admitted = decisions.filter(~F.col("is_duplicate")).select("doc_id")
         (
@@ -148,6 +155,7 @@ def streaming_dedup_foreach_batch(
             .select("doc_id", "sig", "bkey", "_bucket")
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket", "_batch_id")
             .parquet(index_dir)
         )

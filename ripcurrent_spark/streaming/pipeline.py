@@ -223,7 +223,9 @@ def scd2_foreach_batch(
         else:
             merged = rebuilt
         tmp = str(target) + ".tmp"
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("_bucket").parquet(tmp)
         if has_bucketed_data(tmp):  # all-deletes merges stage zero files
             (
                 spark.read.parquet(tmp)

@@ -1,0 +1,89 @@
+"""MERGE INTO facade semantics: matched-update / matched-delete /
+not-matched-insert in one call, with the bucket discipline (untouched
+bucket files byte-identical)."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from ripcurrent_spark.sinks import key_bucket, merge_into
+
+N_BUCKETS = 8
+SCHEMA = "id int, name string, bal double"
+
+
+def _inventory(root: str) -> dict[str, str]:
+    base = Path(root)
+    return {
+        str(p.relative_to(base)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in base.rglob("*.parquet")
+    }
+
+
+def _snap(spark, target):
+    return {r.id: (r.name, r.bal) for r in spark.read.parquet(target).collect()}
+
+
+def test_merge_update_delete_insert(spark, tmp_path):
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)], SCHEMA
+    )
+    merge_into(seed, target, on=["id"], n_buckets=N_BUCKETS)
+    assert _snap(spark, target) == {i: (f"n{i}", float(i)) for i in range(20)}
+    before = _inventory(target)
+
+    src = spark.createDataFrame(
+        [(1, "upd", 100.0), (2, "del", -1.0), (99, "new", 9.0)], SCHEMA
+    )
+    merge_into(src, target, on=["id"], delete_when="s.bal < 0", n_buckets=N_BUCKETS)
+    snap = _snap(spark, target)
+    assert snap[1] == ("upd", 100.0)   # matched -> replaced by source
+    assert 2 not in snap               # matched + delete_when -> dropped
+    assert snap[99] == ("new", 9.0)    # not matched -> inserted
+    assert snap[3] == ("n3", 3.0)      # untouched key unchanged
+
+    after = _inventory(target)
+    touched = {
+        f"_bucket={r[0]}"
+        for r in src.select(key_bucket(["id"], N_BUCKETS).alias("b")).distinct().collect()
+    }
+    changed = {p.split("/")[0] for p in set(before) ^ set(after)} | {
+        p.split("/")[0] for p in before if after.get(p) not in (None, before[p])
+    }
+    assert changed <= touched, f"untouched buckets rewritten: {changed - touched}"
+
+
+def test_merge_partial_update_and_no_insert(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_into(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA),
+        target,
+        on=["id"],
+        n_buckets=N_BUCKETS,
+    )
+    src = spark.createDataFrame([(1, "ignored", 10.0), (3, "ghost", 3.0)], SCHEMA)
+    merge_into(
+        src,
+        target,
+        on=["id"],
+        update={"bal": "t.bal + s.bal"},  # name keeps target value
+        insert=False,
+        n_buckets=N_BUCKETS,
+    )
+    snap = _snap(spark, target)
+    assert snap == {1: ("a", 11.0), 2: ("b", 2.0)}  # no ghost insert
+
+
+def test_merge_all_rows_deleted_drops_bucket_dir(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_into(spark.createDataFrame([(1, "a", 1.0)], SCHEMA), target, on=["id"], n_buckets=N_BUCKETS)
+    merge_into(
+        spark.createDataFrame([(1, "a", -5.0)], SCHEMA),
+        target,
+        on=["id"],
+        delete_when="s.bal < 0",
+        n_buckets=N_BUCKETS,
+    )
+    assert not list(Path(target).glob("_bucket=*"))  # stale dir removed

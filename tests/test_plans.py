@@ -156,3 +156,18 @@ def test_domain_mix_rates_broadcast(spark):
     # post-join filter (no extra corpus shuffle).
     plan = _plan(spark, "sample_domain_mix")
     assert "BroadcastHashJoin" in plan
+
+
+def test_profile_single_scan_single_agg(spark):
+    # All columns' stats ride ONE scan + one aggregate; a per-column
+    # job shape would show multiple scans here.
+    plan = _plan(spark, "q_profile_customer")
+    assert plan.count("Scan parquet") == 1
+    assert "Python" not in plan
+
+
+def test_countmin_partial_aggregation(spark):
+    # The sketch build must map-side combine: the shuffle carries
+    # (row, bucket) partial counts, not raw events.
+    plan = _plan(spark, "q_countmin_user_counts")
+    assert "partial_count" in plan
