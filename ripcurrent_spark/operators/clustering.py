@@ -82,24 +82,32 @@ def _rebuild(stats: DataFrame) -> DataFrame:
     )
 
 
+def _init_centroids(vectors: DataFrame, k: int) -> DataFrame:
+    # TakeOrderedAndProject (distributed top-k) first; the global
+    # row_number window then runs on k rows, not the corpus.
+    topk = vectors.orderBy("vec_id").limit(k)
+    return topk.withColumn("_r", F.row_number().over(W.orderBy("vec_id"))).select(
+        (F.col("_r") - 1).cast("long").alias("cluster"), F.col("emb").alias("cemb")
+    )
+
+
+def kmeans_assignments(vectors: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """(vec_id, emb, cluster) after `iters` Lloyd rounds from the k
+    lowest-id vectors (the round-`iters` assignment, i.e. against the
+    centroids produced by round iters-1)."""
+    centroids = _init_centroids(vectors, k)
+    for _ in range(iters - 1):
+        centroids = _rebuild(centroid_stats(assign(vectors, centroids)))
+    return assign(vectors, centroids)
+
+
 def kmeans_centroid_stats(
     vectors: DataFrame, k: int = 8, iters: int = 2
 ) -> DataFrame:
     """Run `iters` Lloyd rounds from the k lowest-id vectors; return
     the final per-(cluster, dim) stats frame (scalar columns only —
     no array outputs, so the result is canonicalizer-friendly)."""
-    # TakeOrderedAndProject (distributed top-k) first; the global
-    # row_number window then runs on k rows, not the corpus.
-    topk = vectors.orderBy("vec_id").limit(k)
-    init = (
-        topk.withColumn("_r", F.row_number().over(W.orderBy("vec_id")))
-        .select((F.col("_r") - 1).cast("long").alias("cluster"), F.col("emb").alias("cemb"))
-    )
-    centroids = init
-    stats = None
-    for _ in range(iters):
-        stats = centroid_stats(assign(vectors, centroids))
-        centroids = _rebuild(stats)
+    stats = centroid_stats(kmeans_assignments(vectors, k, iters))
     return stats.select(
         "cluster", "dim", F.round(F.col("c_val"), 6).alias("c_val"), "n"
     )

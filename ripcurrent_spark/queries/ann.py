@@ -284,3 +284,62 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov"),
     )
+
+
+@register(
+    "ann_cluster_purity",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         emb AS cemb
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_KM_K})
+),{_km_iter_sql('v', 'c0', '1')},
+c1 AS (SELECT cluster, list(c_val ORDER BY dim) AS cemb FROM m1 GROUP BY cluster)
+,{_km_iter_sql('v', 'c1', '2')},
+pl AS (
+  SELECT a2.cluster, e.label, COUNT(*) AS c
+  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+  GROUP BY a2.cluster, e.label
+),
+tot AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_members FROM pl GROUP BY cluster),
+top AS (SELECT cluster, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rk
+        FROM pl)
+SELECT t.cluster, tot.n_members, CAST(t.label AS BIGINT) AS majority_label,
+       round(CAST(t.c AS DOUBLE) / tot.n_members, 6) AS purity
+FROM top t JOIN tot ON t.cluster = tot.cluster WHERE t.rk = 1
+""",
+)
+def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation: k-means cells vs the corpus's planted
+    ground-truth labels — per cluster, its size, majority label, and
+    purity (majority share). The quality check you run after training
+    an IVF index: low purity means cells cut across semantic groups
+    and recall will suffer. One join + two small aggregations on top
+    of the deterministic trainer."""
+    from pyspark.sql import Window as W
+    from ripcurrent_spark.operators.clustering import kmeans_assignments
+
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    a = kmeans_assignments(v, k=_KM_K, iters=2)
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pl = a.join(lab, "vec_id").groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = pl.groupBy("cluster").agg(F.sum("c").alias("n_members"))
+    top = pl.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(F.col("c").desc(), "label")
+        ),
+    ).filter(F.col("rk") == 1)
+    return top.join(tot, "cluster").select(
+        "cluster",
+        "n_members",
+        F.col("label").cast("long").alias("majority_label"),
+        F.round(F.col("c").cast("double") / F.col("n_members"), 6).alias("purity"),
+    )

@@ -1,12 +1,15 @@
-"""Corpus-curation queries: benchmark decontamination, repetition
-quality, sequence packing, domain mixture rebalancing.
+"""Corpus-curation and pipeline-diagnostics queries: benchmark
+decontamination, repetition quality, sequence packing, domain mixture
+rebalancing, exact per-key EWMA, key-skew profiling, count-min
+sketching, and column profiling.
 
-These are the remaining corpus-preparation stages of an LLM
+The first four are the remaining corpus-preparation stages of an LLM
 training-data pipeline beyond dedup/sampling/text stats: drop
 documents that leak evaluation data, drop degenerate repetitive text
 (Gopher-style repetition signals), pack variable-length documents
 into fixed-token-budget training sequences, and rebalance the
-language mixture to target proportions.
+language mixture to target proportions. The rest are the operational
+measurements that keep such a pipeline healthy at scale.
 
 Scale posture (100 TB):
 - decontamination joins the corpus's exploded n-grams against a

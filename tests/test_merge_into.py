@@ -87,3 +87,27 @@ def test_merge_all_rows_deleted_drops_bucket_dir(spark, tmp_path):
         n_buckets=N_BUCKETS,
     )
     assert not list(Path(target).glob("_bucket=*"))  # stale dir removed
+
+
+def test_merge_null_keys_match_null_safely(spark, tmp_path):
+    """NULL join keys must merge (eqNullSafe), not silently duplicate:
+    a NULL-keyed source row updates the existing NULL-keyed target
+    row instead of inserting a second one."""
+    target = str(tmp_path / "t")
+    merge_into(
+        spark.createDataFrame([(None, "nullrow", 1.0), (1, "a", 1.0)], SCHEMA),
+        target,
+        on=["id"],
+        n_buckets=N_BUCKETS,
+    )
+    merge_into(
+        spark.createDataFrame([(None, "updated", 2.0)], SCHEMA),
+        target,
+        on=["id"],
+        n_buckets=N_BUCKETS,
+    )
+    rows = sorted(
+        ((r.id, r.name, r.bal) for r in spark.read.parquet(target).collect()),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert rows == [(1, "a", 1.0), (None, "updated", 2.0)]
