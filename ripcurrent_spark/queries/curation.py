@@ -503,3 +503,48 @@ def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(per_col).alias("s")).select(
         "s.column_name", "s.n", "s.n_null", "s.n_distinct", "s.min_s", "s.max_s"
     )
+
+
+_HIST_LO, _HIST_W, _HIST_NB = -1000.0, 500.0, 22  # c_acctbal in [-1000, 10000)
+
+
+@register(
+    "q_hist_acctbal",
+    oracle=f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(floor((c_acctbal - ({_HIST_LO})) / {_HIST_W}) AS BIGINT),
+               0), {_HIST_NB - 1}) AS bucket
+  FROM customer
+)
+SELECT bucket,
+       {_HIST_LO} + bucket * {_HIST_W} AS lo,
+       {_HIST_LO} + (bucket + 1) * {_HIST_W} AS hi,
+       COUNT(*) AS n
+FROM b GROUP BY bucket
+""",
+)
+def q_hist_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (fixed bounds, clamped tails) of account
+    balances — the distribution half of the profiling pass. Bucketing
+    is a scan-side floor expression; the only shuffle carries 22
+    partial counts per task. Fixed bounds keep the bucket function a
+    pure per-row expression (a data-derived min/max would add a
+    2-pass dependency; see q_profile_customer for exact min/max)."""
+    c = load(spark, sf_dir, "customer")
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("c_acctbal") - _HIST_LO) / _HIST_W).cast("long"), F.lit(0)
+        ),
+        F.lit(_HIST_NB - 1),
+    )
+    return (
+        c.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * _HIST_W).alias("lo"),
+            (F.lit(_HIST_LO) + (F.col("bucket") + 1) * _HIST_W).alias("hi"),
+            "n",
+        )
+    )
