@@ -51,6 +51,52 @@ def has_bucketed_data(path: str | Path) -> bool:
     return p.exists() and any(p.glob("_bucket=*"))
 
 
+def assert_bucket_layout(path: str | Path) -> None:
+    """Refuse to merge into a directory holding a NON-bucketed parquet
+    layout (root part files): ``has_bucketed_data`` would read it as
+    empty, the merge would silently drop every existing key, and the
+    write would mix ``_bucket=`` dirs with root files. Such a target
+    must be rewritten with bucket partitioning first."""
+    p = Path(path)
+    if p.exists() and not any(p.glob("_bucket=*")) and any(p.glob("*.parquet")):
+        raise ValueError(
+            f"{p} holds a non-bucketed parquet layout; rewrite it as "
+            "_bucket=<n> partitions before merging into it"
+        )
+
+
+def overwrite_buckets(
+    df: DataFrame,
+    target: str | Path,
+    partition_cols: Sequence[str] = ("_bucket",),
+    touched: Sequence[int] | None = None,
+) -> None:
+    """The one stage-and-swap write path every merge/compaction sink
+    shares: stage `df` to ``<target>.tmp`` (static overwrite — stale
+    stage partitions from an earlier run must truncate), dynamic-
+    partition-overwrite the staged partitions into `target`, drop
+    touched-but-now-empty bucket dirs, and remove the stage dir."""
+    import shutil
+
+    spark = df.sparkSession
+    target = Path(target)
+    tmp = str(target) + ".tmp"
+    df.write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy(
+        *partition_cols
+    ).parquet(tmp)
+    if has_bucketed_data(tmp):  # all-deletes merges stage zero files
+        (
+            spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(str(target))
+        )
+    if touched is not None:
+        drop_empty_touched_buckets(target, tmp, touched)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def upsert_parquet(
     changes: DataFrame,
     target_dir: str,
@@ -74,39 +120,33 @@ def upsert_parquet(
     """
     spark = changes.sparkSession
     target = Path(target_dir)
-    staged = changes.withColumn("_bucket", key_bucket(key_cols, n_buckets)).withColumn(
-        "_is_snapshot", F.lit(0)
+    assert_bucket_layout(target)
+    # Persist: the touched-bucket discovery collect() and the merge
+    # itself both consume the staged plan — without the barrier a
+    # non-trivial source pipeline would execute twice.
+    staged = (
+        changes.withColumn("_bucket", key_bucket(key_cols, n_buckets))
+        .withColumn("_is_snapshot", F.lit(0))
+        .persist()
     )
-    touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
-    if not touched:
-        return
-    if has_bucketed_data(target):
-        current = (
-            spark.read.parquet(str(target))
-            .filter(F.col("_bucket").isin(touched))  # partition-pruned scan
-            .withColumn("_is_snapshot", F.lit(1))
-        )
-        staged = staged.unionByName(current)
-    snap = latest_snapshot(
-        staged, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
-    ).drop("_is_snapshot")
-    # Stage touched buckets (can't overwrite a path while reading it),
-    # then dynamic-overwrite ONLY those bucket dirs in the target.
-    tmp = str(target) + ".tmp"
-    # Static mode explicitly: the stage dir may hold a previous merge's
-    # partitions, and a session-wide dynamic override would leak them.
-    snap.write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy(
-        "_bucket"
-    ).parquet(tmp)
-    if has_bucketed_data(tmp):  # all-deletes merges stage zero files
-        (
-            spark.read.parquet(tmp)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(str(target))
-        )
-    drop_empty_touched_buckets(target, tmp, touched)
+    try:
+        touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
+        if not touched:
+            return
+        base = staged
+        if has_bucketed_data(target):
+            current = (
+                spark.read.parquet(str(target))
+                .filter(F.col("_bucket").isin(touched))  # partition-pruned scan
+                .withColumn("_is_snapshot", F.lit(1))
+            )
+            base = staged.unionByName(current)
+        snap = latest_snapshot(
+            base, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
+        ).drop("_is_snapshot")
+        overwrite_buckets(snap, target, ("_bucket",), touched)
+    finally:
+        staged.unpersist()
 
 
 def drop_empty_touched_buckets(target: Path, tmp: str, touched: Sequence[int]) -> None:
@@ -185,8 +225,6 @@ def compact_snapshot_buckets(
     each bucket's rows in exactly one task => exactly one output file
     per bucket dir. Runs offline (between triggers), like a lakehouse
     OPTIMIZE. Returns the compacted bucket ids."""
-    import shutil
-
     target = Path(target_dir)
     fat = sorted(
         int(d.name.split("=", 1)[1])
@@ -195,24 +233,12 @@ def compact_snapshot_buckets(
     )
     if not fat:
         return []
-    tmp = str(target) + ".compact.tmp"
-    (
+    compacted = (
         spark.read.parquet(str(target))
         .filter(F.col("_bucket").isin(fat))
         .repartition(len(fat), "_bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("_bucket")
-        .parquet(tmp)
     )
-    (
-        spark.read.parquet(tmp)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(str(target))
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    overwrite_buckets(compacted, target, ("_bucket",))
     return fat
 
 
@@ -254,18 +280,9 @@ def compact_log_batches(
         .filter(F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID]))
         .withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
     )
-    tmp = str(root) + ".compact.tmp"
-    folded.repartition("_bucket").write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("_bucket", "_batch_id").parquet(tmp)
-    (
-        spark.read.parquet(tmp)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket", "_batch_id")
-        .parquet(str(root))
+    overwrite_buckets(
+        folded.repartition("_bucket"), root, ("_bucket", "_batch_id")
     )
-    shutil.rmtree(tmp, ignore_errors=True)
     for d in root.glob("_bucket=*/_batch_id=*"):
         if int(d.name.split("=", 1)[1]) in fold:
             shutil.rmtree(d, ignore_errors=True)
@@ -300,50 +317,44 @@ def merge_into(
     Delta/Iceberg MERGE INTO when those libs are present."""
     spark = source.sparkSession
     target = Path(target_dir)
+    assert_bucket_layout(target)
     cols = [c for c in source.columns]
-    staged = source.withColumn("_bucket", key_bucket(on, n_buckets))
-    touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
-    if not touched:
-        return
-    if has_bucketed_data(target):
-        current = spark.read.parquet(str(target)).filter(F.col("_bucket").isin(touched))
-    else:
-        current = spark.createDataFrame([], staged.schema)
-    s, t = staged.alias("s"), current.alias("t")
-    joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in on], "full_outer")
-    matched = F.col(f"s.{on[0]}").isNotNull() & F.col(f"t.{on[0]}").isNotNull()
-    s_only = F.col(f"t.{on[0]}").isNull()
-    deleted = matched & (F.expr(delete_when) if delete_when else F.lit(False))
-    kept = ~deleted & (F.lit(True) if insert else ~s_only)
-
-    def out(col: str) -> F.Column:
-        s_c, t_c = F.col(f"s.{col}"), F.col(f"t.{col}")
-        if col in on:
-            return F.coalesce(s_c, t_c)
-        if update == "all":
-            upd = s_c
-        elif isinstance(update, dict):
-            upd = F.expr(update[col]) if col in update else t_c
+    staged = source.withColumn("_bucket", key_bucket(on, n_buckets)).persist()
+    try:
+        touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
+        if not touched:
+            return
+        if has_bucketed_data(target):
+            current = spark.read.parquet(str(target)).filter(F.col("_bucket").isin(touched))
         else:
-            upd = t_c
-        return (
-            F.when(matched, upd).when(s_only, s_c).otherwise(t_c)
-        )
+            current = spark.createDataFrame([], staged.schema)
+        s, t = staged.alias("s"), current.alias("t")
+        joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in on], "full_outer")
+        # Presence markers must use _bucket (never null on its own
+        # side), NOT the join keys: with eqNullSafe a NULL-keyed
+        # source row legitimately matches a NULL-keyed target row, and
+        # key-based isNotNull() would misread that pair as unmatched.
+        matched = F.col("s._bucket").isNotNull() & F.col("t._bucket").isNotNull()
+        s_only = F.col("t._bucket").isNull()
+        deleted = matched & (F.expr(delete_when) if delete_when else F.lit(False))
+        kept = ~deleted & (F.lit(True) if insert else ~s_only)
 
-    merged = joined.filter(kept).select(
-        *[out(c).alias(c) for c in cols],
-        F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
-    )
-    tmp = str(target) + ".tmp"
-    merged.write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy(
-        "_bucket"
-    ).parquet(tmp)
-    if has_bucketed_data(tmp):
-        (
-            spark.read.parquet(tmp)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(str(target))
+        def out(col: str) -> F.Column:
+            s_c, t_c = F.col(f"s.{col}"), F.col(f"t.{col}")
+            if col in on:
+                return F.when(s_only | matched, s_c).otherwise(t_c)
+            if update == "all":
+                upd = s_c
+            elif isinstance(update, dict):
+                upd = F.expr(update[col]) if col in update else t_c
+            else:
+                upd = t_c
+            return F.when(matched, upd).when(s_only, s_c).otherwise(t_c)
+
+        merged = joined.filter(kept).select(
+            *[out(c).alias(c) for c in cols],
+            F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
         )
-    drop_empty_touched_buckets(target, tmp, touched)
+        overwrite_buckets(merged, target, ("_bucket",), touched)
+    finally:
+        staged.unpersist()

@@ -27,7 +27,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ripcurrent_spark.sinks import has_bucketed_data, key_bucket
+from ripcurrent_spark.sinks import has_bucketed_data, key_bucket, overwrite_buckets
 
 
 def incremental_count_sum_foreach_batch(
@@ -86,20 +86,7 @@ def incremental_count_sum_foreach_batch(
             merged = merged.withColumn("_applied_batch", stamp[F.col("_bucket")])
         else:
             merged = partial.withColumn("_applied_batch", F.lit(batch_id))
-        tmp = str(target) + ".tmp"
-        merged.write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("_bucket").parquet(tmp)
-        (
-            spark.read.parquet(tmp)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(str(target))
-        )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        overwrite_buckets(merged, target, ("_bucket",))
 
     return _apply
 

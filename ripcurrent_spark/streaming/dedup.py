@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.operators import dedup as DD
-from ripcurrent_spark.sinks import has_bucketed_data
+from ripcurrent_spark.sinks import has_bucketed_data, key_bucket
 
 
 def band_keyed_signatures(
@@ -85,7 +85,7 @@ def streaming_dedup_foreach_batch(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         bk = band_keyed_signatures(batch, k=k, bands=bands, rows=rows).withColumn(
-            "_bucket", F.pmod(F.xxhash64("bkey"), F.lit(n_buckets)).cast("int")
+            "_bucket", key_bucket(["bkey"], n_buckets)
         )
         bk = bk.persist()
         touched = sorted({r[0] for r in bk.select("_bucket").distinct().collect()})

@@ -188,13 +188,15 @@ def scd2_foreach_batch(
     splice semantics."""
     from ripcurrent_spark.cdc.apply import scd2_history
     from ripcurrent_spark.sinks import (
-        drop_empty_touched_buckets,
+        assert_bucket_layout,
         has_bucketed_data,
         key_bucket,
+        overwrite_buckets,
     )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        assert_bucket_layout(history_dir)
         staged = batch.withColumn("_bucket", key_bucket(key_cols, n_buckets))
         touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
         if not touched:
@@ -222,18 +224,6 @@ def scd2_foreach_batch(
             merged = untouched_keys.unionByName(rebuilt)
         else:
             merged = rebuilt
-        tmp = str(target) + ".tmp"
-        merged.write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("_bucket").parquet(tmp)
-        if has_bucketed_data(tmp):  # all-deletes merges stage zero files
-            (
-                spark.read.parquet(tmp)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_bucket")
-                .parquet(str(history_dir))
-            )
-        drop_empty_touched_buckets(target, tmp, touched)
+        overwrite_buckets(merged, target, ("_bucket",), touched)
 
     return _apply

@@ -68,7 +68,7 @@ def test_snapshot_compaction_single_file_same_rows(spark, tmp_path):
     thin = {p for p in before if p.split("/")[0] not in fat}
     assert all(after.get(p) == before[p] for p in thin)
     assert _rows(spark.read.parquet(target)) == before_rows
-    assert not Path(target + ".compact.tmp").exists()
+    assert not Path(target + ".tmp").exists()  # stage dir cleaned up
 
 
 def test_log_compaction_preserves_history_and_replay(spark, tmp_path):

@@ -111,3 +111,59 @@ def test_merge_null_keys_match_null_safely(spark, tmp_path):
         key=lambda x: (x[0] is None, x[0]),
     )
     assert rows == [(1, "a", 1.0), (None, "updated", 2.0)]
+
+
+def test_merge_null_key_partial_update_no_insert(spark, tmp_path):
+    """The confirmed round-2 review repro: with a NULL-keyed target
+    row, an update-dict merge with insert=False must UPDATE that row
+    (null-safe match), not silently delete it."""
+    target = str(tmp_path / "t")
+    merge_into(
+        spark.createDataFrame([(None, "nullrow", 5.0), (1, "a", 1.0)], SCHEMA),
+        target,
+        on=["id"],
+        n_buckets=N_BUCKETS,
+    )
+    merge_into(
+        spark.createDataFrame([(None, "src", 2.0)], SCHEMA),
+        target,
+        on=["id"],
+        update={"bal": "t.bal + s.bal"},
+        insert=False,
+        n_buckets=N_BUCKETS,
+    )
+    rows = sorted(
+        ((r.id, r.name, r.bal) for r in spark.read.parquet(target).collect()),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert rows == [(1, "a", 1.0), (None, "nullrow", 7.0)]
+
+
+def test_merge_refuses_non_bucketed_target(spark, tmp_path):
+    """A directory holding a plain (root part files) parquet layout
+    must be rejected, not silently treated as an empty target."""
+    import pytest
+
+    target = str(tmp_path / "legacy")
+    spark.createDataFrame([(1, "a", 1.0)], SCHEMA).write.parquet(target)
+    with pytest.raises(ValueError, match="non-bucketed"):
+        merge_into(
+            spark.createDataFrame([(2, "b", 2.0)], SCHEMA),
+            target,
+            on=["id"],
+            n_buckets=N_BUCKETS,
+        )
+    from ripcurrent_spark.sinks import upsert_parquet
+
+    with pytest.raises(ValueError, match="non-bucketed"):
+        upsert_parquet(
+            spark.createDataFrame([("c", 1, 2, "x")], "op string, ts_ms long, id int, val string"),
+            target,
+            key_cols=["id"],
+        )
+
+
+def test_merge_tmp_stage_removed(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_into(spark.createDataFrame([(1, "a", 1.0)], SCHEMA), target, on=["id"], n_buckets=N_BUCKETS)
+    assert not Path(target + ".tmp").exists()
