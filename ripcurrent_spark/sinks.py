@@ -58,10 +58,21 @@ def assert_bucket_layout(path: str | Path) -> None:
     write would mix ``_bucket=`` dirs with root files. Such a target
     must be rewritten with bucket partitioning first."""
     p = Path(path)
-    if p.exists() and not any(p.glob("_bucket=*")) and any(p.glob("*.parquet")):
+    if not p.exists():
+        return
+    # Anything other than _bucket=* dirs and writer metadata
+    # (_SUCCESS, .crc, ...) means some other layout lives here — root
+    # part files OR a differently-partitioned tree (date=.../part-*),
+    # both of which has_bucketed_data would misread as "empty".
+    stray = [
+        e.name
+        for e in p.iterdir()
+        if not e.name.startswith(("_", "."))
+    ]
+    if stray and not any(p.glob("_bucket=*")):
         raise ValueError(
-            f"{p} holds a non-bucketed parquet layout; rewrite it as "
-            "_bucket=<n> partitions before merging into it"
+            f"{p} holds a non-bucketed layout (found {stray[:3]}...); rewrite "
+            "it as _bucket=<n> partitions before merging into it"
         )
 
 
@@ -245,6 +256,36 @@ def compact_snapshot_buckets(
 COMPACTED_BATCH_ID = -1
 
 
+def _log_compaction_stage(root: Path) -> Path:
+    return root.parent / (root.name + ".compact_stage")
+
+
+def _finish_log_compaction(spark, root: Path, stage: Path) -> list[int]:
+    """Second half of log compaction, re-runnable from the durable
+    stage: dynamic-overwrite the staged base partitions into the log,
+    then delete the folded batch dirs named in the stage manifest, then
+    drop the stage. Safe to repeat from any crash point — the staged
+    data (not the log) is the source of truth for the new base, so
+    re-overwriting is idempotent, and fold-dir deletion only removes
+    content the manifest proves is already in the staged base."""
+    import json
+    import shutil
+
+    fold = json.loads((stage / "_MANIFEST.json").read_text())["folded"]
+    (
+        spark.read.parquet(str(stage))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket", "_batch_id")
+        .parquet(str(root))
+    )
+    for d in root.glob("_bucket=*/_batch_id=*"):
+        if int(d.name.split("=", 1)[1]) in fold:
+            shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return fold
+
+
 def compact_log_batches(
     spark,
     log_dir: str,
@@ -261,10 +302,26 @@ def compact_log_batches(
     overwrites its own partition instead of colliding with the base.
     Row content is preserved exactly; like the snapshot compactor this
     runs offline between triggers (a lakehouse would checkpoint its
-    transaction log the same way). Returns the folded batch ids."""
+    transaction log the same way). Returns the folded batch ids.
+
+    Crash-safe: the new base (old base + folded batches) is first
+    written to a durable sibling stage dir and sealed with a manifest;
+    only then is it swapped into the log and the fold dirs deleted. A
+    crash at any point leaves either (a) an unsealed stage — discarded
+    on the next run, log untouched — or (b) a sealed stage — the next
+    run resumes the swap from the stage, which is idempotent, instead
+    of re-folding (which would duplicate rows already swapped in)."""
+    import json
     import shutil
 
     root = Path(log_dir)
+    stage = _log_compaction_stage(root)
+    recovered: list[int] = []
+    if (stage / "_MANIFEST.json").exists():
+        recovered = _finish_log_compaction(spark, root, stage)  # crashed prior run
+    elif stage.exists():
+        shutil.rmtree(stage)  # unsealed stage: prior run died mid-write; log untouched
+
     batch_ids = sorted(
         {
             int(d.name.split("=", 1)[1])
@@ -274,19 +331,22 @@ def compact_log_batches(
     )
     fold = batch_ids[:-keep_latest] if keep_latest > 0 else batch_ids
     if not fold:
-        return []
-    folded = (
+        return sorted(recovered)
+    (
         spark.read.parquet(str(root))
         .filter(F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID]))
         .withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
+        .repartition("_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("_bucket", "_batch_id")
+        .parquet(str(stage))
     )
-    overwrite_buckets(
-        folded.repartition("_bucket"), root, ("_bucket", "_batch_id")
-    )
-    for d in root.glob("_bucket=*/_batch_id=*"):
-        if int(d.name.split("=", 1)[1]) in fold:
-            shutil.rmtree(d, ignore_errors=True)
-    return fold
+    tmp_manifest = stage / "_MANIFEST.json.tmp"
+    tmp_manifest.write_text(json.dumps({"folded": fold}))
+    tmp_manifest.replace(stage / "_MANIFEST.json")  # atomic seal
+    _finish_log_compaction(spark, root, stage)
+    return sorted({*recovered, *fold})
 
 
 def merge_into(
@@ -336,7 +396,13 @@ def merge_into(
         # key-based isNotNull() would misread that pair as unmatched.
         matched = F.col("s._bucket").isNotNull() & F.col("t._bucket").isNotNull()
         s_only = F.col("t._bucket").isNull()
-        deleted = matched & (F.expr(delete_when) if delete_when else F.lit(False))
+        # SQL MERGE deletes only where the condition is TRUE: a NULL
+        # predicate result (e.g. "s.bal < 0" with NULL bal) must read
+        # as not-deleted, so coalesce it — otherwise `kept` would also
+        # be NULL and filter(kept) would silently drop the row.
+        deleted = matched & (
+            F.coalesce(F.expr(delete_when), F.lit(False)) if delete_when else F.lit(False)
+        )
         kept = ~deleted & (F.lit(True) if insert else ~s_only)
 
         def out(col: str) -> F.Column:

@@ -103,3 +103,72 @@ def test_log_compaction_preserves_history_and_replay(spark, tmp_path):
     )
     assert hist_after == hist_before
     assert spark.read.parquet(log_dir).count() == log_rows_before
+
+
+def _seed_log(spark, tmp_path, n_batches=3):
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    sink = scd2_foreach_batch(log_dir, hist_dir, key_cols=["id"], n_buckets=N_BUCKETS)
+    for i in range(n_batches):
+        sink(spark.createDataFrame([("u", 100 * (i + 1), j, f"v{i}.{j}") for j in range(4)], SCHEMA), i)
+    return log_dir
+
+
+def _log_rows(spark, log_dir):
+    return sorted(
+        (r.op, r.ts_ms, r.id, r.val) for r in spark.read.parquet(log_dir).collect()
+    )
+
+
+def test_log_compaction_recovers_from_crash_after_swap(spark, tmp_path, monkeypatch):
+    """Crash between the base swap and fold-dir deletion must NOT
+    duplicate rows on the next run: the sealed stage tells recovery
+    the fold content is already in the base, so the next compactor
+    run deletes the leftover fold dirs instead of re-folding them."""
+    import shutil as real_shutil
+
+    log_dir = _seed_log(spark, tmp_path)
+    rows_before = _log_rows(spark, log_dir)
+
+    orig_rmtree = real_shutil.rmtree
+
+    def crashing_rmtree(path, *a, **kw):
+        if "_batch_id=" in str(path):
+            raise RuntimeError("simulated crash before fold-dir deletion")
+        return orig_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(real_shutil, "rmtree", crashing_rmtree)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_log_batches(spark, log_dir, keep_latest=1)
+    monkeypatch.setattr(real_shutil, "rmtree", orig_rmtree)
+
+    # Half-done state on disk: base written AND fold dirs still present
+    # -> a naive re-fold would duplicate. Recovery must converge.
+    folded = compact_log_batches(spark, log_dir, keep_latest=1)
+    assert folded == [0, 1]
+    ids = {
+        int(d.name.split("=", 1)[1]) for d in Path(log_dir).glob("_bucket=*/_batch_id=*")
+    }
+    assert ids == {COMPACTED_BATCH_ID, 2}
+    assert _log_rows(spark, log_dir) == rows_before
+    assert not Path(log_dir + ".compact_stage").exists()
+
+    # And again: a third run with nothing to fold is a no-op.
+    assert compact_log_batches(spark, log_dir, keep_latest=1) == []
+    assert _log_rows(spark, log_dir) == rows_before
+
+
+def test_log_compaction_discards_unsealed_stage(spark, tmp_path):
+    """A stage dir without a manifest (crash mid-stage-write) is
+    discarded and the fold redone from the untouched log."""
+    log_dir = _seed_log(spark, tmp_path)
+    rows_before = _log_rows(spark, log_dir)
+    stage = Path(log_dir + ".compact_stage")
+    stage.mkdir()
+    (stage / "part-junk.parquet").write_bytes(b"not a parquet file")
+
+    folded = compact_log_batches(spark, log_dir, keep_latest=1)
+    assert folded == [0, 1]
+    assert _log_rows(spark, log_dir) == rows_before
+    assert not stage.exists()

@@ -139,6 +139,44 @@ def test_merge_null_key_partial_update_no_insert(spark, tmp_path):
     assert rows == [(1, "a", 1.0), (None, "nullrow", 7.0)]
 
 
+def test_merge_null_delete_predicate_keeps_row(spark, tmp_path):
+    """A delete_when that evaluates to NULL (not FALSE) on a matched
+    row must read as not-deleted — SQL MERGE deletes only where the
+    condition is TRUE. Regression: NULL predicate used to propagate
+    into `kept` and filter() silently dropped the row."""
+    target = str(tmp_path / "t")
+    merge_into(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA),
+        target,
+        on=["id"],
+        n_buckets=N_BUCKETS,
+    )
+    src = spark.createDataFrame([(1, "upd", None), (2, "del", -1.0)], SCHEMA)
+    merge_into(src, target, on=["id"], delete_when="s.bal < 0", n_buckets=N_BUCKETS)
+    snap = _snap(spark, target)
+    assert 2 not in snap                 # TRUE predicate still deletes
+    assert snap[1] == ("upd", None)      # NULL predicate -> kept + updated
+
+
+def test_merge_refuses_partitioned_legacy_layout(spark, tmp_path):
+    """A target partitioned by anything other than _bucket= (part
+    files in subdirs, nothing at root level) must also be rejected —
+    root-glob-only detection used to read it as an empty target."""
+    import pytest
+
+    target = str(tmp_path / "legacy_part")
+    spark.createDataFrame(
+        [(1, "a", 1.0, "2024-01-01")], SCHEMA + ", dt string"
+    ).write.partitionBy("dt").parquet(target)
+    with pytest.raises(ValueError, match="non-bucketed"):
+        merge_into(
+            spark.createDataFrame([(2, "b", 2.0)], SCHEMA),
+            target,
+            on=["id"],
+            n_buckets=N_BUCKETS,
+        )
+
+
 def test_merge_refuses_non_bucketed_target(spark, tmp_path):
     """A directory holding a plain (root part files) parquet layout
     must be rejected, not silently treated as an empty target."""
