@@ -76,6 +76,45 @@ def assert_bucket_layout(path: str | Path) -> None:
         )
 
 
+SCHEMA_SIDECAR = "_schema.json"
+
+
+def write_schema_sidecar(target: str | Path, schema) -> None:
+    """Record the merge target's current (possibly evolved) schema in a
+    root-level sidecar. Underscore-prefixed => invisible to Spark's
+    file listing. Atomic rename so readers never see a torn file."""
+    p = Path(target)
+    p.mkdir(parents=True, exist_ok=True)
+    tmp = p / (SCHEMA_SIDECAR + ".tmp")
+    tmp.write_text(schema.json())
+    tmp.replace(p / SCHEMA_SIDECAR)
+
+
+def target_schema(target: str | Path):
+    """The evolved schema recorded by the last merge into `target`, or
+    None when no sidecar exists (pre-evolution layouts)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    p = Path(target) / SCHEMA_SIDECAR
+    if not p.exists():
+        return None
+    return StructType.fromJson(json.loads(p.read_text()))
+
+
+def read_merge_target(spark, target: str | Path) -> DataFrame:
+    """Read a bucketed merge target under its EVOLVED schema: after a
+    schema-evolving merge, untouched bucket files still lack the new
+    columns (they are never rewritten), so a plain read would pick an
+    arbitrary footer and could silently drop evolved columns. The
+    sidecar schema makes old files read the missing columns as NULL;
+    without a sidecar, fall back to footer merging."""
+    ts = target_schema(target)
+    reader = spark.read.schema(ts) if ts is not None else spark.read.option("mergeSchema", "true")
+    return reader.parquet(str(target))
+
+
 def overwrite_buckets(
     df: DataFrame,
     target: str | Path,
@@ -115,6 +154,7 @@ def upsert_parquet(
     order_cols: Sequence[str] = ("ts_ms",),
     op_col: str = "op",
     n_buckets: int = 16,
+    evolve_schema: bool = False,
 ) -> None:
     """Merge a c/u/d changelog into a parquet target: latest event per
     key wins over the current snapshot, deletes drop keys.
@@ -128,7 +168,15 @@ def upsert_parquet(
     /UPDATE=(key) / /DELETE=(key) apply (Main.java:456-498) expressed
     as partition-scoped file replacement. A lakehouse deployment swaps
     this for Delta/Iceberg MERGE with the same ordering contract.
-    """
+
+    With ``evolve_schema=True`` a changelog that gained columns merges
+    anyway (the reference logs upstream DDL, Main.java:293-310; this is
+    the apply side): new columns append to the target schema, existing
+    rows read them as NULL, and untouched buckets are STILL not
+    rewritten — the evolved schema lives in a root sidecar consumed by
+    ``read_merge_target`` (Delta's mergeSchema on the bucketed layout).
+    Columns missing from the changelog backfill NULL on new rows.
+    Without the flag, any column-set drift raises."""
     spark = changes.sparkSession
     target = Path(target_dir)
     assert_bucket_layout(target)
@@ -145,17 +193,34 @@ def upsert_parquet(
         if not touched:
             return
         base = staged
+        out_cols = [c for c in changes.columns]
         if has_bucketed_data(target):
             current = (
-                spark.read.parquet(str(target))
+                read_merge_target(spark, target)
                 .filter(F.col("_bucket").isin(touched))  # partition-pruned scan
                 .withColumn("_is_snapshot", F.lit(1))
             )
-            base = staged.unionByName(current)
-        snap = latest_snapshot(
-            base, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
-        ).drop("_is_snapshot")
+            if set(current.columns) != set(staged.columns):
+                if not evolve_schema:
+                    drift = set(current.columns) ^ set(staged.columns)
+                    raise ValueError(
+                        f"changelog/target column drift {sorted(drift)}; pass "
+                        "evolve_schema=True to evolve the target"
+                    )
+                base = staged.unionByName(current, allowMissingColumns=True)
+                tgt_data = [c for c in current.columns if c not in ("_bucket", "_is_snapshot")]
+                out_cols = tgt_data + [c for c in out_cols if c not in tgt_data]
+            else:
+                base = staged.unionByName(current)
+        snap = (
+            latest_snapshot(
+                base, key_cols=key_cols, order_cols=[*order_cols, "_is_snapshot"], op_col=op_col
+            )
+            .drop("_is_snapshot")
+            .select(*out_cols, "_bucket")  # stable evolved column order
+        )
         overwrite_buckets(snap, target, ("_bucket",), touched)
+        write_schema_sidecar(target, snap.schema)
     finally:
         staged.unpersist()
 
@@ -357,6 +422,7 @@ def merge_into(
     delete_when: str | None = None,
     insert: bool = True,
     n_buckets: int = 16,
+    evolve_schema: bool = False,
 ) -> None:
     """Lakehouse-MERGE facade over the bucket-partitioned parquet
     layout: one call expresses the reference's generated /UPDATE=(key)
@@ -370,24 +436,41 @@ def merge_into(
     - unmatched source rows are inserted when `insert`;
     - unmatched target rows pass through untouched.
 
-    Source and target must be schema-aligned. I/O follows the merge
-    sinks' bucket discipline: only buckets containing source keys are
-    read and rewritten (dynamic partition overwrite), so cost scales
-    with touched buckets, not table size. Swaps 1:1 for a real
-    Delta/Iceberg MERGE INTO when those libs are present."""
+    Source and target must be schema-aligned unless
+    ``evolve_schema=True``, which appends new source columns to the
+    target schema (existing rows + untouched buckets read them as NULL
+    via the root schema sidecar — no rewrite) and keeps target-only
+    columns (matched rows retain their value, inserted rows get NULL).
+    I/O follows the merge sinks' bucket discipline: only buckets
+    containing source keys are read and rewritten (dynamic partition
+    overwrite), so cost scales with touched buckets, not table size.
+    Swaps 1:1 for a real Delta/Iceberg MERGE INTO when those libs are
+    present."""
     spark = source.sparkSession
     target = Path(target_dir)
     assert_bucket_layout(target)
-    cols = [c for c in source.columns]
     staged = source.withColumn("_bucket", key_bucket(on, n_buckets)).persist()
     try:
         touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
         if not touched:
             return
         if has_bucketed_data(target):
-            current = spark.read.parquet(str(target)).filter(F.col("_bucket").isin(touched))
+            current = read_merge_target(spark, target).filter(F.col("_bucket").isin(touched))
         else:
             current = spark.createDataFrame([], staged.schema)
+        src_set = set(source.columns)
+        tgt_data = [c for c in current.columns if c != "_bucket"]
+        tgt_set = set(tgt_data)
+        if src_set != tgt_set and not evolve_schema:
+            raise ValueError(
+                f"source/target column drift {sorted(src_set ^ tgt_set)}; pass "
+                "evolve_schema=True to evolve the target"
+            )
+        # Evolved order: target columns first, new source columns appended.
+        cols = tgt_data + [c for c in source.columns if c not in tgt_set]
+        dtypes = {f.name: f.dataType for f in current.schema.fields}
+        for f in source.schema.fields:
+            dtypes.setdefault(f.name, f.dataType)
         s, t = staged.alias("s"), current.alias("t")
         joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in on], "full_outer")
         # Presence markers must use _bucket (never null on its own
@@ -406,11 +489,16 @@ def merge_into(
         kept = ~deleted & (F.lit(True) if insert else ~s_only)
 
         def out(col: str) -> F.Column:
-            s_c, t_c = F.col(f"s.{col}"), F.col(f"t.{col}")
+            # Under evolution a column may exist on only one side; the
+            # missing side reads as a typed NULL (new-column backfill
+            # on target rows, target-only backfill on inserts).
+            in_s, in_t = col in src_set, col in tgt_set
+            s_c = F.col(f"s.{col}") if in_s else F.lit(None).cast(dtypes[col])
+            t_c = F.col(f"t.{col}") if in_t else F.lit(None).cast(dtypes[col])
             if col in on:
                 return F.when(s_only | matched, s_c).otherwise(t_c)
             if update == "all":
-                upd = s_c
+                upd = s_c if in_s else t_c  # matched rows keep target-only cols
             elif isinstance(update, dict):
                 upd = F.expr(update[col]) if col in update else t_c
             else:
@@ -422,5 +510,6 @@ def merge_into(
             F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
         )
         overwrite_buckets(merged, target, ("_bucket",), touched)
+        write_schema_sidecar(target, merged.schema)
     finally:
         staged.unpersist()

@@ -110,13 +110,18 @@ def upsert_foreach_batch(
     order_cols: Sequence[str] = ("ts_ms",),
     op_col: str = "op",
     n_buckets: int = 16,
+    evolve_schema: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch merge: new events + current snapshot -> latest per
     key, deletes dropped. The snapshot is key-hash-bucket partitioned
     and only buckets containing batch keys are read and rewritten
     (sinks.upsert_parquet), so per-trigger I/O scales with touched
     buckets, not table size. Idempotent under foreachBatch replay
-    (latest-per-key is a set operation). Maps 1:1 to Delta MERGE."""
+    (latest-per-key is a set operation). Maps 1:1 to Delta MERGE.
+    ``evolve_schema=True`` lets a changelog that gains columns
+    mid-stream (upstream ALTER TABLE; the reference logs the DDL event,
+    Main.java:293-310) widen the snapshot in place — null backfill,
+    untouched buckets never rewritten."""
     from ripcurrent_spark.sinks import upsert_parquet
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -127,6 +132,7 @@ def upsert_foreach_batch(
             order_cols=order_cols,
             op_col=op_col,
             n_buckets=n_buckets,
+            evolve_schema=evolve_schema,
         )
 
     return _apply
