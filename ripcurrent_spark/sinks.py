@@ -336,15 +336,18 @@ def _finish_log_compaction(spark, root: Path, stage: Path) -> list[int]:
     import json
     import shutil
 
-    fold = json.loads((stage / "_MANIFEST.json").read_text())["folded"]
+    manifest = json.loads((stage / "_MANIFEST.json").read_text())
+    fold = manifest["folded"]
+    part_cols = manifest.get("part_cols", ["_bucket", "_batch_id"])
+    pattern = "/".join(f"{c}=*" for c in part_cols)
     (
         spark.read.parquet(str(stage))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket", "_batch_id")
+        .partitionBy(*part_cols)
         .parquet(str(root))
     )
-    for d in root.glob("_bucket=*/_batch_id=*"):
+    for d in root.glob(pattern):
         if int(d.name.split("=", 1)[1]) in fold:
             shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
@@ -369,6 +372,11 @@ def compact_log_batches(
     runs offline between triggers (a lakehouse would checkpoint its
     transaction log the same way). Returns the folded batch ids.
 
+    Works on both layouts the streaming sinks produce: nested
+    ``_bucket=*/_batch_id=*`` (SCD2 changelog, dedup band-key index)
+    and flat ``_batch_id=*`` (dedup decisions) — detected from the
+    directory structure.
+
     Crash-safe: the new base (old base + folded batches) is first
     written to a durable sibling stage dir and sealed with a manifest;
     only then is it swapped into the log and the fold dirs deleted. A
@@ -387,28 +395,34 @@ def compact_log_batches(
     elif stage.exists():
         shutil.rmtree(stage)  # unsealed stage: prior run died mid-write; log untouched
 
+    nested = any(root.glob("_bucket=*"))
+    part_cols = ["_bucket", "_batch_id"] if nested else ["_batch_id"]
+    pattern = "/".join(f"{c}=*" for c in part_cols)
     batch_ids = sorted(
         {
             int(d.name.split("=", 1)[1])
-            for d in root.glob("_bucket=*/_batch_id=*")
+            for d in root.glob(pattern)
             if int(d.name.split("=", 1)[1]) != COMPACTED_BATCH_ID
         }
     )
     fold = batch_ids[:-keep_latest] if keep_latest > 0 else batch_ids
     if not fold:
         return sorted(recovered)
-    (
+    folded = (
         spark.read.parquet(str(root))
         .filter(F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID]))
         .withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
-        .repartition("_bucket")
-        .write.mode("overwrite")
+    )
+    if nested:
+        folded = folded.repartition("_bucket")
+    (
+        folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
-        .partitionBy("_bucket", "_batch_id")
+        .partitionBy(*part_cols)
         .parquet(str(stage))
     )
     tmp_manifest = stage / "_MANIFEST.json.tmp"
-    tmp_manifest.write_text(json.dumps({"folded": fold}))
+    tmp_manifest.write_text(json.dumps({"folded": fold, "part_cols": part_cols}))
     tmp_manifest.replace(stage / "_MANIFEST.json")  # atomic seal
     _finish_log_compaction(spark, root, stage)
     return sorted({*recovered, *fold})

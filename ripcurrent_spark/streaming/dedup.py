@@ -69,6 +69,47 @@ def _sig_agreement(a, b) -> F.Column:
     return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(a)
 
 
+def in_batch_candidates(bk: DataFrame, max_peers_per_band: int = 32) -> DataFrame:
+    """Candidate (doc, peer) pairs among batch peers sharing a band
+    key, with a hot-key cap: a band key held by <= `max_peers_per_band`
+    batch docs compares all pairs (the batch path's clique), but a
+    hotter key compares each doc against the key's MIN doc_id only (a
+    star). A degenerate trigger full of near-identical docs therefore
+    generates O(n) candidates per band key instead of O(n^2), and
+    recall for exactly that degenerate case is preserved — every
+    member of a hot near-dup cluster still meets the cluster's
+    canonical (min-id) representative, which is the `dup_of` the
+    un-capped clique would have assigned anyway (lowest-id-wins).
+    Columns: doc_id, sig, peer_id, peer_sig (peer_id < doc_id)."""
+    stats = bk.groupBy("bkey").agg(
+        F.count(F.lit(1)).alias("_kn"), F.min("doc_id").alias("_kmin")
+    )
+    bks = bk.join(stats, "bkey")
+    cold = bks.filter(F.col("_kn") <= max_peers_per_band).select("bkey", "doc_id", "sig")
+    cold_pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"), "bkey")
+        .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sig").alias("sig"),
+            F.col("b.doc_id").alias("peer_id"),
+            F.col("b.sig").alias("peer_sig"),
+        )
+    )
+    hot = bks.filter(F.col("_kn") > max_peers_per_band)
+    reps = hot.filter(F.col("doc_id") == F.col("_kmin")).select(
+        "bkey", F.col("doc_id").alias("peer_id"), F.col("sig").alias("peer_sig")
+    )
+    hot_pairs = (
+        hot.filter(F.col("doc_id") != F.col("_kmin"))
+        .select("bkey", "doc_id", "sig")
+        .join(reps, "bkey")
+        .select("doc_id", "sig", "peer_id", "peer_sig")
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def streaming_dedup_foreach_batch(
     index_dir: str,
     decisions_dir: str,
@@ -77,6 +118,7 @@ def streaming_dedup_foreach_batch(
     k: int = 12,
     bands: int = 4,
     rows: int = 3,
+    max_peers_per_band: int = 32,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch fn for a (doc_id, text) stream: write per-doc
     admit/duplicate decisions and grow the band-key index with the
@@ -113,16 +155,15 @@ def streaming_dedup_foreach_batch(
                 .agg(F.min("idx_doc_id").alias("dup_of"))
             )
 
-        # In-batch duplicates: same band-key join against batch peers;
-        # the lower doc_id is the canonical survivor.
+        # In-batch duplicates: band-key join against batch peers with
+        # the hot-key cap (see in_batch_candidates); the lower doc_id
+        # is the canonical survivor.
         peers = (
-            bk.alias("a")
-            .join(bk.alias("b"), "bkey")
-            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
-            .withColumn("est_j", _sig_agreement(F.col("a.sig"), F.col("b.sig")))
+            in_batch_candidates(bk, max_peers_per_band)
+            .withColumn("est_j", _sig_agreement(F.col("sig"), F.col("peer_sig")))
             .filter(F.col("est_j") >= threshold)
-            .groupBy(F.col("a.doc_id").alias("doc_id"))
-            .agg(F.min(F.col("b.doc_id")).alias("dup_of_peer"))
+            .groupBy("doc_id")
+            .agg(F.min("peer_id").alias("dup_of_peer"))
         )
 
         decisions = (
@@ -162,6 +203,27 @@ def streaming_dedup_foreach_batch(
         bk.unpersist()
 
     return _apply
+
+
+def compact_dedup_state(
+    spark, index_dir: str, decisions_dir: str, keep_latest: int = 1
+) -> dict[str, list[int]]:
+    """Long-run maintenance for the streaming dedup state: both the
+    band-key index (``_bucket=*/_batch_id=*``) and the decisions log
+    (``_batch_id=*``) accrue one partition per trigger forever; fold
+    closed batches into each dir's compacted base (sinks.
+    compact_log_batches — crash-safe, replay-compatible: the newest
+    `keep_latest` batch partitions stay in place so an at-least-once
+    replay still overwrites its own partition). Index reads keep
+    working unchanged — the base's ``_batch_id=-1`` never equals a
+    live batch id, so the own-batch exclusion filter is unaffected.
+    Run offline between triggers, like any OPTIMIZE."""
+    from ripcurrent_spark.sinks import compact_log_batches
+
+    return {
+        "index": compact_log_batches(spark, index_dir, keep_latest=keep_latest),
+        "decisions": compact_log_batches(spark, decisions_dir, keep_latest=keep_latest),
+    }
 
 
 def read_decisions(spark, decisions_dir: str) -> DataFrame:

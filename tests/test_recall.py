@@ -122,3 +122,47 @@ def test_streaming_dedup_recall_matches_batch(spark, tmp_path):
         if not r.is_duplicate
     }
     assert {i for i, _ in base} <= admitted
+
+
+def test_streaming_dedup_hot_band_key_capped(spark, tmp_path):
+    """A degenerate trigger full of near-identical docs must NOT go
+    quadratic in the in-batch peer join: above the per-band-key cap
+    each doc compares only against the key's min-id representative
+    (star, O(n) candidates) instead of every peer (clique, O(n^2)) —
+    and for exactly this degenerate case recall is unchanged, because
+    lowest-id-wins would have picked that representative anyway."""
+    from ripcurrent_spark.streaming.dedup import (
+        band_keyed_signatures,
+        in_batch_candidates,
+        streaming_dedup_foreach_batch,
+    )
+
+    n_hot = 60
+    base_words = " ".join(f"w{i}" for i in range(40))
+    hot = [(i, base_words) for i in range(n_hot)]          # identical docs
+    rng_docs = [(100 + i, " ".join(f"u{i}x{j}" for j in range(40))) for i in range(5)]
+    batch = spark.createDataFrame(hot + rng_docs, "doc_id long, text string")
+
+    bk = band_keyed_signatures(batch)
+    cap = 8
+    n_cands = in_batch_candidates(bk, max_peers_per_band=cap).count()
+    bands = 4
+    # Star bound: <= (n-1) per hot band key x 4 band keys, plus the
+    # tiny cold contribution. The clique would be 4 * C(60,2) = 7080.
+    assert n_cands <= bands * (n_hot - 1) + 50, n_cands
+    clique = bk.alias("a").join(bk.alias("b"), "bkey").filter("b.doc_id < a.doc_id").count()
+    assert clique >= 4 * (n_hot * (n_hot - 1) // 2)  # the blow-up we avoided
+
+    # Recall through the full decision path: everyone dups to doc 0.
+    fn = streaming_dedup_foreach_batch(
+        str(tmp_path / "idx"), str(tmp_path / "dec"),
+        threshold=0.7, max_peers_per_band=cap,
+    )
+    fn(batch, 0)
+    dec = {r.doc_id: (r.is_duplicate, r.dup_of)
+           for r in spark.read.parquet(str(tmp_path / "dec")).collect()}
+    assert dec[0] == (False, None)                      # canonical survivor
+    for i in range(1, n_hot):
+        assert dec[i] == (True, 0), f"doc {i}: {dec[i]}"
+    for i, _ in rng_docs:
+        assert dec[i][0] is False                       # distinct docs admitted

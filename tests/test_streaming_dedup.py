@@ -116,3 +116,67 @@ def test_streaming_dedup_replay_idempotent(spark, tmp_path):
     # One index row per (admitted doc, band key): replay overwrote.
     n_rows = spark.read.parquet(str(index)).count()
     assert n_rows == spark.read.parquet(str(index)).dropDuplicates(["doc_id", "bkey"]).count()
+
+
+def test_dedup_state_compaction_bounds_partitions(spark, tmp_path):
+    """Long-run maintenance: folding closed trigger partitions of the
+    band-key index and decisions log preserves decision content
+    exactly, keeps later batches deduping against the folded index,
+    and keeps replay of the newest batch idempotent."""
+    from pathlib import Path
+
+    from ripcurrent_spark.sinks import COMPACTED_BATCH_ID
+    from ripcurrent_spark.streaming.dedup import compact_dedup_state
+
+    index, decisions = str(tmp_path / "idx"), str(tmp_path / "dec")
+    fn = streaming_dedup_foreach_batch(index, decisions)
+    batches = [
+        [(1, A), (2, B)],
+        [(3, C)],
+        [(4, "totally new words about mountains glaciers and climbing ropes in the alps today")],
+    ]
+    for i, docs in enumerate(batches):
+        fn(spark.createDataFrame(docs, "doc_id long, text string"), i)
+
+    dec_before = sorted(
+        (r.doc_id, r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(decisions).collect()
+    )
+    idx_before = sorted(
+        (r.doc_id, r.bkey) for r in spark.read.parquet(index).collect()
+    )
+
+    folded = compact_dedup_state(spark, index, decisions, keep_latest=1)
+    assert folded == {"index": [0, 1], "decisions": [0, 1]}
+    # Partition count bounded: base + newest batch only.
+    dec_ids = {int(d.name.split("=", 1)[1]) for d in Path(decisions).glob("_batch_id=*")}
+    assert dec_ids == {COMPACTED_BATCH_ID, 2}
+    idx_ids = {
+        int(d.name.split("=", 1)[1]) for d in Path(index).glob("_bucket=*/_batch_id=*")
+    }
+    assert idx_ids == {COMPACTED_BATCH_ID, 2}
+    # Content preserved exactly.
+    assert sorted(
+        (r.doc_id, r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(decisions).collect()
+    ) == dec_before
+    assert sorted(
+        (r.doc_id, r.bkey) for r in spark.read.parquet(index).collect()
+    ) == idx_before
+
+    # New batch still dedups against FOLDED index rows (doc 1 is in the
+    # base partition now).
+    fn(spark.createDataFrame([(9, A_NEAR)], "doc_id long, text string"), 3)
+    dec = {
+        r.doc_id: (r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert dec[9] == (True, 1)
+    # Replay of the kept (newest pre-compaction) batch: idempotent.
+    fn(spark.createDataFrame(batches[2], "doc_id long, text string"), 2)
+    assert {
+        r.doc_id: (r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(decisions).collect()
+    }[4] == (False, None)
+    n_rows = spark.read.parquet(index).count()
+    assert n_rows == spark.read.parquet(index).dropDuplicates(["doc_id", "bkey"]).count()
