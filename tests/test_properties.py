@@ -89,3 +89,119 @@ def test_split_label_disjoint_exhaustive(spark, ids):
 def test_fpe_digits_roundtrip(spark, vals):
     out = _col_out(spark, vals, M.fpe_digits_decode(M.fpe_digits(F.col("v"))))
     assert out == vals
+
+
+# ---------------------------------------------------------------------------
+# Randomized merge/upsert/compaction sequences vs a naive in-memory
+# model (the round-2 review found a NULL-key merge bug only AFTER the
+# fact — this hunts that class up front). Each example replays a
+# random interleaving of changelog upserts, MERGE INTO calls with
+# random update/insert/delete settings, and offline compactions
+# against a dict model; at the end the bucketed target must equal the
+# model exactly. 25 examples x 8-10 ops >= 200 generated op-cases.
+# ---------------------------------------------------------------------------
+
+MERGE_SCHEMA = "op string, ts_ms long, id int, val string, bal int"
+
+_upsert_events = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(min_value=0, max_value=11),
+        st.sampled_from(["x", "y", "z"]),
+        st.integers(min_value=-5, max_value=5),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-5, max_value=5),
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],  # MERGE requires unique source keys
+)
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _upsert_events),
+        st.tuples(
+            st.just("merge"),
+            _merge_rows,
+            st.sampled_from(["all", None]),  # update mode
+            st.booleans(),                   # insert
+            st.booleans(),                   # use delete_when
+        ),
+        st.tuples(st.just("compact")),
+    ),
+    min_size=8,
+    max_size=10,
+)
+
+
+@given(_ops)
+@settings(max_examples=25, deadline=None)
+def test_merge_sequences_match_naive_model(spark, seq):
+    import itertools
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ripcurrent_spark.sinks import (
+        compact_snapshot_buckets,
+        has_bucketed_data,
+        merge_into,
+        read_merge_target,
+        upsert_parquet,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="mergeprop")
+    target = str(Path(tdir) / "t")
+    ts = itertools.count(1)  # strictly increasing event time
+    model: dict[int, tuple] = {}
+    try:
+        for op in seq:
+            if op[0] == "upsert":
+                events = [(o, next(ts), i, v, b) for (o, i, v, b) in op[1]]
+                upsert_parquet(
+                    spark.createDataFrame(events, MERGE_SCHEMA),
+                    target, key_cols=["id"], n_buckets=4,
+                )
+                for e in events:  # latest-per-key == sequential apply (ts increasing)
+                    if e[0] == "d":
+                        model.pop(e[2], None)
+                    else:
+                        model[e[2]] = e
+            elif op[0] == "merge":
+                _, rows, update, insert, use_del = op
+                events = [("u", next(ts), i, v, b) for (i, v, b) in rows]
+                merge_into(
+                    spark.createDataFrame(events, MERGE_SCHEMA),
+                    target, on=["id"], update=update, insert=insert,
+                    delete_when="s.bal < 0" if use_del else None, n_buckets=4,
+                )
+                for e in events:
+                    i, b = e[2], e[4]
+                    if i in model:
+                        if use_del and b < 0:
+                            del model[i]
+                        elif update == "all":
+                            model[i] = e
+                    elif insert:
+                        model[i] = e
+            else:
+                compact_snapshot_buckets(spark, target, min_files=2)
+
+        if has_bucketed_data(target):
+            got = {
+                r.id: (r.op, r.ts_ms, r.id, r.val, r.bal)
+                for r in read_merge_target(spark, target).collect()
+            }
+        else:
+            got = {}
+        assert got == model
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
