@@ -19,6 +19,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Before the JVM launches: make google.protobuf importable (vendored
+    # fallback) so transformWithStateInPandas workers can speak the
+    # state-server protocol. No-op when the real wheel is installed.
+    from ripcurrent_spark.protoshim import ensure_protobuf
+
+    try:
+        ensure_protobuf()
+    except ImportError:  # pragma: no cover - shim missing entirely
+        pass
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     builder = SparkSession.builder.appName(app_name)
     if master:

@@ -9,9 +9,11 @@ O(keys) state, no reprocessing. A TTL (optional) bounds state for
 keys that go quiet — the piece applyInPandasWithState lacks natively.
 
 Environment note: the transformWithState protocol requires
-google.protobuf at runtime (absent in this test image, so the e2e
-test import-skips there); sessions.sessionize_stateful covers the
-same cross-batch-state semantics on the older API.
+google.protobuf at runtime. On images without the wheel, the session
+factory installs the vendored minimal proto3 runtime
+(ripcurrent_spark/_vendor via protoshim.ensure_protobuf) before the
+JVM starts, so the e2e runs everywhere. Requires the RocksDB state
+store provider (named state variables = column families).
 """
 
 from __future__ import annotations
@@ -64,6 +66,62 @@ def running_user_totals(
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_make_processor(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+CATEGORY_OUTPUT_SCHEMA = "user_id long, event_type string, n long"
+
+
+def _make_category_processor():
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CategoryCounts(StatefulProcessor):
+        """MapState: per-key map<event_type, count>, re-emitting the
+        key's FULL category histogram every batch the key appears in —
+        the streaming twin of groupBy(key, type).count() but with
+        O(keys x types) state and update-only output."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "cat_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
+        ) -> Iterator["pd.DataFrame"]:
+            for pdf in rows:
+                for etype, cnt in pdf["event_type"].value_counts().items():
+                    k = (etype,)
+                    prev = self._counts.getValue(k) if self._counts.containsKey(k) else (0,)
+                    self._counts.updateValue(k, (prev[0] + int(cnt),))
+            types, counts = [], []
+            for (etype,), (n,) in self._counts.iterator():
+                types.append(etype)
+                counts.append(n)
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(types), "event_type": types, "n": counts}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return CategoryCounts()
+
+
+def running_category_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key per-category running counts via MapState (user-keyed
+    map<event_type,long>), emitted as updates. Exercises the MapState
+    protocol surface: containsKey / getValue / updateValue / iterator."""
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_make_category_processor(),
+        outputStructType=CATEGORY_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

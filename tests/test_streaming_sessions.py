@@ -171,26 +171,45 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     """transformWithStateInPandas keeps named per-key state across
     micro-batches: totals emitted in batch 2 must include batch 1.
 
-    The API's state-server protocol needs google.protobuf, which this
-    image lacks — skip there; the applyInPandasWithState tests above
-    cover the same cross-batch-state semantics on the older API."""
-    pytest.importorskip("google.protobuf.descriptor")
+    The API's state-server protocol needs google.protobuf; on images
+    without the wheel the vendored minimal runtime
+    (ripcurrent_spark/_vendor) backs the generated pb2 module — the
+    session factory installs it before the JVM starts, so this e2e now
+    runs everywhere."""
+    from ripcurrent_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
     from ripcurrent_spark.streaming.stateful import running_user_totals
 
-    src = tmp_path / "tws"
-    _write_batches(
-        src,
-        [
-            [_ev(0, 1, 1.0), _ev(1, 2, 2.0)],
-            [_ev(2, 1, 4.0), _ev(3, 1, 8.0)],
-        ],
+    # transformWithState keeps each named state variable in its own
+    # column family — only the RocksDB provider supports that.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    out = running_user_totals(_read_stream(spark, src))
-    q = (
-        out.writeStream.format("memory").queryName("tws_totals")
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
+
+    try:
+        src = tmp_path / "tws"
+        _write_batches(
+            src,
+            [
+                [_ev(0, 1, 1.0), _ev(1, 2, 2.0)],
+                [_ev(2, 1, 4.0), _ev(3, 1, 8.0)],
+            ],
+        )
+        out = running_user_totals(_read_stream(spark, src))
+        q = (
+            out.writeStream.format("memory").queryName("tws_totals")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     rows = spark.table("tws_totals").collect()
     # final (largest) emission per user carries the lifetime totals
     final = {}
@@ -199,3 +218,63 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             final[r.user_id] = (r.n_events, float(r.total_value))
     assert final[1] == (3, 13.0)
     assert final[2] == (1, 2.0)
+
+
+def test_transform_with_state_map_state_category_counts(spark, tmp_path):
+    """MapState keeps a per-key map<event_type,count> across batches;
+    the emitted histogram after batch 2 includes batch-1 counts, and
+    categories untouched in a batch are still re-emitted (full-map
+    iterator)."""
+    from ripcurrent_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
+    from ripcurrent_spark.streaming.stateful import running_category_counts
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "tws_map"
+        _write_batches(
+            src,
+            [
+                [
+                    {**_ev(0, 1, 1.0), "event_type": "click"},
+                    {**_ev(1, 1, 1.0), "event_type": "view"},
+                    {**_ev(2, 2, 1.0), "event_type": "click"},
+                ],
+                [
+                    {**_ev(3, 1, 1.0), "event_type": "click"},
+                ],
+            ],
+        )
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, value double, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        out = running_category_counts(stream)
+        q = (
+            out.writeStream.format("memory").queryName("tws_cats")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    rows = spark.table("tws_cats").collect()
+    # keep the final (max) count seen per (user, type)
+    final = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        final[k] = max(final.get(k, 0), r.n)
+    assert final[(1, "click")] == 2  # batch1 + batch2
+    assert final[(1, "view")] == 1  # untouched in batch2 but re-emitted
+    assert final[(2, "click")] == 1
