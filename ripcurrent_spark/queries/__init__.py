@@ -103,11 +103,13 @@ def all_queries() -> dict[str, Query]:
         cdc,
         curation,
         dedup,
+        layout,
         masking,
         multimodal,
         pipeline,
         relational,
         relational_ext,
+        search,
         text,
     )
 

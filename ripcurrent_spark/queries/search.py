@@ -1,0 +1,409 @@
+"""Retrieval + robust-statistics operators: BM25 relevance scoring,
+character-entropy quality signal, a mergeable Bloom-filter membership
+sketch, and median/MAD robust outlier detection.
+
+These extend the training-data-pipeline surface (corpus search,
+quality filtering, fast membership tests, robust anomaly cuts) with
+the same discipline as the rest of the registry: exact DuckDB oracles,
+deterministic arithmetic (identical operand ORDER on both engines so
+IEEE doubles match bit-for-bit), no Python in the hot path.
+
+Scale posture (100 TB):
+- BM25: corpus stats (N, df, Σdl) collapse to ONE row broadcast back;
+  per-doc scoring is a scan-side expression — one small agg + one
+  scan, no joins on the big side.
+- Char entropy: zero-shuffle scan expression (fixed-alphabet counts
+  via length-difference, folded in alphabet order).
+- Bloom: per-partition partial agg collapses to <= 32 words/partition;
+  the groupBy IS the sketch merge (same shape as the count-min
+  sketch). Probes join against 32 broadcast rows.
+- MAD: exact percentile needs per-group sort; at 100 TB swap
+  percentile -> approx_percentile per group (same plan shape), or
+  pre-bucket values (the histogram operator) and interpolate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.functions.hashing import h32, h32_sql
+from ripcurrent_spark.io import load
+from ripcurrent_spark.operators.dedup import tokens, tokens_sql
+from ripcurrent_spark.queries import register
+
+# ------------------------------------------------------------------ BM25
+QUERY_TERMS = ("spark", "join", "stream")
+K1 = 1.2
+B = 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len({tokens_sql('text')}) AS dl,
+         len(list_filter({tokens_sql('text')}, x -> x = '{QUERY_TERMS[0]}')) AS tf0,
+         len(list_filter({tokens_sql('text')}, x -> x = '{QUERY_TERMS[1]}')) AS tf1,
+         len(list_filter({tokens_sql('text')}, x -> x = '{QUERY_TERMS[2]}')) AS tf2
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         sum(dl) AS sumdl
+  FROM t
+),
+scored AS (
+  SELECT doc_id, dl, tf0, tf1, tf2,
+         round(
+           ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             * (tf0 * ({K1} + 1.0))
+             / (tf0 + {K1} * (1.0 - {B} + {B} * dl / (CAST(sumdl AS DOUBLE) / n)))
+         + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             * (tf1 * ({K1} + 1.0))
+             / (tf1 + {K1} * (1.0 - {B} + {B} * dl / (CAST(sumdl AS DOUBLE) / n)))
+         + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             * (tf2 * ({K1} + 1.0))
+             / (tf2 + {K1} * (1.0 - {B} + {B} * dl / (CAST(sumdl AS DOUBLE) / n)))
+         , 6) AS bm25
+  FROM t, s
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(tf0 + tf1 + tf2 AS BIGINT) AS tf_total, bm25
+FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT 100
+""",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) of a fixed 3-term query over `documents`.
+
+    Corpus stats (N, per-term df, Σdl) reduce to one row that is
+    broadcast back onto the scan (crossJoin of a 1-row frame); the
+    summation over query terms is written out in fixed term order so
+    the IEEE result matches the oracle bit-for-bit.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def tf_col(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(term).alias(f"tf{i}") for i, term in enumerate(QUERY_TERMS)],
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+        F.sum("dl").alias("sumdl"),
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf{i}")
+        idf = F.log((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0)
+        return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * F.col("dl") / avgdl))
+
+    bm25 = F.round(term_score(0) + term_score(1) + term_score(2), 6)
+    return (
+        scored.withColumn("bm25", bm25)
+        .filter(F.col("bm25") > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            (F.col("tf0") + F.col("tf1") + F.col("tf2")).cast("long").alias("tf_total"),
+            "bm25",
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------ character entropy
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _norm_sql(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _entropy_terms_sql() -> str:
+    # Σ c*ln(c) over the fixed alphabet, in alphabet order (deterministic
+    # operand order => bit-identical doubles on both engines).
+    parts = []
+    for ch in _ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        cnt = f"(length(t) - length(replace(t, {lit}, '')))"
+        parts.append(f"(CASE WHEN {cnt} > 0 THEN {cnt} * ln({cnt}) ELSE 0.0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_norm,
+       round(CASE WHEN length(t) = 0 THEN 0.0
+             ELSE (ln(length(t)) - ({_entropy_terms_sql()}) / length(t)) / ln(2.0)
+             END, 6) AS entropy_bits
+FROM t
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy (bits/char) of the normalized text —
+    a cheap perplexity proxy for corpus quality cuts (gibberish and
+    boilerplate sit at the tails).
+
+    Zero-shuffle: per-character counts come from length differences
+    against a FIXED 37-symbol alphabet (no explode/groupBy), and
+    H = ln(n) - (Σ c·ln c)/n is folded in alphabet order.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")).alias("t"),
+    )
+    n = F.length("t")
+    terms: Column = F.lit(0.0)
+    for ch in _ALPHABET:
+        cnt = n - F.length(F.replace(F.col("t"), F.lit(ch), F.lit("")))
+        terms = terms + F.when(cnt > 0, cnt * F.log(cnt.cast("double"))).otherwise(0.0)
+    entropy = F.when(n == 0, 0.0).otherwise(
+        (F.log(n.cast("double")) - terms / n) / F.lit(float(__import__("math").log(2.0)))
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_norm"),
+        F.round(entropy, 6).alias("entropy_bits"),
+    )
+
+
+# ------------------------------------------------------------ Bloom filter
+_BLOOM_BITS = 1024
+_BLOOM_WORD = 32  # bits per word: masks stay well under 2^63
+_BLOOM_K = 3
+_PROBES = (
+    "Customer#000000001",
+    "Customer#000000002",
+    "Customer#000000007",
+    "no-such-customer-a",
+    "no-such-customer-b",
+    "no-such-customer-c",
+)
+
+
+def _bloom_build_sql() -> str:
+    """32 (word_idx, word_bits) rows for rich customers (acctbal>9000)."""
+    pos = lambda j: f"({h32_sql('c_name', f'bloom{j}')} % {_BLOOM_BITS})"  # noqa: E731
+    unions = " UNION ALL ".join(
+        f"SELECT {pos(j)} // {_BLOOM_WORD} AS word_idx, "
+        f"CAST(1 AS BIGINT) << ({pos(j)} % {_BLOOM_WORD}) AS mask "
+        f"FROM customer WHERE c_acctbal > 9000"
+        for j in range(_BLOOM_K)
+    )
+    return f"SELECT word_idx, bit_or(mask) AS word_bits FROM ({unions}) GROUP BY word_idx"
+
+
+@register(
+    "q_bloom_membership",
+    oracle=f"""
+WITH words AS ({_bloom_build_sql()}),
+probes AS (
+  SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _PROBES)}) v(probe_key)
+),
+probe_bits AS (
+  SELECT p.probe_key, j.j,
+         (CAST('0x' || substr(md5(concat('bloom' || j.j || ':', p.probe_key)), 1, 8) AS BIGINT)
+           % {_BLOOM_BITS}) AS pos
+  FROM probes p, (SELECT * FROM range({_BLOOM_K}) t(j)) j
+),
+hits AS (
+  SELECT pb.probe_key,
+         min(CASE WHEN coalesce(w.word_bits, 0) & (CAST(1 AS BIGINT) << (pb.pos % {_BLOOM_WORD})) != 0
+             THEN 1 ELSE 0 END) AS all_set
+  FROM probe_bits pb LEFT JOIN words w ON w.word_idx = pb.pos // {_BLOOM_WORD}
+  GROUP BY pb.probe_key
+),
+truth AS (
+  SELECT p.probe_key,
+         CASE WHEN EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_name = p.probe_key AND c.c_acctbal > 9000)
+              THEN 1 ELSE 0 END AS actual
+  FROM probes p
+)
+SELECT h.probe_key, CAST(h.all_set AS INT) AS bloom_hit, CAST(t.actual AS INT) AS actual,
+       (SELECT CAST(sum(bit_count(word_bits)) AS BIGINT) FROM words) AS n_set_bits
+FROM hits h JOIN truth t ON h.probe_key = t.probe_key
+ORDER BY h.probe_key
+""",
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership sketch over a selective key set
+    (customers with acctbal > 9000), then probe 6 fixed keys.
+
+    Build: each key emits k=3 (word_idx, bit-mask) pairs; partial
+    bit_or collapses every partition to <= 32 cells, and the final
+    groupBy(word_idx).bit_or IS the sketch merge — the same mergeable-
+    sketch shape as the count-min operator, so two corpora's filters
+    union by OR-ing 32 words. Probes check all k positions against the
+    32 broadcast words. md5-derived positions make build and probe
+    bit-identical on both engines (no false-positive drift).
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    builds = []
+    for j in range(_BLOOM_K):
+        pos = h32("c_name", seed=f"bloom{j}") % _BLOOM_BITS
+        # mask = 1 << (pos % 32); pow is exact for exponents <= 31 and
+        # avoids shiftleft's literal-only shift argument.
+        builds.append(
+            c.select(
+                (pos / _BLOOM_WORD).cast("long").alias("word_idx"),
+                F.pow(F.lit(2.0), (pos % _BLOOM_WORD).cast("double")).cast("long").alias("mask"),
+            )
+        )
+    all_bits = builds[0]
+    for b in builds[1:]:
+        all_bits = all_bits.unionAll(b)
+    words = all_bits.groupBy("word_idx").agg(F.bit_or("mask").alias("word_bits"))
+
+    probes = spark.createDataFrame([(p,) for p in _PROBES], "probe_key string")
+    js = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+    probe_bits = probes.crossJoin(js).select(
+        "probe_key",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("bloom"), F.col("j"), F.lit(":"), F.col("probe_key"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        ).alias("pos"),
+    )
+    hits = (
+        probe_bits.join(
+            F.broadcast(words),
+            (F.col("pos") / _BLOOM_WORD).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "probe_key",
+            F.when(
+                F.coalesce(F.col("word_bits"), F.lit(0)).bitwiseAND(
+                    F.pow(F.lit(2.0), (F.col("pos") % _BLOOM_WORD).cast("double")).cast("long")
+                )
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("set_j"),
+        )
+        .groupBy("probe_key")
+        .agg(F.min("set_j").alias("all_set"))
+    )
+    truth = probes.join(
+        c.select(F.col("c_name").alias("probe_key")).distinct(), "probe_key", "left_semi"
+    ).withColumn("actual", F.lit(1))
+    truth = probes.join(truth, "probe_key", "left").select(
+        "probe_key", F.coalesce("actual", F.lit(0)).alias("actual")
+    )
+    n_set = words.agg(F.sum(F.bit_count("word_bits")).cast("long").alias("n_set_bits"))
+    return (
+        hits.join(truth, "probe_key")
+        .crossJoin(F.broadcast(n_set))
+        .select(
+            "probe_key",
+            F.col("all_set").cast("int").alias("bloom_hit"),
+            F.col("actual").cast("int").alias("actual"),
+            "n_set_bits",
+        )
+        .orderBy("probe_key")
+    )
+
+
+# ----------------------------------------------------------- median / MAD
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med, count(*) AS n
+  FROM customer GROUP BY c_mktsegment
+),
+dev AS (
+  SELECT c.c_mktsegment, abs(c.c_acctbal - m.med) AS adev, m.med, m.n
+  FROM customer c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+),
+mad AS (
+  SELECT c_mktsegment, any_value(med) AS med, any_value(n) AS n,
+         quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY c_mktsegment
+)
+SELECT d.c_mktsegment,
+       m.med AS med, m.mad AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       m.n AS n_rows
+FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
+GROUP BY d.c_mktsegment, m.med, m.mad, m.n
+ORDER BY d.c_mktsegment
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts via median/MAD (3-sigma
+    equivalent: |x - med| > 3 * 1.4826 * MAD). Two exact-percentile
+    passes; medians are interpolated identically by Spark percentile
+    and DuckDB quantile_cont (proven by q_exact_quantiles), so the
+    outlier threshold is bit-identical.
+
+    100 TB: exact percentile sorts per group — swap in
+    approx_percentile or interpolate over the q_hist_acctbal buckets;
+    plan shape (two grouped aggs + broadcast of the tiny per-group
+    stats) is unchanged.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("med"),
+        F.count("*").alias("n"),
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        F.abs(F.col("c_acctbal") - F.col("med")).alias("adev"),
+        "med",
+        "n",
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.first("med").alias("med"),
+        F.first("n").alias("n"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.select("c_mktsegment", "adev")
+        .join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment", "med", "mad", "n")
+        .agg(
+            F.sum(F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            # no rounding: the interpolated medians are bit-identical
+            # doubles on both engines, and round(x, 2) is NOT (Spark
+            # rounds the decimal rendering, DuckDB the binary value —
+            # they disagree on .885-style midpoints).
+            "c_mktsegment",
+            "med",
+            "mad",
+            "n_outliers",
+            F.col("n").alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )

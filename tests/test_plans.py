@@ -171,3 +171,34 @@ def test_countmin_partial_aggregation(spark):
     # (row, bucket) partial counts, not raw events.
     plan = _plan(spark, "q_countmin_user_counts")
     assert "partial_count" in plan
+
+
+def test_char_entropy_zero_shuffle(spark):
+    # The entropy claim: fixed-alphabet counts are scan-side
+    # expressions — no Exchange anywhere in the plan.
+    plan = _plan(spark, "text_char_entropy")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bm25_stats_broadcast_back(spark):
+    # Corpus stats reduce to one row and come back via a broadcast
+    # (nested-loop on a 1-row side), never a shuffled join.
+    plan = _plan(spark, "text_bm25_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_build_partial_bitor(spark):
+    # The bloom build must map-side combine: partitions collapse to
+    # <= 32 (word, bits) partials before the merge shuffle.
+    plan = _plan(spark, "q_bloom_membership")
+    assert "partial_bit_or" in plan or "partial_bitor" in plan.lower()
+
+
+def test_mad_group_stats_broadcast(spark):
+    # Per-group medians/MADs are tiny frames joined back broadcast;
+    # the big side never shuffles for the join.
+    plan = _plan(spark, "q_mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,82 @@
+"""Sweep every registry query once at a given SF dir and record wall
+times + failures.
+
+Purpose: catch scale cliffs (skew blowups, executor memory, codegen
+stalls, quadratic candidate generation) that sf0.01/sf0.1 hide. The
+driver gates correctness at sf0.01 and bench runs sf0.1; this sweep is
+the sf1.0 smoke that every operator still EXECUTES and finishes in
+sane time at 10x bench scale (data from tools/gen_testdata.py).
+
+Writes one JSON artifact: per-query {wall_sec, rows, error}, sorted
+slowest-first, plus totals. Row *values* are not asserted (the
+generator is not the driver's); count>=0 plus no exception is the
+pass bar here.
+
+Usage:
+  python tools/sf_sweep.py --sf-dir /root/repo/.scratch/sf1 \
+      --out SF1_SWEEP.json [--only name1,name2] [--timeout 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", default="SF1_SWEEP.json")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--per-query-timeout", type=int, default=900)
+    args = ap.parse_args()
+
+    from ripcurrent_spark.queries import all_queries
+    from ripcurrent_spark.session import get_spark
+
+    spark = get_spark(app_name="sf_sweep")
+    qs = all_queries()
+    names = [n.strip() for n in args.only.split(",") if n.strip()] or list(qs)
+
+    results: dict[str, dict] = {}
+    t_all = time.perf_counter()
+    for i, name in enumerate(names):
+        q = qs[name]
+        t0 = time.perf_counter()
+        try:
+            n_rows = qs[name].spark(spark, args.sf_dir).count()
+            err = None
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            n_rows = None
+            err = f"{type(e).__name__}: {str(e)[:400]}"
+        wall = round(time.perf_counter() - t0, 3)
+        results[name] = {"wall_sec": wall, "rows": n_rows, "error": err}
+        status = "ERR " if err else "ok  "
+        print(f"[{i+1}/{len(names)}] {status}{name}: {wall}s rows={n_rows}", flush=True)
+        if err:
+            print(f"      {err}", flush=True)
+
+    total = round(time.perf_counter() - t_all, 1)
+    ordered = dict(
+        sorted(results.items(), key=lambda kv: -(kv[1]["wall_sec"]))
+    )
+    artifact = {
+        "sf_dir": args.sf_dir,
+        "n_queries": len(names),
+        "n_errors": sum(1 for r in results.values() if r["error"]),
+        "total_wall_sec": total,
+        "queries_slowest_first": ordered,
+    }
+    Path(args.out).write_text(json.dumps(artifact, indent=1))
+    print(f"\nwrote {args.out}: {len(names)} queries, "
+          f"{artifact['n_errors']} errors, {total}s total")
+    return 1 if artifact["n_errors"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
