@@ -278,3 +278,69 @@ def test_transform_with_state_map_state_category_counts(spark, tmp_path):
     assert final[(1, "click")] == 2  # batch1 + batch2
     assert final[(1, "view")] == 1  # untouched in batch2 but re-emitted
     assert final[(2, "click")] == 1
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """Event-time timers close sessions when the WATERMARK passes
+    last_event + gap — no further traffic for the key needed. Batch 1
+    opens sessions for users 1 and 2 (user 1's in-batch gap splits into
+    a closed session + an open one); batch 2's far-future event
+    advances the watermark so the armed timers fire and emit the held
+    sessions via handleExpiredTimer."""
+    from ripcurrent_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
+    from ripcurrent_spark.streaming.stateful import sessionize_with_timers
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "tws_timers"
+        _write_batches(
+            src,
+            [
+                # user 1: minutes 0,5 then 50,55 (45-min gap splits);
+                # user 2: minute 1
+                [_ev(0, 1, 1.0), _ev(5, 1, 2.0), _ev(50, 1, 4.0),
+                 _ev(55, 1, 8.0), _ev(1, 2, 16.0)],
+                # +25h: watermark (1h lag) passes every armed timer
+                [_ev(25 * 60, 9, 32.0)],
+            ],
+        )
+        out = sessionize_with_timers(_read_stream(spark, src), gap_sec=1800)
+        q = (
+            out.writeStream.format("memory").queryName("tws_timer_sessions")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    rows = spark.table("tws_timer_sessions").collect()
+    got = {
+        (r.user_id, int(r.session_start_ms // 60000), int(r.session_end_ms // 60000), r.n_events)
+        for r in rows
+    }
+    totals = {
+        (r.user_id, int(r.session_start_ms // 60000)): float(r.total_value) for r in rows
+    }
+    t0_min = int(T0.timestamp()) // 60
+    # user 1: split session (0-5, 2 events) emitted in-batch; trailing
+    # (50-55, 2 events) and user 2's (1-1, 1 event) fired by timers.
+    assert (1, t0_min + 0, t0_min + 5, 2) in got
+    assert (1, t0_min + 50, t0_min + 55, 2) in got
+    assert (2, t0_min + 1, t0_min + 1, 1) in got
+    # per-row value attribution: each span carries ITS rows' values
+    assert totals[(1, t0_min + 0)] == 3.0  # 1.0 + 2.0
+    assert totals[(1, t0_min + 50)] == 12.0  # 4.0 + 8.0
+    assert totals[(2, t0_min + 1)] == 16.0
+    # user 9's session stays open (nothing advanced the watermark past
+    # it) — exactly-once emission, nothing duplicated
+    assert len([r for r in rows if r.user_id == 1]) == 2
+    assert len([r for r in rows if r.user_id == 9]) == 0
