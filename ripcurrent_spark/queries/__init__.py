@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Query]:
         cdc,
         curation,
         dedup,
+        graph,
         layout,
         masking,
         multimodal,

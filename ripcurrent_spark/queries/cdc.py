@@ -308,3 +308,37 @@ def cdc_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h32(canon).cast("decimal(38,0)")).cast("string").alias("content_checksum"),
         F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("bal_total"),
     )
+
+
+# ---------------------------------------------------------- time travel
+# Snapshot-as-of: replay the changelog only up to a cutoff instant and
+# apply latest-per-key — the time-travel read a replication target
+# needs for audits ("what did the table look like on June 1?") and the
+# batch twin of resuming a consumer from an offset. Cutoff is fixed at
+# 1995-06-01T00:00:00Z.
+ASOF_MS = 801_964_800_000
+
+
+@register(
+    "cdc_snapshot_asof",
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()}
+SELECT op, seq, ts_ms, o_orderkey, o_custkey, o_orderstatus,
+       CAST(totalprice AS DOUBLE) AS totalprice
+FROM changelog
+WHERE ts_ms <= {ASOF_MS}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC, seq DESC) = 1
+   AND op <> 'd'
+""",
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot: apply only events with ts_ms <= cutoff,
+    then latest-per-key with deletes dropped — identical plan shape to
+    cdc_latest_snapshot with the cutoff PUSHED INTO THE SCAN (the
+    predicate sits below the window shuffle, so a month-old snapshot
+    over a year of changelog reads and shuffles only the prefix).
+    On a partitioned changelog (the `_batch_id=` layout the streaming
+    sinks write) the same filter prunes whole partitions."""
+    log = synth_changelog(spark, sf_dir).filter(F.col("ts_ms") <= ASOF_MS)
+    snap = latest_snapshot(log, key_cols=["o_orderkey"], order_cols=["ts_ms", "seq"])
+    return snap.withColumn("totalprice", F.col("totalprice").cast("double"))

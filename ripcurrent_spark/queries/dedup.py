@@ -428,3 +428,82 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", "doc_id").alias("canonical_id"),
         (F.coalesce("component", "doc_id") != F.col("doc_id")).alias("is_replaced"),
     )
+
+
+# ------------------------------------------------------ common-span dedup
+_SPAN_TOKENS = 10
+_SPAN_MIN_DOCS = 2
+
+
+@register(
+    "dedup_common_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DD.tokens_sql('text')} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) // {_SPAN_TOKENS}),
+                i -> array_to_string(list_slice(t, i * {_SPAN_TOKENS} + 1,
+                                                i * {_SPAN_TOKENS} + {_SPAN_TOKENS}), ' ')))
+           AS chunk
+  FROM toks WHERE len(t) >= {_SPAN_TOKENS}
+),
+cnt AS (
+  SELECT md5(chunk) AS chash, count(DISTINCT doc_id) AS nd
+  FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n.nd >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common_chunks,
+       round(CAST(sum(CASE WHEN n.nd >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_span_fraction
+FROM chunks c JOIN cnt n ON md5(c.chunk) = n.chash
+GROUP BY c.doc_id
+""",
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (the C4/Falcon 'remove repeated
+    spans' signal): each doc splits into NON-overlapping 10-token
+    chunks; a chunk seen in >= 2 distinct docs is 'common', and each
+    doc reports what fraction of its chunks is shared boilerplate.
+
+    Chunking is an array expression over one materialized token array
+    (no per-element re-tokenization through the HOF boundary); the
+    chunk-frequency side aggregates md5(chunk) — fixed-width keys, one
+    explode + groupBy, and the join back to chunks is on the same
+    exploded frame, so corpus text never moves twice. At 100 TB the
+    nd-counts frame is Zipf-shaped and tiny relative to the corpus
+    (boilerplate concentrates); hot chunks are bounded by the distinct-
+    doc count semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", DD.tokens("text").alias("t")).filter(
+        F.size("t") >= _SPAN_TOKENS
+    )
+    n_full = F.floor(F.size("t") / _SPAN_TOKENS).cast("int")
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_full - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("t", i * _SPAN_TOKENS + 1, _SPAN_TOKENS)
+                ),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("chash"))
+    cnt = chunks.groupBy("chash").agg(F.count_distinct("doc_id").alias("nd"))
+    common = F.when(F.col("nd") >= _SPAN_MIN_DOCS, 1).otherwise(0)
+    return (
+        chunks.join(cnt, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(common).cast("long").alias("n_common_chunks"),
+            F.round(
+                F.sum(common).cast("double") / F.count("*"), 6
+            ).alias("dup_span_fraction"),
+        )
+    )

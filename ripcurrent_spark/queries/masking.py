@@ -293,3 +293,94 @@ def masked_replica_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions = classify_columns(df, default_classes(), threshold=0.8)
     masked = apply_rules(df, decisions, default_rules())
     return masked.withColumn("ALTERED_s_acctbal", F.col("ALTERED_s_acctbal").cast("double"))
+
+
+# ------------------------------------------------- Luhn card detection
+# Credit-card PANs are a checksum-defined data class (the kind of
+# detector a pattern matcher alone cannot express — regex finds digit
+# runs, Luhn separates real card numbers from arbitrary digits).
+# The driver tables carry no card-shaped text, so candidate PANs are
+# synthesized deterministically per customer from the portable hash;
+# ~1 in 10 passes Luhn, and exactly those get masked keep-last-4.
+_CARD_LEN = 16
+
+
+def _card_sql() -> str:
+    from ripcurrent_spark.functions.hashing import h32_sql
+
+    a = f"lpad(CAST({h32_sql('c_name', 'card-a')} AS VARCHAR), 10, '0')"
+    b = f"lpad(CAST({h32_sql('c_name', 'card-b')} AS VARCHAR), 10, '0')"
+    return f"substr(concat({a}, {b}), 1, {_CARD_LEN})"
+
+
+def _luhn_sum_sql(card: str) -> str:
+    terms = []
+    for j in range(_CARD_LEN):
+        d = f"CAST(substr(reverse({card}), {j + 1}, 1) AS INT)"
+        if j % 2 == 0:
+            terms.append(f"({d})")
+        else:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "mask_luhn_cards",
+    oracle=f"""
+WITH cards AS (SELECT c_custkey, {_card_sql()} AS card FROM customer),
+scored AS (
+  SELECT c_custkey, card,
+         CASE WHEN ({_luhn_sum_sql('card')}) % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid
+  FROM cards
+)
+SELECT c_custkey, card, CAST(luhn_valid AS INT) AS luhn_valid,
+       CASE WHEN luhn_valid = 1
+            THEN concat(repeat('*', {_CARD_LEN - 4}), substr(card, {_CARD_LEN - 3}, 4))
+            ELSE card END AS card_masked
+FROM scored
+""",
+)
+def mask_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-based PAN detection + masking: Luhn-validate a
+    16-digit candidate per customer and redact valid card numbers to
+    their last 4 digits (FieldShield's CC data class is checksum-
+    gated, not regex-only).
+
+    The Luhn fold is UNROLLED over the fixed 16 positions as a pure
+    Column expression — integer arithmetic, no UDF, no explode, zero
+    shuffle; both engines evaluate the identical 16-term sum, so
+    validity bits match exactly. At scale this is a scan-side
+    predicate like every other masking rule.
+    """
+    from ripcurrent_spark.functions.hashing import h32
+
+    c = load(spark, sf_dir, "customer")
+    a = F.lpad(h32("c_name", seed="card-a").cast("string"), 10, "0")
+    b = F.lpad(h32("c_name", seed="card-b").cast("string"), 10, "0")
+    card = F.substring(F.concat(a, b), 1, _CARD_LEN)
+    rev = F.reverse(card)
+    total = F.lit(0)
+    for j in range(_CARD_LEN):
+        d = F.substring(rev, j + 1, 1).cast("int")
+        term = d if j % 2 == 0 else F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d)
+        total = total + term
+    valid = F.when(total % 10 == 0, 1).otherwise(0)
+    frame = c.select(
+        "c_custkey", card.alias("card"), valid.cast("int").alias("luhn_valid")
+    )
+    return frame.select(
+        "c_custkey",
+        "card",
+        "luhn_valid",
+        F.when(
+            F.col("luhn_valid") == 1,
+            F.concat(
+                F.lit("*" * (_CARD_LEN - 4)),
+                F.substring("card", _CARD_LEN - 3, 4),
+            ),
+        )
+        .otherwise(F.col("card"))
+        .alias("card_masked"),
+    )

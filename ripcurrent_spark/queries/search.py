@@ -128,6 +128,72 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- TF-IDF
+_TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tf t JOIN df d ON t.term = d.term, n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {_TFIDF_TOPK}
+ORDER BY doc_id, tfidf DESC, term
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (idf = ln((N+1)/(df+1))) —
+    the keyword-extraction half of retrieval next to BM25's scoring
+    half.
+
+    One explode + (doc, term) groupBy builds term frequencies; document
+    frequencies re-aggregate that result (no second corpus scan) and
+    join back on term. The synthetic corpus has a bounded vocabulary so
+    the df side is broadcast; at web-corpus vocabulary sizes the same
+    plan runs as a shuffle join on term with the key-skew profiler
+    deciding when to salt hot terms.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.count()  # single scalar; avoids a 1-row crossJoin in the plan
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
 # ------------------------------------------------------ character entropy
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
