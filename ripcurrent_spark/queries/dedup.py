@@ -507,3 +507,118 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_fraction"),
         )
     )
+
+
+# ------------------------------------------------------- keep-best dedup
+def _quality_sql() -> str:
+    from ripcurrent_spark.operators import text as TX
+
+    hits = TX.stopword_hits_sql("toks", "en")
+    return (
+        f"round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)"
+        f" + 0.3 * (1 - {TX.punct_ratio_sql('text')})"
+        f" + 0.3 * (CAST({hits} AS DOUBLE) / greatest(len(toks), 1)), 6)"
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id, {{qsql}} AS quality_score
+  FROM (SELECT doc_id, text, {DD.tokens_sql('text')} AS toks FROM documents)
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS group_id,
+         q.quality_score
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.node
+  JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, group_id, quality_score,
+       (first_value(doc_id) OVER (PARTITION BY group_id
+          ORDER BY quality_score DESC, doc_id)) AS keep_id,
+       doc_id = (first_value(doc_id) OVER (PARTITION BY group_id
+          ORDER BY quality_score DESC, doc_id)) AS is_kept
+FROM scored
+""".replace("{qsql}", _quality_sql()),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation end-game: within each near-dup component keep the
+    HIGHEST-QUALITY member (not the lowest id) — quality-aware
+    canonicalization, the policy real corpus pipelines want when the
+    duplicates differ in cleanliness. Singletons keep themselves.
+
+    Composition, not new machinery: component labels from the
+    iterative min-label propagation, quality from the single-scan
+    scorer, winner = first_value over (group, score DESC, doc_id).
+    The window partitions by group_id — component groups are tiny, the
+    corpus-wide 'component = own id' majority is hash-spread by
+    group_id, so no skewed reducer at scale.
+    """
+    from ripcurrent_spark.operators import text as TX
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    comp = DD.connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+    t = d.select("doc_id", "text", DD.tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    en_hits = TX.stopword_hits(F.col("toks"), "en")
+    pr = TX.punct_ratio("text")
+    score = F.round(
+        0.4 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.3 * (1 - pr)
+        + 0.3 * (en_hits.cast("double") / F.greatest(n_tokens, F.lit(1))),
+        6,
+    )
+    q = t.select("doc_id", score.alias("quality_score"))
+
+    scored = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("quality_score"), "doc_id")
+    keep = F.first("doc_id").over(w)
+    return scored.select(
+        "doc_id",
+        "group_id",
+        "quality_score",
+        keep.alias("keep_id"),
+        (F.col("doc_id") == keep).alias("is_kept"),
+    )

@@ -35,6 +35,21 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
     df.write.mode(mode).csv(path, header=header)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer — the reference's file targets are format-agnostic
+    (SortCL writes whatever the target spec names); here every
+    partitioned-write guarantee of write_parquet holds identically."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def key_bucket(key_cols: Sequence[str], n_buckets: int) -> F.Column:
     """Deterministic key-hash bucket id in [0, n_buckets): the
     partition key for merge targets. xxhash64 is JVM-side and

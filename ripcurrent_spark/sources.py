@@ -36,6 +36,13 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
     return spark.read.json(path, schema=schema)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (built into Spark): same columnar pushdown/pruning
+    contract as parquet — predicate pushdown and column projection
+    reach the ORC stripe reader, verified in tests/test_io.py."""
+    return spark.read.orc(path)
+
+
 def read_debezium_json(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of Debezium-style JSON change events -> parsed
     envelope columns (streaming twin: streaming.read_cdc_stream)."""

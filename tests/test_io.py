@@ -82,3 +82,21 @@ def test_jdbc_reader_options_construct(spark):
         )
     except Exception as e:  # noqa: BLE001
         assert "driver" in str(e).lower() or "ClassNotFound" in str(e)
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from ripcurrent_spark.sinks import write_orc
+    from ripcurrent_spark.sources import read_orc
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS g", "CAST(id * 2 AS DOUBLE) AS v")
+    write_orc(df, str(tmp_path / "t"), partition_by=["g"])
+    back = read_orc(spark, str(tmp_path / "t"))
+    assert back.count() == 100
+    # partition pruning: a g-filter must not scan all partition dirs
+    pruned = back.filter("g = 2")
+    assert pruned.count() == 25
+    physical = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in physical or "partitionFilters" in physical
+    # predicate pushdown on a data column reaches the ORC scan
+    pd_plan = back.filter("id < 10")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in pd_plan

@@ -202,3 +202,40 @@ def test_mad_group_stats_broadcast(spark):
     plan = _plan(spark, "q_mad_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_no_cartesian_edges_cogrouped(spark):
+    # The co-purchase self-join must be an equi-join on l_orderkey, and
+    # three unrolled iterations must not degenerate into a cartesian.
+    plan = _plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_df_side_broadcast(spark):
+    # Bounded-vocabulary df frame joins back broadcast (shuffle join +
+    # salting is the web-vocab variant; here the hint must hold).
+    plan = _plan(spark, "text_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_common_spans_no_python_no_cartesian(spark):
+    plan = _plan(spark, "dedup_common_spans")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_luhn_zero_shuffle_codegen(spark):
+    # The unrolled 16-term Luhn fold is a pure scan-side projection:
+    # no exchange at all, and it stays inside whole-stage codegen.
+    plan = _plan(spark, "mask_luhn_cards")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "*(1)" in plan
+
+
+def test_snapshot_asof_cutoff_pushed_to_scan(spark):
+    # The ts cutoff must reach the parquet scan (on the synthetic
+    # changelog it lands as a filter below the window's one exchange).
+    plan = _plan(spark, "cdc_snapshot_asof")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window shuffle only (union branches)
