@@ -98,3 +98,62 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(_run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("src_digest", T.StringType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> tuple[str, bytes]:
+    """Deterministic stand-in for a real resampler (PIL.Image.resize /
+    ffmpeg scale): thumb bytes are an md5 chain over (payload, WxH),
+    length = min(len(payload), w*h//256). Like _decode_stub, the point
+    is that the PLUMBING (schema, Arrow batching, payload lifecycle)
+    is real; the codec swaps in at prod."""
+    tag = f"{w}x{h}".encode()
+    src_digest = hashlib.md5(payload + b":" + tag).hexdigest()
+    n_out = min(len(payload), max(1, (w * h) // 256))
+    chain = b""
+    block = src_digest.encode()
+    while len(chain) < n_out:
+        block = hashlib.md5(block).hexdigest().encode()
+        chain += block
+    return src_digest, chain[:n_out]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched thumbnail resize over mapInPandas: narrow (no
+    shuffle), payload in/payload out, metadata width/height rewritten
+    to the target box. Output payload size is bounded by the target
+    dims, so a 100 TB corpus shrinks in one map-only stage."""
+
+    def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            digests, thumbs = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                digest, thumb = _resize_stub(b, width, height)
+                digests.append(digest)
+                thumbs.append(thumb)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": thumbs,
+                    "src_digest": digests,
+                }
+            )
+
+    return media.mapInPandas(_run, schema=RESIZED_SCHEMA)

@@ -88,3 +88,42 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "duration_ms",
     )
+
+
+@register(
+    "mm_resize_thumbnail",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_src,
+         md5(text || ':64x64') AS src_digest
+  FROM documents
+)
+SELECT media_id, 64 AS width, 64 AS height, src_digest,
+       CAST(least(n_src, 16) AS BIGINT) AS thumb_n_bytes,
+       substr(md5(src_digest), 1, least(n_src, 16)) AS thumb_prefix
+FROM m
+""",
+)
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize through the Arrow boundary: payload -> 64x64
+    'thumb' payload via mapInPandas (deterministic stub resampler —
+    no PIL/ffmpeg in image; the md5-chain fake makes the ENTIRE
+    Python path value-checkable in SQL, including the output bytes).
+    The query surfaces the digest, output size, and the first 16
+    thumb bytes decoded back to text so the oracle can recompute them.
+    """
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.multimodal.columns import resize_media
+
+    d = load(spark, sf_dir, "documents")
+    thumbs = resize_media(attach_media(d, "doc_id", "text"), 64, 64)
+    return thumbs.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "src_digest",
+        F.octet_length("payload").cast("long").alias("thumb_n_bytes"),
+        F.decode(F.substring("payload", 1, 16), "UTF-8").alias("thumb_prefix"),
+    )

@@ -974,3 +974,33 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share"),
         F.first("revenue").over(w_rank).cast("double").alias("top_revenue"),
     ).orderBy(F.desc("revenue"), "n_name")
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_rev,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube
+    specialize: the exact set list ((rf, ls), (rf), ()) in ONE pass
+    (Catalyst's Expand: each input row fans out once per set, one
+    shuffle total — not one scan per set), with grouping() flags
+    disambiguating real NULL keys from set-collapsed keys."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_rev,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

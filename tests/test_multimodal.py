@@ -48,3 +48,23 @@ def test_null_payload(spark):
     r = extract_features(media).collect()[0]
     assert r.n_bytes == 0
     assert r.digest == hashlib.md5(b"").hexdigest()
+
+
+def test_resize_media_payload_bounded_and_deterministic(spark):
+    from ripcurrent_spark.multimodal import attach_media
+    from ripcurrent_spark.multimodal.columns import resize_media
+
+    df = spark.createDataFrame(
+        [(1, "hello world, a reasonably long payload string"), (2, "x")],
+        "id long, body string",
+    )
+    out = resize_media(attach_media(df, "id", "body"), 64, 64)
+    rows = {r.media_id: r for r in out.collect()}
+    # bounded by min(len(payload), 64*64//256 = 16)
+    assert len(rows[1].payload) == 16
+    assert len(rows[2].payload) == 1
+    assert rows[1].width == 64 and rows[1].height == 64
+    # deterministic across runs
+    again = {r.media_id: r for r in resize_media(attach_media(df, "id", "body"), 64, 64).collect()}
+    assert bytes(again[1].payload) == bytes(rows[1].payload)
+    assert again[1].src_digest == rows[1].src_digest
