@@ -548,3 +548,240 @@ def q_hist_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ----------------------------------------------------------- HyperLogLog
+# Portable HLL: q_approx_stats stays rows-only because Spark's HLL++
+# and DuckDB's HLL bucket differently — this operator instead builds
+# the sketch FROM PORTABLE PRIMITIVES (the md5-derived h32), so the
+# approximate answer itself is bit-identical on both engines and gets
+# a full value oracle. m = 64 registers (b = 6), 26-bit rho domain.
+#
+# Exactness: register weights are INTEGERS 2^(27-M_j) (Z' = sum of
+# weights; Z = Z'/2^27), so the only float ops are the final
+# alpha*m^2*2^27/Z' division and the small-range ln — identical
+# operand order on both engines. The groupBy max IS the sketch merge:
+# two corpora's sketches union by per-register max, exactly like the
+# count-min / Bloom operators' additive merges.
+_HLL_M = 64
+_HLL_RHO_BITS = 26  # h32 is 32 bits: top 6 pick the register
+_HLL_ALPHA_EXPR = "(0.7213 / (1.0 + 1.079 / 64))"
+
+
+@register(
+    "q_hll_distinct_users",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         {h32_sql("CAST(user_id AS VARCHAR)", 'hll')} AS hv
+  FROM events
+),
+reg AS (
+  SELECT event_type,
+         hv // {2 ** _HLL_RHO_BITS} AS j,
+         CASE WHEN hv % {2 ** _HLL_RHO_BITS} = 0 THEN {_HLL_RHO_BITS + 1}
+              ELSE {_HLL_RHO_BITS + 1} - length(bin(hv % {2 ** _HLL_RHO_BITS}))
+         END AS rho
+  FROM h
+),
+m AS (SELECT event_type, j, max(rho) AS mj FROM reg GROUP BY event_type, j),
+z AS (
+  SELECT event_type,
+         sum(CAST(power(2.0, {_HLL_RHO_BITS + 1} - mj) AS BIGINT)) AS z_active,
+         count(*) AS n_active
+  FROM m GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         z_active + ({_HLL_M} - n_active) * {2 ** (_HLL_RHO_BITS + 1)} AS zprime,
+         {_HLL_M} - n_active AS n_empty
+  FROM z
+),
+raw AS (
+  SELECT event_type, n_empty,
+         {_HLL_ALPHA_EXPR} * {_HLL_M} * {_HLL_M} * {float(2 ** (_HLL_RHO_BITS + 1))}
+           / zprime AS raw_est
+  FROM est
+)
+SELECT r.event_type,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(r.n_empty AS INT) AS n_empty_registers,
+       round(CASE WHEN r.raw_est <= 2.5 * {_HLL_M} AND r.n_empty > 0
+                  THEN {_HLL_M} * ln({float(_HLL_M)} / r.n_empty)
+                  ELSE r.raw_est END, 6) AS hll_estimate
+FROM raw r
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) x
+  ON r.event_type = x.event_type
+ORDER BY r.event_type
+""",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-user sketch per event_type, from
+    portable primitives — unlike q_approx_stats (engine-native HLL++,
+    rows-only), this sketch is value-oracle-checked: same registers,
+    same estimate, both engines. Exact distinct rides along to show
+    the error envelope.
+
+    Scale: the register frame collapses to <= 64 rows per group at the
+    first partial aggregate (same mergeable-sketch shape as count-min
+    and Bloom); everything after the groupBy is arithmetic on 64 rows
+    per group. At 100 TB the sketch per (group, day) materializes into
+    the incremental-aggregate sink and unions by per-register max.
+    """
+    from ripcurrent_spark.functions.hashing import h32
+
+    e = load(spark, sf_dir, "events")
+    hv = h32(F.col("user_id").cast("string"), seed="hll")
+    two_r = 2 ** _HLL_RHO_BITS
+    w = hv % two_r
+    rho = F.when(w == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
+        F.lit(_HLL_RHO_BITS + 1) - F.length(F.bin(w))
+    )
+    reg = e.select(
+        "event_type",
+        (hv / two_r).cast("long").alias("j"),
+        rho.alias("rho"),
+    )
+    m = reg.groupBy("event_type", "j").agg(F.max("rho").alias("mj"))
+    z = m.groupBy("event_type").agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_BITS + 1) - F.col("mj")).cast("long")
+        ).alias("z_active"),
+        F.count("*").alias("n_active"),
+    )
+    zprime = F.col("z_active") + (_HLL_M - F.col("n_active")) * (
+        2 ** (_HLL_RHO_BITS + 1)
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 64)
+    raw_est = (
+        F.lit(alpha)
+        * _HLL_M
+        * _HLL_M
+        * float(2 ** (_HLL_RHO_BITS + 1))
+        / zprime
+    )
+    est = z.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_active")).cast("int").alias("n_empty_registers"),
+        raw_est.alias("raw_est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    corrected = F.when(
+        (F.col("raw_est") <= 2.5 * _HLL_M) & (F.col("n_empty_registers") > 0),
+        _HLL_M * F.log(float(_HLL_M) / F.col("n_empty_registers")),
+    ).otherwise(F.col("raw_est"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_empty_registers",
+            F.round(corrected, 6).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------- constraint checks
+@register(
+    "q_constraint_checks",
+    oracle="""
+SELECT 'orders.custkey_fk' AS check_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_violations,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'orders.orderkey_unique',
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'orders.totalprice_positive',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.quantity_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.orderkey_fk',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+ORDER BY check_name
+""",
+)
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the dbt-test /
+    Deequ shape): uniqueness, not-null/range, and referential checks,
+    each one aggregate, unioned into a single violation report.
+
+    Plan shape per check class: range/null checks fold into ONE
+    conditional aggregate on the scan (no shuffle); uniqueness is one
+    count-distinct; FK checks are LEFT ANTI joins (broadcast when the
+    parent's key side fits, shuffle-hash otherwise — never a
+    per-row lookup). Five checks here share two table scans.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    n_orders = o.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("bad_price"),
+    )
+    n_line = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).alias("bad_qty"),
+    )
+    fk_orders = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count("*").alias("viol"))
+    fk_line = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).agg(F.count("*").alias("viol"))
+
+    def row(name, viol_col, rows_col, frame):
+        return frame.select(
+            F.lit(name).alias("check_name"),
+            viol_col.cast("long").alias("n_violations"),
+            rows_col.cast("long").alias("n_rows"),
+        )
+
+    n_orders_total = o.count()
+    n_line_total = li.count()
+    out = (
+        row("orders.custkey_fk", F.col("viol"), F.lit(n_orders_total), fk_orders)
+        .unionByName(
+            row("orders.orderkey_unique", F.col("dup"), F.col("n"), n_orders)
+        )
+        .unionByName(
+            row("orders.totalprice_positive", F.col("bad_price"), F.col("n"), n_orders)
+        )
+        .unionByName(row("lineitem.quantity_range", F.col("bad_qty"), F.col("n"), n_line))
+        .unionByName(
+            row("lineitem.orderkey_fk", F.col("viol"), F.lit(n_line_total), fk_line)
+        )
+    )
+    return out.orderBy("check_name")

@@ -473,3 +473,60 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ----------------------------------------------------------- phrase search
+_PHRASE = ("spark", "join")
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+post AS (
+  SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS pos
+  FROM toks
+),
+a AS (SELECT doc_id, pos FROM post WHERE term = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM post WHERE term = '{_PHRASE[1]}')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('spark join') over a POSITIONAL inverted
+    index: posexplode builds (doc, pos, term) postings, the phrase is
+    an equi-join of the two term posting lists on (doc, adjacent pos).
+
+    This is the index-shaped plan a 100 TB corpus wants: postings for
+    the two query terms are FILTERED OUT OF THE SCAN (predicate on
+    term — a tiny fraction of the corpus), and the adjacency check is
+    an equi-join on (doc_id, pos), never a scan of full documents.
+    With a materialized postings table the same plan is two index
+    lookups + a merge join; hot stop-words cap like LSH band keys.
+    """
+    d = load(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    a = post.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = post.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_id) & (F.col("pos_b") == F.col("pos_a") + 1))
+        .drop(b.doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("pos_a").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
