@@ -97,3 +97,92 @@ def read_aggregates(spark, target_dir: str) -> DataFrame:
     # Cast to DOUBLE before dividing: Spark's decimal/long division
     # truncates to the result type's scale first.
     return s.withColumn("avg", F.col("total").cast("double") / F.col("cnt"))
+
+
+def incremental_hll_foreach_batch(
+    target_dir: str,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch fn maintaining per-group HyperLogLog registers
+    (the streaming twin of q_hll_distinct_users): state is
+    (group, register j, max rho), merged per trigger by MAX.
+
+    Unlike the additive count/sum fold above, max-merge is NATURALLY
+    IDEMPOTENT — replaying a batch re-maxes the same rhos and the
+    register STATE is unchanged, so this path needs no _applied_batch
+    transactional guard (documented contrast; the test replays a batch
+    and asserts the register table is identical). I/O per trigger:
+    only buckets containing the batch's groups are read/rewritten, and
+    each group collapses to <= 64 register rows regardless of traffic
+    volume.
+    """
+    from ripcurrent_spark.functions.hashing import h32
+
+    RHO_BITS = 26
+    two_r = 2 ** RHO_BITS
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        target = Path(target_dir)
+        hv = h32(F.col(value_col).cast("string"), seed="hll")
+        w = hv % two_r
+        rho = F.when(w == 0, F.lit(RHO_BITS + 1)).otherwise(
+            F.lit(RHO_BITS + 1) - F.length(F.bin(w))
+        )
+        partial = (
+            batch.select(
+                F.col(group_col).alias("grp"),
+                (hv / two_r).cast("long").alias("j"),
+                rho.alias("rho"),
+            )
+            .groupBy("grp", "j")
+            .agg(F.max("rho").alias("rho"))
+            .withColumn("_bucket", key_bucket(["grp"], n_buckets))
+        )
+        touched = sorted(r[0] for r in partial.select("_bucket").distinct().collect())
+        if not touched:
+            return
+        if has_bucketed_data(target):
+            state = spark.read.parquet(str(target)).filter(
+                F.col("_bucket").isin(touched)
+            )
+            merged = (
+                state.unionByName(partial)
+                .groupBy("_bucket", "grp", "j")
+                .agg(F.max("rho").alias("rho"))
+            )
+        else:
+            merged = partial.select("_bucket", "grp", "j", "rho")
+        # One partition per bucket keeps each register file small and
+        # the rewrite cost proportional to touched groups.
+        merged = merged.repartition("_bucket")
+        overwrite_buckets(merged, target, ("_bucket",))
+
+    return _apply
+
+
+def read_hll_estimates(spark, target_dir: str) -> DataFrame:
+    """Distinct-count estimates from the materialized registers —
+    identical arithmetic to q_hll_distinct_users (integer 2^(27-M)
+    weights, alpha_64, small-range linear counting)."""
+    M = 64
+    RHO_BITS = 26
+    s = spark.read.parquet(str(target_dir))
+    z = s.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(RHO_BITS + 1) - F.col("rho")).cast("long")).alias(
+            "z_active"
+        ),
+        F.count("*").alias("n_active"),
+    )
+    zprime = F.col("z_active") + (M - F.col("n_active")) * (2 ** (RHO_BITS + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / 64)
+    raw = F.lit(alpha) * M * M * float(2 ** (RHO_BITS + 1)) / zprime
+    n_empty = (F.lit(M) - F.col("n_active")).cast("int")
+    est = F.when(
+        (raw <= 2.5 * M) & (n_empty > 0), M * F.log(float(M) / n_empty)
+    ).otherwise(raw)
+    return z.select(
+        "grp", n_empty.alias("n_empty_registers"), F.round(est, 6).alias("hll_estimate")
+    )

@@ -233,3 +233,38 @@ def scd2_foreach_batch(
         overwrite_buckets(merged, target, ("_bucket",), touched)
 
     return _apply
+
+
+def enrich_foreach_batch(
+    dim_path: str,
+    on: str,
+    apply_fn,
+    how: str = "left",
+    broadcast_dim: bool = True,
+):
+    """Stream-static enrichment against a dimension OTHER pipelines
+    keep rewriting (e.g. the bucketed snapshot a CDC upsert sink
+    maintains): the dimension is re-read INSIDE foreachBatch, so every
+    trigger lists the dimension's current files.
+
+    Why not a plan-level stream-static join: Spark resolves the static
+    side's file listing ONCE at plan time, so an overwritten plain-
+    parquet dimension either serves stale rows or fails with
+    FILE_NOT_EXIST mid-stream (a transactional table format moves this
+    problem into the format's snapshot layer). Re-reading per trigger
+    is the plain-parquet-correct pattern; the dim is broadcast by
+    default (the dimension-vs-fact asymmetry of the reference's lookup
+    targets).
+
+    `apply_fn(enriched_batch, batch_id)` receives the joined frame.
+    """
+    from pyspark.sql import functions as F
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        dim = spark.read.parquet(dim_path)
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        apply_fn(batch.join(dim, on, how), batch_id)
+
+    return _apply

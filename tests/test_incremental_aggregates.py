@@ -83,3 +83,49 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
         p.split("/")[0] for p in before if after.get(p) not in (None, before[p])
     }
     assert changed <= touched
+
+
+def test_incremental_hll_matches_batch_and_replay_idempotent(spark, tmp_path):
+    from ripcurrent_spark.queries import all_queries  # noqa: F401  (session parity)
+    from ripcurrent_spark.streaming.aggregates import (
+        incremental_hll_foreach_batch,
+        read_hll_estimates,
+    )
+
+    target = str(tmp_path / "hll")
+    fn = incremental_hll_foreach_batch(target, "g", "u", n_buckets=4)
+    SCHEMA2 = "g string, u long"
+    b0 = [("a", i % 37) for i in range(200)] + [("b", i % 11) for i in range(50)]
+    b1 = [("a", 1000 + (i % 23)) for i in range(100)] + [("b", i % 11) for i in range(50)]
+    fn(spark.createDataFrame(b0, SCHEMA2), 0)
+    fn(spark.createDataFrame(b1, SCHEMA2), 1)
+
+    streamed = {
+        r.grp: r.hll_estimate for r in read_hll_estimates(spark, target).collect()
+    }
+
+    # one-shot batch fold over ALL rows must give identical registers
+    batch_target = str(tmp_path / "hll_batch")
+    fn2 = incremental_hll_foreach_batch(batch_target, "g", "u", n_buckets=4)
+    fn2(spark.createDataFrame(b0 + b1, SCHEMA2), 0)
+    batch = {
+        r.grp: r.hll_estimate
+        for r in read_hll_estimates(spark, batch_target).collect()
+    }
+    assert streamed == batch
+    # sanity: estimates in a sane band around the true distinct counts
+    assert abs(streamed["a"] - 60) / 60 < 0.35
+    assert abs(streamed["b"] - 11) / 11 < 0.35
+
+    # max-merge is naturally idempotent: an at-least-once replay
+    # re-maxes the same rhos, leaving the register STATE identical —
+    # no _applied_batch transactional guard needed (contrast with the
+    # additive count/sum fold above, which requires one).
+    def registers():
+        return sorted(
+            (r.grp, r.j, r.rho) for r in spark.read.parquet(target).collect()
+        )
+
+    before = registers()
+    fn(spark.createDataFrame(b1, SCHEMA2), 1)  # at-least-once replay
+    assert registers() == before

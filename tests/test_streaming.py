@@ -216,3 +216,59 @@ def test_upsert_sink_idempotent_under_replay(spark, tmp_path):
     upsert_parquet(dels, target, key_cols=["id"], order_cols=["ts_ms"])
     final = sorted((r.id, r.val) for r in spark.read.parquet(target).collect())
     assert final == [(1, "a2")]
+
+
+def test_stream_static_enrichment_sees_dim_updates(spark, tmp_path):
+    """Dimension re-read inside foreachBatch: a dim rewritten between
+    triggers enriches the next trigger with the NEW values — the
+    plain-parquet-correct pattern (a plan-level stream-static join
+    pins the file listing at plan time and breaks on overwrite)."""
+    import os
+    import time as _time
+
+    from ripcurrent_spark.streaming.pipeline import enrich_foreach_batch
+
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "gold"), (2, "silver")], "id int, tier string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    now = _time.time()
+    p1 = src / "b1.json"
+    p1.write_text('{"id": 1}\n{"id": 2}\n')
+    os.utime(p1, (now - 100, now - 100))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("id int")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+
+    seen: dict[int, list] = {}
+
+    def collect(enriched, batch_id):
+        rows = sorted((r.id, r.tier) for r in enriched.collect())
+        if rows:
+            seen[len(seen)] = rows
+
+    q = stream.writeStream.foreachBatch(
+        enrich_foreach_batch(dim_dir, on="id", apply_fn=collect)
+    ).start()
+    try:
+        q.processAllAvailable()
+        assert seen[0] == [(1, "gold"), (2, "silver")]
+
+        # dimension updated by "another pipeline" between triggers
+        spark.createDataFrame(
+            [(1, "platinum"), (2, "bronze")], "id int, tier string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        p2 = src / "b2.json"
+        p2.write_text('{"id": 1}\n{"id": 2}\n')
+        os.utime(p2, (now - 50, now - 50))
+        q.processAllAvailable()
+        assert seen[1] == [(1, "platinum"), (2, "bronze")]
+    finally:
+        q.stop()
