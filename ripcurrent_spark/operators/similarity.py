@@ -206,10 +206,22 @@ def lsh_bucketed_topk(
     n_bits: int = 8,
     k: int = 5,
     dim: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: exact cosine ranking WITHIN each
     LSH bucket. The bucket groupBy is the only shuffle; bucket count
-    (2^n_bits) is tuned so buckets fit executor memory at scale."""
+    (2^n_bits) is tuned so buckets fit executor memory at scale.
+
+    ``bucket_cap`` bounds the INDEXED side of each bucket to a
+    deterministic subset (first C members by portable hash of id) —
+    the standard LSH defense against dense regions: clustered corpora
+    collapse whole clusters into one signature (observed at sf1:
+    12k/50k vectors in one of 256 buckets -> a ~150M-pair self-join
+    and a spilled single-task top-k window). With the cap, per-bucket
+    work is n_b * min(n_b, C), i.e. corpus-linear; every vector still
+    QUERIES its bucket, only the candidate list is subsampled
+    (bounded recall dilution inside dense regions, where near
+    neighbors are abundant anyway)."""
     sig = df.select(
         F.col(id_col).alias("vid"),
         F.col(emb_col).alias("emb"),
@@ -217,6 +229,17 @@ def lsh_bucketed_topk(
     )
     a = sig.select(F.col("vid").alias("query_id"), F.col("emb").alias("q_emb"), "bucket")
     b = sig.select(F.col("vid").alias("neighbor_id"), F.col("emb").alias("c_emb"), "bucket")
+    if bucket_cap is not None:
+        from ripcurrent_spark.functions.hashing import h32
+
+        wcap = W.partitionBy("bucket").orderBy(
+            h32(F.col("neighbor_id").cast("string"), seed="lshcap"), "neighbor_id"
+        )
+        b = (
+            b.withColumn("_r", F.row_number().over(wcap))
+            .filter(F.col("_r") <= bucket_cap)
+            .drop("_r")
+        )
     scored = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -48,6 +48,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk_np(q, v, id_col="vec_id", emb_col="emb", k=10)
 
 
+_LSH_CAP = 512
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""
@@ -58,10 +61,19 @@ WITH v AS (
 sig AS (
   SELECT vec_id, emb, {SIM.lsh_signature_sql('emb', 8, 64)} AS bucket FROM v
 ),
+idx AS (
+  SELECT vec_id, emb, bucket FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY bucket
+      ORDER BY CAST('0x' || substr(md5(concat('lshcap:', CAST(vec_id AS VARCHAR))), 1, 8) AS BIGINT),
+               vec_id) AS r
+    FROM sig
+  ) WHERE r <= {_LSH_CAP}
+),
 scored AS (
   SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
          {SIM.cosine_sql('a.emb', 'b.emb')} AS cos_raw
-  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  FROM sig a JOIN idx b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 )
 SELECT query_id, bucket, neighbor_id, rank, round(cos_raw, 6) AS cosine
 FROM (
@@ -76,9 +88,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (signed random projection, 8 bits) bucketed approximate
     top-5 — the corpus x corpus scale path. Projection weights are
     shared literal constants, so the whole pipeline (bucket, cosine,
-    ranking) is bit-identical to the DuckDB oracle."""
+    ranking) is bit-identical to the DuckDB oracle.
+
+    The indexed side of each bucket is capped at 512 deterministic
+    members (portable-hash order): clustered corpora collapse whole
+    clusters into one signature (sf1 sweep: 12k/50k vectors in one of
+    256 buckets, a ~150M-pair self-join that spilled a single-task
+    top-k window past 300 s) — the cap makes per-bucket work
+    n_b * min(n_b, 512), corpus-LINEAR, while every vector still
+    queries its full bucket."""
     v = _vectors(spark, sf_dir)
-    return SIM.lsh_bucketed_topk(v, id_col="vec_id", emb_col="emb", n_bits=8, k=5, dim=64)
+    return SIM.lsh_bucketed_topk(
+        v, id_col="vec_id", emb_col="emb", n_bits=8, k=5, dim=64, bucket_cap=_LSH_CAP
+    )
 
 
 @register(

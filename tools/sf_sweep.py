@@ -43,23 +43,42 @@ def main() -> int:
     qs = all_queries()
     names = [n.strip() for n in args.only.split(",") if n.strip()] or list(qs)
 
+    import threading
+
     results: dict[str, dict] = {}
     t_all = time.perf_counter()
     for i, name in enumerate(names):
         q = qs[name]
         t0 = time.perf_counter()
+        # Enforce the per-query budget: a timer cancels the query's
+        # job group so one scale cliff can't eat the whole sweep.
+        sc = spark.sparkContext
+        sc.setJobGroup(f"sweep-{name}", name, interruptOnCancel=True)
+        timer = threading.Timer(
+            args.per_query_timeout, lambda: sc.cancelJobGroup(f"sweep-{name}")
+        )
+        timer.start()
         try:
             n_rows = qs[name].spark(spark, args.sf_dir).count()
             err = None
         except Exception as e:  # noqa: BLE001 - record, keep sweeping
             n_rows = None
-            err = f"{type(e).__name__}: {str(e)[:400]}"
+            kind = type(e).__name__
+            if time.perf_counter() - t0 >= args.per_query_timeout:
+                kind = f"TIMEOUT>{args.per_query_timeout}s/{kind}"
+            err = f"{kind}: {str(e)[:400]}"
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
         wall = round(time.perf_counter() - t0, 3)
         results[name] = {"wall_sec": wall, "rows": n_rows, "error": err}
         status = "ERR " if err else "ok  "
         print(f"[{i+1}/{len(names)}] {status}{name}: {wall}s rows={n_rows}", flush=True)
         if err:
             print(f"      {err}", flush=True)
+        # Checkpoint after every query so a killed sweep keeps its
+        # partial results (the artifact rewrite below is the final word).
+        Path(args.out + ".partial").write_text(json.dumps(results, indent=1))
 
     total = round(time.perf_counter() - t_all, 1)
     ordered = dict(
