@@ -230,16 +230,69 @@ def lsh_bucketed_topk(
     a = sig.select(F.col("vid").alias("query_id"), F.col("emb").alias("q_emb"), "bucket")
     b = sig.select(F.col("vid").alias("neighbor_id"), F.col("emb").alias("c_emb"), "bucket")
     if bucket_cap is not None:
-        from ripcurrent_spark.functions.hashing import h32
+        # Dense buckets: score each bucket as a numpy block (one
+        # chunked matmul per group) — a query belongs to exactly one
+        # bucket, so in-bucket top-k IS global top-k and no window
+        # pass is needed. The per-pair HOF cosine (interpreted — no
+        # codegen for lambdas) took >300 s at 50k vectors even with
+        # the candidate cap; the matmul takes seconds.
+        import hashlib
 
-        wcap = W.partitionBy("bucket").orderBy(
-            h32(F.col("neighbor_id").cast("string"), seed="lshcap"), "neighbor_id"
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
         )
-        b = (
-            b.withColumn("_r", F.row_number().over(wcap))
-            .filter(F.col("_r") <= bucket_cap)
-            .drop("_r")
-        )
+
+        def _caphash(i: int) -> int:
+            return int(
+                hashlib.md5(f"lshcap:{i}".encode()).hexdigest()[:8], 16
+            )
+
+        def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["emb"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            bucket = int(pdf["bucket"].iloc[0])
+            # indexed side: first `bucket_cap` members by portable hash
+            order = np.lexsort((ids, np.array([_caphash(i) for i in ids])))
+            idx = np.sort(order[:bucket_cap])
+            cid, cm = ids[idx], m[idx]
+            qo, no, ro, co = [], [], [], []
+            chunk = 2048
+            for s in range(0, len(ids), chunk):
+                scores = m[s : s + chunk] @ cm.T
+                for i in range(scores.shape[0]):
+                    qid = ids[s + i]
+                    srow = scores[i]
+                    mask = cid != qid
+                    cand = np.nonzero(mask)[0]
+                    if not len(cand):
+                        continue
+                    top = cand[np.lexsort((cid[cand], -srow[cand]))[:k]]
+                    qo.extend([qid] * len(top))
+                    no.extend(cid[top])
+                    ro.extend(range(1, len(top) + 1))
+                    co.extend(np.round(srow[top], 6))
+            return pd.DataFrame(
+                {
+                    "query_id": qo,
+                    "bucket": bucket,
+                    "neighbor_id": no,
+                    "rank": ro,
+                    "cosine": co,
+                }
+            )
+
+        return sig.groupBy("bucket").applyInPandas(_block, schema=out_schema)
     scored = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -251,3 +304,57 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "bucket", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def nearest_centroid_np(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    cid_col: str = "cid",
+    cemb_col: str = "cemb",
+) -> DataFrame:
+    """Vectorized coarse quantizer: assign every corpus vector to its
+    nearest centroid by dot product (ties -> lowest cid). The centroid
+    matrix (small by contract — ~sqrt(N)) ships in the mapInPandas
+    closure sorted by cid; each Arrow batch is ONE matmul, the same
+    broadcast-small-side shape as brute_force_topk_np.
+
+    Replaces the expression-tree crossJoin + row_number argmin, which
+    evaluates a 64-term higher-order-function dot per (vector,
+    centroid) pair interpreted (lambdas don't codegen) — the sf1 sweep
+    showed 50k x 2000 pairs blowing the 300 s budget; the matmul does
+    the same 6.4 GFLOP in seconds. np.argmax returns the FIRST maximal
+    index, which on the cid-sorted matrix reproduces ORDER BY dot
+    DESC, cid exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    crows = sorted(centroids.select(cid_col, cemb_col).collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cm = np.array([r[1] for r in crows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.LongType()),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[emb_col]), dtype=np.float64)
+            best = np.argmax(vm @ cm.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "emb": list(pdf[emb_col]),
+                    "cid": cids[best],
+                }
+            )
+
+    return corpus.select(id_col, emb_col).mapInPandas(_assign, schema=out_schema)

@@ -150,15 +150,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = v.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
-    dot_c = SIM.dot(F.col("emb"), F.col("cemb"))
-    wassign = W.partitionBy("vec_id").orderBy(F.desc("d"), "cid")
-    assign = (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("d", dot_c)
-        .withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid")
-    )
+    # Coarse quantizer vectorized (one matmul per Arrow batch): the
+    # expression-tree crossJoin + argmin window evaluated an
+    # interpreted 64-term dot per (vector, centroid) pair and blew the
+    # sf1 sweep's 300 s budget at 50k x 2000 pairs.
+    assign = SIM.nearest_centroid_np(v, cent)
     q = assign.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), F.col("cid").alias("cell")
     )

@@ -173,49 +173,112 @@ def _simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame
     )
 
 
+def _simhash64_docs(spark: SparkSession, sf_dir: str, keep: tuple = ()) -> DataFrame:
+    """(doc_id, sh_a, sh_b [, keep...]): TWO independent 32-bit
+    fingerprints (seeds 'sh'/'shb') forming a 64-bit simhash — the
+    portable md5 hash yields 32 bits per seed, so 64-bit width is two
+    seeded halves on both engines. Staged projections: one md5 pass
+    per seed, one traversal per stage."""
+    d = load(spark, sf_dir, "documents")
+    cols = list(keep)
+    return (
+        d.select("doc_id", *cols, DD.tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            *cols,
+            DD.token_hashes(F.col("toks"), seed="sh").alias("ha"),
+            DD.token_hashes(F.col("toks"), seed="shb").alias("hb"),
+        )
+        .select(
+            "doc_id",
+            *cols,
+            DD.simhash_votes(F.col("ha"), 32).alias("va"),
+            DD.simhash_votes(F.col("hb"), 32).alias("vb"),
+        )
+        .select(
+            "doc_id",
+            *cols,
+            DD.simhash_from_votes(F.col("va"), 32).alias("sh_a"),
+            DD.simhash_from_votes(F.col("vb"), 32).alias("sh_b"),
+        )
+    )
+
+
+_SH64_BANDS_SQL = """
+bands AS (
+  SELECT doc_id, sh_a, sh_b, b,
+         CASE WHEN b = 0 THEN sh_a & 65535
+              WHEN b = 1 THEN (sh_a >> 16) & 65535
+              WHEN b = 2 THEN sh_b & 65535
+              ELSE (sh_b >> 16) & 65535 END AS bval
+  FROM t, (SELECT unnest(range(4)) AS b)
+)"""
+
+
+def _sh64_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
+    sha, shb = F.col("sh_a"), F.col("sh_b")
+    vals = [
+        shb.bitwiseAND(65535) if i == 2
+        else F.shiftright(shb, 16).bitwiseAND(65535) if i == 3
+        else sha.bitwiseAND(65535) if i == 0
+        else F.shiftright(sha, 16).bitwiseAND(65535)
+        for i in range(4)
+    ]
+    return t.select(
+        "doc_id",
+        "sh_a",
+        "sh_b",
+        *keep,
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("b"), vals[i].alias("bval")) for i in range(4)])
+        ).alias("band"),
+    ).select("doc_id", "sh_a", "sh_b", *keep, F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, {DD.simhash_sql(DD.tokens_sql('text'), bits=32)} AS sh FROM documents
+  SELECT doc_id,
+         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='sh')} AS sh_a,
+         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='shb')} AS sh_b
+  FROM documents
 ),
-bands AS (
-  SELECT doc_id, sh, b, (sh >> (8*b)) & 255 AS bval
-  FROM t, (SELECT unnest(range(4)) AS b)
-),
+{_SH64_BANDS_SQL.strip()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  bit_count(xor(a.sh, b.sh)) AS hamming
+                  bit_count(xor(a.sh_a, b.sh_a)) + bit_count(xor(a.sh_b, b.sh_b)) AS hamming
   FROM bands a JOIN bands b
     ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+  WHERE bit_count(xor(a.sh_a, b.sh_a)) + bit_count(xor(a.sh_b, b.sh_b)) <= 3
 )
 SELECT id_a, id_b, hamming FROM cand
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit fingerprint, 4 bands x 8 bits
-    (pigeonhole guarantees recall for hamming <= 3 over 4 bands),
-    exact Hamming verify BEFORE the distinct so the dedup shuffle
-    carries only true near-dups.
+    """SimHash near-dup pairs: 64-bit fingerprint (two seeded 32-bit
+    halves), 4 bands x 16 bits (pigeonhole guarantees recall for
+    hamming <= 3 over 4 bands), exact Hamming verify BEFORE the
+    distinct so the dedup shuffle carries only true near-dups.
 
     Fingerprint width is the scale lever: a w-bit simhash has only
-    2^(w/4) band values, so buckets (and the band join) blow up
-    quadratically once corpus >> 2^(w/4) — 16 bits already explodes at
-    5k docs (3M candidate pairs); 32 bits keeps buckets sparse here;
-    a 100 TB corpus wants 64 bits (two 32-bit halves on the oracle
-    side, since the portable md5 hash yields 32 bits per seed)."""
-    t = _simhash_docs(spark, sf_dir, bits=32)
-    bands = t.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("b"), (F.shiftright(F.col("sh"), 8 * b) % 256).alias("bval")) for b in range(4)])
-        ).alias("band"),
-    ).select("doc_id", "sh", F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
-    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "b", "bval")
-    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "b", "bval")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    2^(w/4) band values, so the band join blows up quadratically once
+    corpus >> 2^(w/4). The r1 16-bit version exploded at 5k docs; the
+    r2 32-bit version (256 values/band) hit the same wall at 50k docs
+    in the sf1 sweep (>300 s). 64 bits = 65k values/band keeps band
+    groups near-singleton into the tens of millions of docs; beyond
+    that, band on 4 disjoint 16-bit slices of a 128-bit print."""
+    t = _simhash64_docs(spark, sf_dir)
+    bands = _sh64_bands(t)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sh_a").alias("aa"), F.col("sh_b").alias("ab"), "b", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sh_a").alias("ba"), F.col("sh_b").alias("bb"), "b", "bval"
+    )
+    hamming = F.bit_count(F.col("aa").bitwiseXOR(F.col("ba"))) + F.bit_count(
+        F.col("ab").bitwiseXOR(F.col("bb"))
+    )
     return (
         a.join(b, ["b", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -247,25 +310,60 @@ SELECT id_a, id_b, label, cosine FROM pairs WHERE cosine >= 0.35
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by embedding cosine within label blocks (blocking keeps
-    the join linear-ish; the unblocked version is ann_cosine_topk)."""
+    the join linear-ish; the unblocked version is ann_cosine_topk).
+
+    Scoring is a per-label numpy block matmul (applyInPandas): the r2
+    expression-tree self-join evaluated an interpreted 64-term dot per
+    pair and blew the sf1 sweep's 300 s budget at 10 labels x 5k
+    vectors (~125M pairs). The matmul does each block in row-chunks
+    (bounded memory) in seconds; pair SEMANTICS are unchanged — every
+    same-label pair is still scored, only the arithmetic engine moved
+    from per-element lambdas to vectorized float64 (values match the
+    sequential-sum oracle past the 6 emitted decimals). Parallelism =
+    label count; a corpus with coarser labels sub-blocks by an LSH
+    bucket inside the label, same shape as ann_lsh_topk."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    a = v.select(F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("emb_a"))
-    b = v.select(F.col("vec_id").alias("id_b"), "label", F.col("emb").alias("emb_b"))
-    dot = F.aggregate(F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("emb_a", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("emb_b", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
-        .filter(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", "label", "cosine")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["emb"]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        label = int(pdf["label"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        chunk = 1024
+        for s in range(0, len(ids), chunk):
+            scores = np.round(m[s : s + chunk] @ m.T, 6)
+            for i in range(scores.shape[0]):
+                gi = s + i
+                js = np.nonzero(scores[i, gi + 1 :] >= 0.35)[0] + gi + 1
+                if len(js):
+                    out_a.extend([ids[gi]] * len(js))
+                    out_b.extend(ids[js])
+                    out_c.extend(scores[i, js])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "label": label, "cosine": out_c}
+        )
+
+    return v.groupBy("label").applyInPandas(_block, schema=out_schema)
 
 
 @register(
@@ -274,13 +372,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id,
          substr({DD.norm_text_sql('text')}, 1, 64) AS prefix,
-         {DD.simhash_sql(DD.tokens_sql('text'), bits=32)} AS sh
+         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='sh')} AS sh_a,
+         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='shb')} AS sh_b
   FROM documents
 ),
-bands AS (
-  SELECT doc_id, b, (sh >> (8*b)) & 255 AS bval
-  FROM t, (SELECT unnest(range(4)) AS b)
-),
+{_SH64_BANDS_SQL.strip()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
@@ -291,32 +387,25 @@ WHERE levenshtein(ta.prefix, tb.prefix) <= 8
 """,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs: SimHash-band candidate generation, exact
-    edit-distance verify (<=8 on the 64-char normalized prefix).
+    """Fuzzy near-dup pairs: SimHash-band candidate generation (64-bit
+    print, 4 x 16-bit bands — same width rationale as
+    dedup_simhash_pairs: the 32-bit banding hit quadratic band groups
+    at 50k docs in the sf1 sweep), exact edit-distance verify (<=8 on
+    the 64-char normalized prefix).
 
     The O(n*m) distance is the expensive verifier, so it runs exactly
     ONCE per DISTINCT candidate pair: ids dedup first (cheap shuffle
-    of id pairs), prefixes join back after; prefix width bounds the per-pair cost
-    (64 chars -> 4k DP cells). Computing the distance
+    of id pairs), prefixes join back after; prefix width bounds the
+    per-pair cost (64 chars -> 4k DP cells). Computing the distance
     inside the band join looked equivalent but did the quadratic work
     per band collision (4x) and shuffled 200-char strings through the
-    distinct — the difference between seconds and minutes at 5k docs,
-    and between feasible and not at corpus scale. Wider prefixes buy
-    precision linearly in cost^2 — tune per corpus."""
+    distinct. Wider prefixes buy precision linearly in cost^2."""
+    t = _simhash64_docs(spark, sf_dir).persist()
     d = load(spark, sf_dir, "documents")
-    t = (
-        d.select("doc_id", DD.norm_text("text").alias("norm"), DD.tokens("text").alias("toks"))
-        .select("doc_id", F.substring("norm", 1, 64).alias("prefix"), DD.token_hashes(F.col("toks")).alias("hs"))
-        .select("doc_id", "prefix", DD.simhash_votes(F.col("hs"), 32).alias("votes"))
-        .select("doc_id", "prefix", DD.simhash_from_votes(F.col("votes"), 32).alias("sh"))
-        .persist()
+    prefix = d.select(
+        "doc_id", F.substring(DD.norm_text("text"), 1, 64).alias("prefix")
     )
-    bands = t.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("b"), (F.shiftright(F.col("sh"), 8 * b) % 256).alias("bval")) for b in range(4)])
-        ).alias("band"),
-    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
+    bands = _sh64_bands(t)
     a = bands.select(F.col("doc_id").alias("id_a"), "b", "bval")
     b = bands.select(F.col("doc_id").alias("id_b"), "b", "bval")
     cand = (
@@ -325,8 +414,8 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = t.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
-    tb = t.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    ta = prefix.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    tb = prefix.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
