@@ -173,35 +173,16 @@ def _simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame
     )
 
 
-def _simhash64_docs(spark: SparkSession, sf_dir: str, keep: tuple = ()) -> DataFrame:
-    """(doc_id, sh_a, sh_b [, keep...]): TWO independent 32-bit
-    fingerprints (seeds 'sh'/'shb') forming a 64-bit simhash — the
-    portable md5 hash yields 32 bits per seed, so 64-bit width is two
-    seeded halves on both engines. Staged projections: one md5 pass
-    per seed, one traversal per stage."""
+def _simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_a, sh_b): TWO independent 32-bit fingerprints
+    (seeds 'sh'/'shb') forming a 64-bit simhash — the portable md5
+    hash yields 32 bits per seed, so 64-bit width is two seeded
+    halves on both engines. Tokenization stays a Spark expression
+    (regex parity with the oracle); the md5 + vote fold is the
+    bit-exact vectorized path (operators/dedup.simhash64_np)."""
     d = load(spark, sf_dir, "documents")
-    cols = list(keep)
-    return (
-        d.select("doc_id", *cols, DD.tokens("text").alias("toks"))
-        .select(
-            "doc_id",
-            *cols,
-            DD.token_hashes(F.col("toks"), seed="sh").alias("ha"),
-            DD.token_hashes(F.col("toks"), seed="shb").alias("hb"),
-        )
-        .select(
-            "doc_id",
-            *cols,
-            DD.simhash_votes(F.col("ha"), 32).alias("va"),
-            DD.simhash_votes(F.col("hb"), 32).alias("vb"),
-        )
-        .select(
-            "doc_id",
-            *cols,
-            DD.simhash_from_votes(F.col("va"), 32).alias("sh_a"),
-            DD.simhash_from_votes(F.col("vb"), 32).alias("sh_b"),
-        )
-    )
+    toks = d.select("doc_id", DD.tokens("text").alias("toks"))
+    return DD.simhash64_np(toks)
 
 
 _SH64_BANDS_SQL = """
