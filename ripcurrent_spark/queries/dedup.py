@@ -397,11 +397,17 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = prefix.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
     tb = prefix.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    # Banded DP: the threshold arg prunes each pair's DP to a +/-8
+    # diagonal band (O(n*t) not O(n*m) cells) and returns -1 past it;
+    # the BETWEEN keeps exactly the oracle's (full-DP) <= 8 rows with
+    # identical distances.
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
-        .filter(F.col("edit_dist") <= 8)
+        .select(
+            "id_a", "id_b", F.levenshtein("pa", "pb", threshold=8).alias("edit_dist")
+        )
+        .filter(F.col("edit_dist").between(0, 8))
     )
 
 
