@@ -580,3 +580,76 @@ def q_hourly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "q_touch_attribution",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+  FROM events
+)
+SELECT last_touch AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value,
+       CAST(sum(CASE WHEN epoch_ms(ts) - epoch_ms(touch_ts) <= 3600000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_hour
+FROM w
+WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+GROUP BY last_touch
+ORDER BY last_touch
+""",
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING click/view (classic marketing attribution — the
+    as-of-join family expressed as one window). One shuffle on
+    user_id; the IGNORE NULLS running last over a ROWS frame carries
+    the latest touch to every later event in the partition, so no
+    self-join and no per-purchase scan. Exact-decimal value sums."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        e.select("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("last_touch", touch_type)
+        .withColumn("touch_ts", touch_ts)
+        .filter((F.col("event_type") == "purchase") & F.col("last_touch").isNotNull())
+    )
+    from ripcurrent_spark.functions.timeutil import epoch_expr
+
+    ts_dtype = e.schema["ts"].dataType.simpleString()
+    within = (
+        epoch_expr(F.col("ts"), ts_dtype, "MILLISECOND")
+        - epoch_expr(F.col("touch_ts"), ts_dtype, "MILLISECOND")
+    ) <= 3_600_000
+    return (
+        attributed.groupBy(F.col("last_touch").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+            F.sum(F.when(within, 1).otherwise(0)).cast("long").alias("n_within_hour"),
+        )
+        .orderBy("channel")
+    )
