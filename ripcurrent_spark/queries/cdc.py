@@ -342,3 +342,78 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = synth_changelog(spark, sf_dir).filter(F.col("ts_ms") <= ASOF_MS)
     snap = latest_snapshot(log, key_cols=["o_orderkey"], order_cols=["ts_ms", "seq"])
     return snap.withColumn("totalprice", F.col("totalprice").cast("double"))
+
+
+ASOF_T2_MS = 833_587_200_000  # 1996-06-01T00:00:00Z
+
+
+@register(
+    "cdc_snapshot_delta",
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()},
+s1 AS (
+  SELECT o_orderkey, totalprice, op FROM changelog WHERE ts_ms <= {ASOF_MS}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC, seq DESC) = 1
+),
+s2 AS (
+  SELECT o_orderkey, totalprice, op FROM changelog WHERE ts_ms <= {ASOF_T2_MS}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC, seq DESC) = 1
+),
+a AS (SELECT o_orderkey, totalprice FROM s1 WHERE op <> 'd'),
+b AS (SELECT o_orderkey, totalprice FROM s2 WHERE op <> 'd')
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'modified' END AS change,
+       CAST(a.totalprice AS DOUBLE) AS price_t1,
+       CAST(b.totalprice AS DOUBLE) AS price_t2
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.totalprice <> b.totalprice
+""",
+)
+def cdc_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two instants: latest-per-key snapshots at
+    T1 (1995-06-01) and T2 (1996-06-01) full-outer joined and
+    classified added / removed / modified — the incremental-consumer
+    view a downstream sync pulls instead of a full snapshot.
+
+    Plan: both cutoffs push below their window shuffles; on the
+    `_batch_id=`-partitioned streamed layout the two reads prune to
+    their time ranges, and the full-outer join shuffles once on the
+    key both snapshots already hash by."""
+    log = synth_changelog(spark, sf_dir)
+
+    def snap(cutoff: int) -> DataFrame:
+        s = latest_snapshot(
+            log.filter(F.col("ts_ms") <= cutoff),
+            key_cols=["o_orderkey"],
+            order_cols=["ts_ms", "seq"],
+        )
+        return s.select("o_orderkey", F.col("totalprice").cast("double").alias("price"))
+
+    a = snap(ASOF_MS).withColumnRenamed("price", "price_t1")
+    b = snap(ASOF_T2_MS).withColumnRenamed("price", "price_t2")
+    j = a.withColumnRenamed("o_orderkey", "k1").join(
+        b.withColumnRenamed("o_orderkey", "k2"),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .otherwise("modified")
+    )
+    return (
+        j.filter(
+            F.col("k1").isNull()
+            | F.col("k2").isNull()
+            | (F.col("price_t1") != F.col("price_t2"))
+        )
+        .select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            change.alias("change"),
+            "price_t1",
+            "price_t2",
+        )
+    )
