@@ -337,8 +337,10 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_latest_snapshot with the cutoff PUSHED INTO THE SCAN (the
     predicate sits below the window shuffle, so a month-old snapshot
     over a year of changelog reads and shuffles only the prefix).
-    On a partitioned changelog (the `_batch_id=` layout the streaming
-    sinks write) the same filter prunes whole partitions."""
+    On a changelog partitioned by event time (date=... dirs) the same
+    filter prunes whole partitions; the streaming sinks' `_batch_id=`
+    layout prunes when batch ids map to time ranges (monotone
+    ingestion), via a batch-id manifest otherwise."""
     log = synth_changelog(spark, sf_dir).filter(F.col("ts_ms") <= ASOF_MS)
     snap = latest_snapshot(log, key_cols=["o_orderkey"], order_cols=["ts_ms", "seq"])
     return snap.withColumn("totalprice", F.col("totalprice").cast("double"))
@@ -378,10 +380,11 @@ def cdc_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified added / removed / modified — the incremental-consumer
     view a downstream sync pulls instead of a full snapshot.
 
-    Plan: both cutoffs push below their window shuffles; on the
-    `_batch_id=`-partitioned streamed layout the two reads prune to
-    their time ranges, and the full-outer join shuffles once on the
-    key both snapshots already hash by."""
+    Plan: both cutoffs push below their window shuffles; on a
+    time-partitioned changelog layout the two reads prune to their
+    time ranges (monotone `_batch_id=` dirs prune the same way via a
+    batch-to-time manifest), and the full-outer join shuffles once on
+    the key both snapshots already hash by."""
     log = synth_changelog(spark, sf_dir)
 
     def snap(cutoff: int) -> DataFrame:
