@@ -379,3 +379,52 @@ def simhash64_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "to
     return toks_df.select(
         F.col(id_col).alias("doc_id"), F.col(toks_col).alias(toks_col)
     ).mapInPandas(_fp, schema=out_schema)
+
+
+def minhash_sig_np(g_df: DataFrame, id_col: str = "doc_id", ngs_col: str = "ngs", k: int = 12, prefix: str = "mh") -> DataFrame:
+    """Vectorized MinHash signatures, BIT-IDENTICAL to minhash_sig:
+    same md5 shingle hash (memoized per distinct shingle), same affine
+    permutations (a_i*h + b_i) mod 2^32, same integer mins — integer
+    arithmetic has one correct answer, so this is an execution-engine
+    swap, not an approximation. One (shingles x k) broadcasted
+    multiply + column-min per doc replaces an interpreted
+    aggregate/zip_with lambda per (shingle, permutation)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a = np.array([_mh_a(i) for i in range(k)], dtype=np.uint64)
+    b = np.array([_mh_b(i, prefix) for i in range(k)], dtype=np.uint64)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _sigs(batches):
+        memo: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            got = memo.get(s)
+            if got is None:
+                got = memo[s] = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            return got
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, ngs in zip(pdf[id_col], pdf[ngs_col]):
+                hs = np.array([h(s) for s in ngs], dtype=np.uint64)
+                if len(hs):
+                    sig = ((hs[:, None] * a + b) % (1 << 32)).min(axis=0)
+                    sigs.append([int(x) for x in sig])
+                else:
+                    sigs.append([1 << 33] * k)
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return g_df.select(
+        F.col(id_col).alias("doc_id"), F.col(ngs_col).alias(ngs_col)
+    ).mapInPandas(_sigs, schema=out_schema)

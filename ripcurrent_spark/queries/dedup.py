@@ -135,11 +135,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature computation into every reference. (In a production
     # pipeline signatures are a precomputed stored column.)
     g = _ngram_docs(spark, sf_dir).persist()
-    sigs = (
-        g.select("doc_id", DD.shingle_hashes(F.col("ngs")).alias("hs"))
-        .select("doc_id", DD.minhash_from_hashes(F.col("hs"), _MH_K).alias("sig"))
-        .persist()
-    )
+    # Signatures via the vectorized bit-identical path (one batched
+    # multiply+min instead of an interpreted lambda per
+    # (shingle, permutation) — the expression twin minhash_sig stays
+    # for the SQL mirror and the streaming index).
+    sigs = DD.minhash_sig_np(g, k=_MH_K).persist()
     bk = sigs.select(
         "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey")
     )
