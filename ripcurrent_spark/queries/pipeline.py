@@ -653,3 +653,104 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q_cumulative_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_day
+ORDER BY d
+""",
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. Windows can't COUNT(DISTINCT),
+    so the standard rewrite: collapse to each user's FIRST day (one
+    groupBy), count arrivals per day, then a running sum over the tiny
+    per-day frame — the distinct-to-first-seen trick that turns an
+    unsupported windowed distinct into two hash aggregates + a window
+    over days, never over raw events."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_day.select(
+            F.col("d").cast("string").alias("day"),
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id,
+         date_trunc('week', f.cohort_day) AS cohort_week,
+         CAST(datediff('week', date_trunc('week', f.cohort_day),
+                       date_trunc('week', CAST(e.ts AS DATE))) AS BIGINT) AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act
+WHERE week_offset BETWEEN 0 AND 4
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, activity
+    counted per week offset 0..4 — the triangle every growth dashboard
+    draws. Two shuffles (first-seen groupBy; distinct (user, offset)
+    which folds into the final count): the cohort map joins back
+    broadcast when users fit, shuffle-hash otherwise."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    cohort_week = F.date_trunc("week", F.col("cohort_day")).cast("date")
+    act = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            cohort_week.alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts").cast("date")).cast("date"),
+                    cohort_week,
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("week_offset").between(0, 4))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
