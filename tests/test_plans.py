@@ -239,3 +239,25 @@ def test_snapshot_asof_cutoff_pushed_to_scan(spark):
     # changelog it lands as a filter below the window's one exchange).
     plan = _plan(spark, "cdc_snapshot_asof")
     assert plan.count("Exchange hashpartitioning") <= 2  # window shuffle only (union branches)
+
+
+def test_ivf_assignment_vectorized_not_crossjoined(spark):
+    # The coarse quantizer must be the Arrow-batched matmul, not the
+    # interpreted crossJoin-per-centroid plan the sf1 sweep killed.
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_topk_scored_per_bucket_group(spark):
+    # Dense buckets score as grouped numpy blocks (applyInPandas);
+    # no all-pairs join survives in the plan.
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_signatures_vectorized(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
