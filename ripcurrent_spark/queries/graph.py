@@ -93,7 +93,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge frame is persisted once so the scan + distinct is not
     repeated per round, and rank state stays distributed end to end.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Pre-distinct (order, part) BEFORE the self-join: repeated lines
+    # of the same part in one order would multiply the join fanout and
+    # die in the distinct afterwards anyway — shrink first.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     l1 = li.alias("l1")
     l2 = li.alias("l2")
     edges = (

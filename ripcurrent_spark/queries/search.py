@@ -87,15 +87,30 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IEEE result matches the oracle bit-for-bit.
     """
     d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
 
-    def tf_col(term: str) -> Column:
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+    # Per-doc term counts are INTEGERS, so they can move to a
+    # vectorized counter without touching float parity: the double
+    # scoring below consumes exactly the same (dl, tf_i) the
+    # interpreted size(filter(...)) passes produced — which cost three
+    # lambda traversals per doc and dominated this query's sf1 wall.
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    t = d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[tf_col(term).alias(f"tf{i}") for i, term in enumerate(QUERY_TERMS)],
+    count_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("dl", T.IntegerType())]
+        + [T.StructField(f"tf{i}", T.IntegerType()) for i in range(len(QUERY_TERMS))]
+    )
+
+    def _count(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "dl": [len(t) for t in pdf["toks"]]}
+            for i, term in enumerate(QUERY_TERMS):
+                out[f"tf{i}"] = [sum(1 for x in t if x == term) for t in pdf["toks"]]
+            yield pd.DataFrame(out)
+
+    t = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .mapInPandas(_count, schema=count_schema)
     )
     stats = t.agg(
         F.count("*").alias("n"),
