@@ -368,7 +368,9 @@ def simhash64_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "to
         for pdf in batches:
             ids, sha, shb = [], [], []
             for doc_id, toks in zip(pdf[id_col], pdf[toks_col]):
-                pairs = [th(t) for t in toks]
+                # NULL token arrays (NULL text upstream) fold like empty
+                # docs instead of raising in the worker.
+                pairs = [th(t) for t in (toks if toks is not None else [])]
                 ha = np.array([p[0] for p in pairs], dtype=np.uint64)
                 hb = np.array([p[1] for p in pairs], dtype=np.uint64)
                 ids.append(doc_id)
@@ -416,7 +418,9 @@ def minhash_sig_np(g_df: DataFrame, id_col: str = "doc_id", ngs_col: str = "ngs"
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, ngs in zip(pdf[id_col], pdf[ngs_col]):
-                hs = np.array([h(s) for s in ngs], dtype=np.uint64)
+                hs = np.array(
+                    [h(s) for s in (ngs if ngs is not None else [])], dtype=np.uint64
+                )
                 if len(hs):
                     sig = ((hs[:, None] * a + b) % (1 << 32)).min(axis=0)
                     sigs.append([int(x) for x in sig])

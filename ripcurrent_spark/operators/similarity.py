@@ -43,6 +43,18 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({d} / ({na} * {nb}))"
 
 
+def unit_rows_np(m):
+    """Row-normalize a numpy matrix, mapping zero-norm rows to zero
+    vectors instead of NaN: a NaN score row would sort differently per
+    engine (np.lexsort puts NaN keys last; DuckDB ranks NaN greatest),
+    so zero vectors score 0.0 against everything — below any
+    threshold, deterministically."""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0.0, 1.0, n)
+
+
 def unit(a: Column) -> Column:
     """L2-normalize once per ROW — cosine against unit vectors is a
     plain dot product, so the per-PAIR work drops from (dot + 2 norms)
@@ -107,7 +119,7 @@ def brute_force_topk_np(
     qrows = queries.select(F.col(id_col), F.col(emb_col)).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = unit_rows_np(qm)
 
     out_schema = T.StructType(
         [
@@ -123,7 +135,7 @@ def brute_force_topk_np(
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array(list(pdf[emb_col]), dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = unit_rows_np(cm)
             scores = cm @ qm.T  # (batch, nq)
             for j in range(len(qids)):
                 s = scores[:, j]
@@ -260,7 +272,7 @@ def lsh_bucketed_topk(
         def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
             ids = pdf["vid"].to_numpy(dtype=np.int64)
             m = np.array(list(pdf["emb"]), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = unit_rows_np(m)
             bucket = int(pdf["bucket"].iloc[0])
             # indexed side: first `bucket_cap` members by portable hash
             order = np.lexsort((ids, np.array([_caphash(i) for i in ids])))

@@ -87,8 +87,12 @@ WHERE rank <= 5
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (signed random projection, 8 bits) bucketed approximate
     top-5 — the corpus x corpus scale path. Projection weights are
-    shared literal constants, so the whole pipeline (bucket, cosine,
-    ranking) is bit-identical to the DuckDB oracle.
+    shared literal constants, so bucket assignment (integer sign bits)
+    is bit-identical to the DuckDB oracle; cosine scoring is a numpy
+    normalize-then-matmul whereas the oracle sums sequentially, so
+    value parity is empirical — matches after round(.., 6) on the
+    tested data (a score exactly at a 1e-6 rounding boundary could in
+    principle flip a rank against the oracle).
 
     The indexed side of each bucket is capped at 512 deterministic
     members (portable-hash order): clustered corpora collapse whole

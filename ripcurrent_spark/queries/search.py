@@ -103,9 +103,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _count(batches):
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"], "dl": [len(t) for t in pdf["toks"]]}
+            # NULL text tokenizes to NULL; treat as empty (the replaced
+            # expression pipeline propagated NULL silently).
+            tl = [t if t is not None else [] for t in pdf["toks"]]
+            out = {"doc_id": pdf["doc_id"], "dl": [len(t) for t in tl]}
             for i, term in enumerate(QUERY_TERMS):
-                out[f"tf{i}"] = [sum(1 for x in t if x == term) for t in pdf["toks"]]
+                out[f"tf{i}"] = [sum(1 for x in t if x == term) for t in tl]
             yield pd.DataFrame(out)
 
     t = (
