@@ -15,11 +15,12 @@ engines, which float k-means normally is not):
   engines cannot flip an assignment;
 - initial centroids are the k lowest-id vectors (no RNG).
 
-Scale posture (100 TB corpus): per iteration one corpus scan, one
-broadcast join against k centroids (k rows), and one
-posexplode+groupBy shuffle of (cluster, dim) partial sums — partial
-aggregation map-side-combines the n*d explosion down to k*d rows per
-partition. Centroids never leave the JVM; no driver-side collect.
+Scale posture (100 TB corpus): per iteration one corpus scan with
+the k-row centroid matrix shipped in the mapInPandas closure (the
+broadcast-small-state pattern; k rows is a control-plane fetch, the
+same shape as the IVF coarse quantizer), and one posexplode+groupBy
+shuffle of (cluster, dim) partial sums — partial aggregation
+map-side-combines the n*d explosion down to k*d rows per partition.
 """
 
 from __future__ import annotations
@@ -53,6 +54,63 @@ def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         .filter(F.col("_rnk") == 1)
         .select("vec_id", "emb", "cluster")
     )
+
+
+def assign_np(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Vectorized nearest-centroid assignment — the Arrow-batch twin
+    of :func:`assign`, same (vec_id, emb, cluster) output.
+
+    The k centroids (small by contract) are collected and closed over
+    as a float64 matrix sorted by cluster id; each Arrow batch
+    computes all (vector, centroid) squared distances in numpy. The
+    expression path evaluates an interpreted 64-term
+    aggregate/zip_with lambda per pair (no codegen for HOF lambdas) —
+    the same pattern the sf1 sweep showed ~100x slower than one
+    batched computation (fixed earlier in the IVF coarse quantizer and
+    the LSH block scorer).
+
+    Bit-parity with :func:`assign`'s determinism contract: the
+    distance accumulates PER DIMENSION in ascending order
+    (``acc += (x_d - y_d)^2``), the exact IEEE operation order of the
+    left-to-right aggregate fold, so the pre-rounding double is
+    bit-identical, round(.., 6) sees the same value, and np.argmin
+    over the cluster-sorted matrix reproduces ORDER BY _d, cluster
+    (first minimal index = lowest cluster id)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    crows = sorted(centroids.select("cluster", "cemb").collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cm = np.array([r[1] for r in crows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.LongType()),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf["emb"]), dtype=np.float64)
+            acc = np.zeros((len(vm), len(cids)))
+            for d in range(vm.shape[1]):
+                diff = vm[:, d : d + 1] - cm[:, d]
+                acc += diff * diff
+            best = np.argmin(np.round(acc, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "emb": list(pdf["emb"]),
+                    "cluster": cids[best],
+                }
+            )
+
+    return vectors.select("vec_id", "emb").mapInPandas(_assign, schema=out_schema)
 
 
 def centroid_stats(assigned: DataFrame) -> DataFrame:
@@ -97,8 +155,8 @@ def kmeans_assignments(vectors: DataFrame, k: int = 8, iters: int = 2) -> DataFr
     centroids produced by round iters-1)."""
     centroids = _init_centroids(vectors, k)
     for _ in range(iters - 1):
-        centroids = _rebuild(centroid_stats(assign(vectors, centroids)))
-    return assign(vectors, centroids)
+        centroids = _rebuild(centroid_stats(assign_np(vectors, centroids)))
+    return assign_np(vectors, centroids)
 
 
 def kmeans_centroid_stats(
