@@ -242,8 +242,16 @@ def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: 
     guard — the scale lever; mirrored in oracle SQL)."""
     k = keyed.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
     if max_df is not None:
-        hot = k.groupBy("_k").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
-        k = k.join(F.broadcast(hot.select("_k")), "_k")
+        # Anti-join against the HOT key set (keys exceeding the cap):
+        # hot keys are few by definition, so the broadcast side stays
+        # tiny at any corpus size — broadcasting the KEPT set instead
+        # would ship the whole surviving vocabulary to every executor.
+        hot = (
+            k.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+        )
+        k = k.join(F.broadcast(hot.select("_k")), "_k", "left_anti")
     a = k.select(F.col("_id").alias("id_a"), "_k")
     b = k.select(F.col("_id").alias("id_b"), "_k")
     return (

@@ -185,6 +185,8 @@ def _simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash64_np(toks)
 
 
+_SH_MAX_DF = 1000
+
 _SH64_BANDS_SQL = """
 bands AS (
   SELECT doc_id, sh_a, sh_b, b,
@@ -194,6 +196,33 @@ bands AS (
               ELSE (sh_b >> 16) & 65535 END AS bval
   FROM t, (SELECT unnest(range(4)) AS b)
 )"""
+
+_SH64_KEPT_SQL = f"""
+kept AS (
+  SELECT doc_id, sh_a, sh_b, b, bval FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY b, bval) AS _df FROM bands
+  ) WHERE _df <= {_SH_MAX_DF}
+)"""
+
+
+def _capped_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Band rows with HOT band values removed: a (band, value) shared
+    by more than _SH_MAX_DF docs is dropped from candidate generation
+    entirely (both sides), bounding every band group — the same
+    max-df discipline as the shingle inverted index. Hot band values
+    are degenerate prints (empty/boilerplate docs collapsing to one
+    fingerprint), exactly where band groups went quadratic twice
+    before (16-bit/5k docs in r1, 32-bit/50k docs in the sf1 sweep);
+    dropping them trades those all-alike pairs for bounded work. The
+    hot set is tiny by definition, so it broadcasts at any corpus
+    size (anti-join, never a kept-set broadcast)."""
+    bands = _sh64_bands(t, keep)
+    hot = (
+        bands.groupBy("b", "bval")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > _SH_MAX_DF)
+    )
+    return bands.join(F.broadcast(hot.select("b", "bval")), ["b", "bval"], "left_anti")
 
 
 def _sh64_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
@@ -226,10 +255,11 @@ WITH t AS (
   FROM documents
 ),
 {_SH64_BANDS_SQL.strip()},
+{_SH64_KEPT_SQL.strip()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                   bit_count(xor(a.sh_a, b.sh_a)) + bit_count(xor(a.sh_b, b.sh_b)) AS hamming
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.sh_a, b.sh_a)) + bit_count(xor(a.sh_b, b.sh_b)) <= 3
 )
@@ -248,9 +278,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 32-bit version (256 values/band) hit the same wall at 50k docs
     in the sf1 sweep (>300 s). 64 bits = 65k values/band keeps band
     groups near-singleton into the tens of millions of docs; beyond
-    that, band on 4 disjoint 16-bit slices of a 128-bit print."""
+    that, band on 4 disjoint 16-bit slices of a 128-bit print. Band
+    values shared by more than _SH_MAX_DF docs are dropped outright
+    (_capped_bands), so a degenerate print — the residual failure mode
+    the widening can't fix — degrades to bounded recall instead of
+    quadratic work."""
     t = _simhash64_docs(spark, sf_dir)
-    bands = _sh64_bands(t)
+    bands = _capped_bands(t)
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("sh_a").alias("aa"), F.col("sh_b").alias("ab"), "b", "bval"
     )
@@ -437,9 +471,10 @@ WITH t AS (
   FROM documents
 ),
 {_SH64_BANDS_SQL.strip()},
+{_SH64_KEPT_SQL.strip()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, levenshtein(ta.prefix, tb.prefix) AS edit_dist
 FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
@@ -459,13 +494,15 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair cost (64 chars -> 4k DP cells). Computing the distance
     inside the band join looked equivalent but did the quadratic work
     per band collision (4x) and shuffled 200-char strings through the
-    distinct. Wider prefixes buy precision linearly in cost^2."""
+    distinct. Wider prefixes buy precision linearly in cost^2. Hot
+    band values (> _SH_MAX_DF docs) are dropped before the join
+    (_capped_bands), bounding every band group."""
     t = _simhash64_docs(spark, sf_dir).persist()
     d = load(spark, sf_dir, "documents")
     prefix = d.select(
         "doc_id", F.substring(DD.norm_text("text"), 1, 64).alias("prefix")
     )
-    bands = _sh64_bands(t)
+    bands = _capped_bands(t)
     a = bands.select(F.col("doc_id").alias("id_a"), "b", "bval")
     b = bands.select(F.col("doc_id").alias("id_b"), "b", "bval")
     cand = (
