@@ -1,0 +1,129 @@
+"""End-to-end test of the application shell (``run_app``): properties
+config + IRI XML libraries + file-source changelog -> masked upsert
+target + schema-change audit log, the reference's full deliverable
+(Main.java:83-157)."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+from ripcurrent_spark.app import AppHandle, load_properties, run_app
+
+RULES_XML = textwrap.dedent("""\
+    <?xml version="1.0" encoding="ASCII"?>
+    <rules:RuleLibrary xmi:version="2.0" xmlns:xmi="http://www.omg.org/XMI" xmlns:rules="http://rules/1.0">
+      <rules xsi:type="rules:FieldRule" name="FieldStringRule" editor="w" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+        <properties fieldRulePropertyType="EXPRESSION" value="toupper(${FIELDNAME})"/>
+        <properties fieldRulePropertyType="NAME" value="UP_${FIELDNAME}"/>
+      </rules>
+    </rules:RuleLibrary>
+""")
+
+# EMAIL: value-pattern matcher -> toupper rule (first-match-wins).
+DATACLASS_XML = textwrap.dedent("""\
+    <?xml version="1.0" encoding="ASCII"?>
+    <dataclass:DataClassLibrary xmi:version="2.0" xmlns:xmi="http://www.omg.org/XMI" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xmlns:dataclass="http://dataclass/1.0">
+      <dataClasses xsi:type="dataclass:DataClass" name="EMAIL" description="" nameMatcher="">
+        <defaultRule href="lib.rules#FieldStringRule"/>
+        <matchers details="\\b[\\w._%+-]+@[\\w.-]+\\.[A-Za-z]{2,4}\\b"/>
+      </dataClasses>
+    </dataclass:DataClassLibrary>
+""")
+
+
+def _event(table, op, ts, key, email=None, city=None, before=None, ddl=None):
+    payload = {
+        "op": op,
+        "ts_ms": ts,
+        "source": {"db": "db1", "schema": "public", "table": table},
+        "before": before,
+        "after": None
+        if op == "d"
+        else {"id": str(key), "email": email, "city": city},
+    }
+    if ddl is not None:
+        payload["ddl"] = ddl
+    return {
+        "key": json.dumps(
+            {"Schema": {"fields": [{"field": "id"}]}, "payload": {"id": str(key)}}
+        ),
+        "value": json.dumps({"payload": payload}),
+    }
+
+
+EVENTS = [
+    _event("cust", "c", 100, 1, "a@x.com", "rome"),
+    _event("cust", "c", 100, 2, "b@y.org", "oslo"),
+    _event("cust", "u", 200, 1, "a2@x.com", "rome"),
+    _event("cust", "d", 300, 2, before={"id": "2", "email": "b@y.org", "city": "oslo"}),
+    _event("orders", "c", 100, 7, "c@z.io", "bern"),
+    _event("cust", "", 400, 0, ddl="ALTER TABLE cust ADD COLUMN z int"),
+    # A table matching the reference-style exclude regex must be skipped.
+    _event("cust_masked", "c", 100, 9, "x@x.com", "nope"),
+]
+
+
+def _write_config(tmp_path) -> str:
+    (tmp_path / "events").mkdir()
+    with open(tmp_path / "events" / "part-000.json", "w") as f:
+        for e in EVENTS:
+            f.write(json.dumps(e) + "\n")
+    (tmp_path / "lib.rules").write_text(RULES_XML)
+    (tmp_path / "lib.dataclass").write_text(DATACLASS_XML)
+    cfg = tmp_path / "config.properties"
+    cfg.write_text(
+        textwrap.dedent("""\
+        # file-source twin of the Debezium connector block
+        sourcePath=events
+        targetPath=out
+        dataClassLibraryPath=lib.dataclass
+        rulesLibraryPath=lib.rules
+        targetNamePostfix=_masked
+        schemaChangeEventLog=schema_change_events.log
+        table.exclude.list=.*_masked
+        """)
+    )
+    return str(cfg)
+
+
+def test_load_properties(tmp_path):
+    p = tmp_path / "c.properties"
+    p.write_text("# comment\na=1\nsep=\\t\n!also comment\nspaced = v \n")
+    assert load_properties(p) == {"a": "1", "sep": "\t", "spaced": "v"}
+
+
+def test_run_app_end_to_end(spark, tmp_path):
+    handle = run_app(spark, _write_config(tmp_path), once=True)
+    assert isinstance(handle, AppHandle)
+
+    # Discovery: both DML tables planned, the _masked one excluded.
+    by_table = {p.table: p for p in handle.plans}
+    assert set(by_table) == {"cust", "orders"}
+    cust = by_table["cust"]
+    assert cust.key_field == "id"  # first PK field of the key schema
+    assert cust.columns == ["id", "email", "city"]
+    assert [(cc.column, cc.rule_name) for cc in cust.classifications] == [
+        ("email", "FieldStringRule")
+    ]
+
+    # Masked upsert target: latest-per-key, delete dropped, EMAIL
+    # column masked via the XML rule as ALTERED_email.
+    snap = {
+        r.id: r
+        for r in spark.read.parquet(str(tmp_path / "out" / "cust_masked")).collect()
+    }
+    assert set(snap) == {"1"}
+    assert snap["1"].ALTERED_email == "A2@X.COM"
+    assert snap["1"].city == "rome"  # unclassified column passes through
+
+    orders = spark.read.parquet(str(tmp_path / "out" / "orders_masked")).collect()
+    assert len(orders) == 1 and orders[0].ALTERED_email == "C@Z.IO"
+
+    # Schema-change audit log (Main.java:293-310 format).
+    log = (tmp_path / "schema_change_events.log").read_text()
+    assert "ALTER TABLE cust ADD COLUMN z int" in log
+    assert "detected for table 'db1.cust'" in log
+
+    # All streams stopped after the drain.
+    assert all(not q.isActive for q in handle.queries)
