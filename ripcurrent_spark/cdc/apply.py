@@ -39,6 +39,48 @@ def latest_snapshot(
     )
 
 
+def latest_snapshot_salted(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("ts_ms", "seq"),
+    op_col: str = "op",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-hardened twin of :func:`latest_snapshot` — same output,
+    different shuffle shape for the hot-key-update workload a real CDC
+    stream has (one account/session/device key receiving a large share
+    of updates makes the window's single shuffle-by-key put that whole
+    key in one reducer; AQE can split skewed PARTITIONS but not one
+    key's row group).
+
+    Two-phase max-by (the q_salted_brand_revenue pattern applied to
+    latest-per-key): events first reduce per (key, salt) where the
+    salt spreads a key's events by hash of its order columns, then the
+    <= n_salts per-key candidates reduce to one. Both phases are hash
+    AGGREGATES, so phase 1 partially aggregates map-side before the
+    shuffle — a hot key ships at most n_salts rows per upstream
+    partition instead of every event.
+
+    The latest row is selected by lexicographic max of the
+    (order_cols..., full row) struct; ties on order_cols resolve by
+    the row struct's remaining fields (deterministic), where the
+    window twin's row_number tie is arbitrary — order keys are unique
+    per key in a well-formed changelog (ts, seq), so both agree."""
+    cols = changelog.columns
+    salt = F.pmod(F.hash(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    packed = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.struct(*[F.col(c) for c in cols]).alias("_row"),
+    )
+    per_salt = (
+        changelog.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.max(packed).alias("_m"))
+    )
+    latest = per_salt.groupBy(*key_cols).agg(F.max("_m").alias("_m"))
+    return latest.select("_m._row.*").filter(F.col(op_col) != "d")
+
+
 def scd2_history(
     changelog: DataFrame,
     key_cols: Sequence[str],
@@ -58,6 +100,50 @@ def scd2_history(
         .withColumn("valid_to", F.col("_next_ts"))
         .withColumn("is_current", F.col("_next_ts").isNull())
         .drop("_next_ts")
+    )
+
+
+def read_changelog_asof(
+    spark,
+    log_dir: str,
+    cutoff,
+    ts_col: str = "ts_ms",
+    batch_col: str = "_batch_id",
+) -> DataFrame:
+    """Time-travel read of a ``_batch_id``-partitioned changelog with
+    BATCH-DIR pruning: only batch partitions containing rows at or
+    before the cutoff are listed, so a column added by a later batch
+    (mid-stream upstream ALTER TABLE, landed via evolve_schema sinks)
+    never surfaces in the as-of schema — the as-of snapshot has the
+    schema the table had at that time. Under monotone ingestion the
+    kept set is a batch-id prefix.
+
+    Deciding the kept set is ONE column-pruned scan of
+    (batch, ts) — parquet reads only those two columns; at 100 TB a
+    batch manifest (min/max ts per batch id, maintained at write time)
+    replaces the probe scan with a metadata lookup."""
+    from pathlib import Path
+
+    probe = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(log_dir)
+        .groupBy(batch_col)
+        .agg(F.min(ts_col).alias("_lo"))
+        .collect()
+    )
+    keep = sorted(
+        r[batch_col] for r in probe if r["_lo"] is not None and r["_lo"] <= cutoff
+    )
+    dirs: list[str] = []
+    for bid in keep:
+        dirs += [str(p) for p in sorted(Path(log_dir).rglob(f"{batch_col}={bid}"))]
+    if not dirs:
+        raise ValueError(f"no changelog batches at or before cutoff {cutoff!r}")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", log_dir)
+        .parquet(*dirs)
+        .filter(F.col(ts_col) <= cutoff)
     )
 
 

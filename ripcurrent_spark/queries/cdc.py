@@ -154,6 +154,38 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_latest_snapshot_salted",
+    oracle=f"""
+WITH {CHANGELOG_CTE.strip()}
+SELECT op, seq, ts_ms, o_orderkey, o_custkey, o_orderstatus,
+       CAST(totalprice AS DOUBLE) AS totalprice
+FROM changelog
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC, seq DESC) = 1
+   AND op <> 'd'
+""",
+)
+def cdc_latest_snapshot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened CDC apply: same snapshot semantics (and the SAME
+    oracle) as cdc_latest_snapshot, computed as a two-phase salted
+    max-by aggregation instead of one window-by-key — the shape for
+    hot-key-update workloads where one key's updates dominate a real
+    CDC stream (AQE splits skewed partitions, not one key's row
+    group). Phase 1 reduces per (key, salt-of-order-cols) with
+    map-side partial aggregation; phase 2 reduces the <= n_salts
+    candidates per key. See cdc/apply.py::latest_snapshot_salted."""
+    from ripcurrent_spark.cdc.apply import latest_snapshot_salted
+
+    log = synth_changelog(spark, sf_dir)
+    snap = latest_snapshot_salted(
+        log, key_cols=["o_orderkey"], order_cols=["ts_ms", "seq"]
+    )
+    return snap.select(
+        "op", "seq", "ts_ms", "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("totalprice").cast("double").alias("totalprice"),
+    )
+
+
+@register(
     "cdc_scd2_history",
     oracle=f"""
 WITH {CHANGELOG_CTE.strip()}

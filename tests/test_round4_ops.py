@@ -59,3 +59,88 @@ def test_candidate_pairs_max_df_anti_join_semantics(spark):
     # Without a cap the hot key contributes all 10 pairs.
     pairs_all = candidate_pairs_by_key(keyed, "doc_id", "k").collect()
     assert len(pairs_all) == 10 + 1
+
+
+# ----------------------------------------------------- salted CDC apply
+def _changelog(spark):
+    rows = []
+    # hot key 1: many updates; key 2: create+delete; key 3: one create
+    for i in range(200):
+        rows.append(("u" if i else "c", 1000 + i, i, 1, f"v{i}"))
+    rows += [("c", 1000, 900, 2, "b0"), ("d", 2000, 901, 2, None)]
+    rows += [("c", 1500, 950, 3, "c0")]
+    return spark.createDataFrame(
+        rows, "op string, ts_ms long, seq long, id long, val string"
+    )
+
+
+def test_latest_snapshot_salted_equals_window_path(spark):
+    from ripcurrent_spark.cdc.apply import latest_snapshot, latest_snapshot_salted
+
+    log = _changelog(spark)
+    want = sorted(
+        (r.id, r.ts_ms, r.seq, r.val)
+        for r in latest_snapshot(log, ["id"], ("ts_ms", "seq")).collect()
+    )
+    got = sorted(
+        (r.id, r.ts_ms, r.seq, r.val)
+        for r in latest_snapshot_salted(log, ["id"], ("ts_ms", "seq")).collect()
+    )
+    assert got == want
+    assert [r[0] for r in got] == [1, 3]  # delete dropped
+
+
+def test_latest_snapshot_salted_plan_two_phase(spark):
+    """The salted path must be two hash AGGREGATES (partial map-side
+    combine bounds a hot key's shuffle rows) with no Window."""
+    from ripcurrent_spark.cdc.apply import latest_snapshot_salted
+
+    qe = latest_snapshot_salted(_changelog(spark), ["id"])._jdf.queryExecution()
+    logical = qe.optimizedPlan().toString()
+    assert "Window" not in logical
+    assert logical.count("Aggregate") == 2  # per-(key,salt), then per-key
+
+
+# -------------------------------------- schema evolution + time travel
+def test_schema_evolution_with_time_travel(spark, tmp_path):
+    """A changelog gains a column mid-stream (upstream ALTER TABLE):
+    the evolve_schema upsert target widens with null backfill, while
+    an as-of read from BEFORE the add prunes the later batch dirs and
+    does NOT surface the new column."""
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.cdc.apply import latest_snapshot, read_changelog_asof
+    from ripcurrent_spark.sinks import read_merge_target, upsert_parquet
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [("c", 100, 1, 1, "x1"), ("c", 110, 2, 2, "x2")],
+        "op string, ts_ms long, seq long, id long, a string",
+    )
+    b2 = spark.createDataFrame(
+        [("u", 200, 3, 1, "x1b", "n1"), ("c", 210, 4, 3, "x3", "n3")],
+        "op string, ts_ms long, seq long, id long, a string, b string",
+    )
+    for i, batch in enumerate([b1, b2]):
+        batch.withColumn("_batch_id", F.lit(i)).write.mode("append").partitionBy(
+            "_batch_id"
+        ).parquet(log)
+        upsert_parquet(batch, snap, key_cols=["id"], n_buckets=4, evolve_schema=True)
+
+    # Current snapshot: widened schema, null backfill for pre-add rows.
+    cur = {r.id: r for r in read_merge_target(spark, snap).collect()}
+    assert set(cur) == {1, 2, 3}
+    assert cur[1].b == "n1" and cur[3].b == "n3" and cur[2].b is None
+
+    # As-of BEFORE the add: batch 1 pruned away, no `b` column at all.
+    asof = read_changelog_asof(spark, log, 150)
+    assert "b" not in asof.columns
+    old = {r.id: r for r in latest_snapshot(asof, ["id"], ("ts_ms", "seq")).collect()}
+    assert set(old) == {1, 2} and old[1].a == "x1"
+
+    # As-of AFTER the add sees the evolved schema and latest values.
+    later = read_changelog_asof(spark, log, 10_000)
+    assert "b" in later.columns
+    new = {r.id: r for r in latest_snapshot(later, ["id"], ("ts_ms", "seq")).collect()}
+    assert new[1].a == "x1b" and new[1].b == "n1"
