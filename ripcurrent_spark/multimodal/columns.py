@@ -71,10 +71,23 @@ def _decode_stub(payload: bytes) -> tuple[str, list[float]]:
     return digest, feat
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    batch_hint: int | None = None,
+    decoder=None,
+) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas. Partitioning
     is preserved (narrow op — no shuffle); payload bytes never hit the
-    driver."""
+    driver.
+
+    ``decoder`` is the codec seam: any
+    ``(payload: bytes) -> (digest: str, feature: list[float])``
+    callable (e.g. a PIL/torchvision wrapper) ships in the closure and
+    runs per payload inside the Arrow batch — the stage itself is
+    codec-agnostic (tested with an injected fake in
+    tests/test_multimodal.py). Defaults to the deterministic stub
+    because this container has no media libraries."""
+    decode = decoder or _decode_stub
 
     def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -83,7 +96,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             digests, feats, sizes = [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                digest, feat = _decode_stub(b)
+                digest, feat = decode(b)
                 digests.append(digest)
                 feats.append(feat)
                 sizes.append(len(b))
@@ -129,11 +142,20 @@ def _resize_stub(payload: bytes, w: int, h: int) -> tuple[str, bytes]:
     return src_digest, chain[:n_out]
 
 
-def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(
+    media: DataFrame, width: int, height: int, resizer=None
+) -> DataFrame:
     """Arrow-batched thumbnail resize over mapInPandas: narrow (no
     shuffle), payload in/payload out, metadata width/height rewritten
     to the target box. Output payload size is bounded by the target
-    dims, so a 100 TB corpus shrinks in one map-only stage."""
+    dims, so a 100 TB corpus shrinks in one map-only stage.
+
+    ``resizer`` is the codec seam: any
+    ``(payload: bytes, w: int, h: int) -> (digest: str, thumb: bytes)``
+    callable (PIL.Image.resize / ffmpeg scale wrapper) drops in; the
+    stage is codec-agnostic. Defaults to the md5-chain stub (no media
+    libraries in this container)."""
+    resize = resizer or _resize_stub
 
     def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -142,7 +164,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             digests, thumbs = [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                digest, thumb = _resize_stub(b, width, height)
+                digest, thumb = resize(b, width, height)
                 digests.append(digest)
                 thumbs.append(thumb)
             yield pd.DataFrame(

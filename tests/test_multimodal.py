@@ -68,3 +68,34 @@ def test_resize_media_payload_bounded_and_deterministic(spark):
     again = {r.media_id: r for r in resize_media(attach_media(df, "id", "body"), 64, 64).collect()}
     assert bytes(again[1].payload) == bytes(rows[1].payload)
     assert again[1].src_digest == rows[1].src_digest
+
+
+def test_codec_seam_injected_decoder(spark):
+    """The mapInPandas stages are codec-agnostic: any callable with
+    the documented signature drops in for the stub — the seam a real
+    PIL/ffmpeg wrapper uses in production."""
+    from ripcurrent_spark.multimodal.columns import (
+        attach_media,
+        extract_features,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "worldworld")], "id long, txt string"
+    )
+    media = attach_media(df, "id", "txt")
+
+    def fake_decoder(payload: bytes):
+        return f"len:{len(payload)}", [float(len(payload))] * 3
+
+    feats = {r.media_id: r for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert feats[1].digest == "len:5" and feats[1].feature == [5.0, 5.0, 5.0]
+    assert feats[2].digest == "len:10"
+
+    def fake_resizer(payload: bytes, w: int, h: int):
+        return f"{w}x{h}:{len(payload)}", payload[: w * h]
+
+    thumbs = {r.media_id: r for r in resize_media(media, 2, 2, resizer=fake_resizer).collect()}
+    assert thumbs[1].src_digest == "2x2:5"
+    assert bytes(thumbs[1].payload) == b"hell"
+    assert (thumbs[1].width, thumbs[1].height) == (2, 2)
