@@ -785,3 +785,90 @@ def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("check_name")
+
+
+# ------------------------------------------------- bottom-k (KMV) sample
+_BK_K = 256
+
+
+@register(
+    "q_bottomk_sample_quantiles",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v FROM orders
+),
+pri AS (
+  SELECT v, {h32_sql("CAST(o_orderkey AS VARCHAR)", seed="bk")} AS p FROM o
+),
+samp AS (SELECT v FROM pri ORDER BY p, v LIMIT {_BK_K}),
+est AS (
+  SELECT quantile_cont(v, 0.25) AS est_p25,
+         quantile_cont(v, 0.5) AS est_p50,
+         quantile_cont(v, 0.75) AS est_p75,
+         CAST(MAX(v) AS DOUBLE) AS samp_max
+  FROM samp
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         quantile_cont(v, 0.25) AS exact_p25,
+         quantile_cont(v, 0.5) AS exact_p50,
+         quantile_cont(v, 0.75) AS exact_p75
+  FROM o
+)
+SELECT ex.n_rows, {_BK_K} AS k, est.est_p25, est.est_p50, est.est_p75,
+       est.samp_max, ex.exact_p25, ex.exact_p50, ex.exact_p75
+FROM ex, est
+""",
+)
+def q_bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bottom-k (KMV) sample sketch with value-oracle-checked
+    quantile estimates — the mergeable-SAMPLE counterpart to the
+    portable HLL (q_hll_distinct_users): keep the k rows with the
+    smallest md5-derived priorities; the priority is independent of
+    the value, so the kept rows are a uniform k-row sample and its
+    order statistics estimate any quantile.
+
+    Why this is the 100 TB shape: bottom-k is MERGEABLE — the bottom-k
+    of a union is the bottom-k of the merged per-partition bottom-ks —
+    and Spark executes exactly that merge as TakeOrderedAndProject
+    (per-partition partial top-k, k rows per partition to the final
+    reduce; the corpus is never globally sorted). The same k-row
+    sample also yields distinct-count estimates (KMV: (k-1)/max_p
+    normalized) and works under any pre-filter. Deterministic
+    priorities (portable md5, no RNG) make the sample — and therefore
+    the ESTIMATE itself — identical on both engines, so the oracle
+    checks the approximation, not just its envelope; the exact
+    quantiles ride along as the error reference (estimates land
+    within a few percent at k=256)."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    pri = o.select(
+        "v", h32(F.col("o_orderkey").cast("string"), seed="bk").alias("p")
+    )
+    samp = pri.orderBy("p", "v").limit(_BK_K)
+    est = samp.agg(
+        F.expr("percentile(v, 0.25D)").alias("est_p25"),
+        F.expr("percentile(v, 0.5D)").alias("est_p50"),
+        F.expr("percentile(v, 0.75D)").alias("est_p75"),
+        F.max("v").alias("samp_max"),
+    )
+    ex = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(v, 0.25D)").alias("exact_p25"),
+        F.expr("percentile(v, 0.5D)").alias("exact_p50"),
+        F.expr("percentile(v, 0.75D)").alias("exact_p75"),
+    )
+    return ex.crossJoin(est).select(
+        "n_rows",
+        F.lit(_BK_K).alias("k"),
+        "est_p25",
+        "est_p50",
+        "est_p75",
+        "samp_max",
+        "exact_p25",
+        "exact_p50",
+        "exact_p75",
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.hashing import h32_sql
 from ripcurrent_spark.functions.timeutil import epoch_seconds
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators.intervals import range_join_backward
@@ -753,4 +754,60 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+_WR_K = 100
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(greatest(n_chars, 1) AS DOUBLE) AS w,
+         ({h32_sql('CAST(doc_id AS VARCHAR)', seed='resv')} + 1)
+           / 4294967296.0 AS u
+  FROM documents
+),
+keyed AS (SELECT doc_id, lang, n_chars, -ln(u) / w AS pri FROM d),
+samp AS (SELECT doc_id, lang, n_chars FROM keyed ORDER BY pri, doc_id LIMIT {_WR_K})
+SELECT * FROM samp ORDER BY doc_id
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis exponential-clock scheme): each doc draws a
+    deterministic uniform u from the portable hash and keeps priority
+    -ln(u)/w with w = n_chars — the k smallest priorities are a
+    weighted sample where each draw wins with probability w_i/sum(w)
+    (min of exponential clocks), i.e. long documents are
+    proportionally preferred but ANY doc can win. Complements
+    sample_weighted_by_length (Bernoulli inclusion, random size) with
+    a fixed-size draw, and bottom-k-by-priority is mergeable, so the
+    engine executes it as per-partition partial top-k
+    (TakeOrderedAndProject) — no global sort, no RNG, stable under
+    repartitioning and retries.
+
+    Cross-engine determinism: u is an exact dyadic rational from the
+    shared md5 hash and IEEE division is correctly rounded everywhere,
+    but ln is libm (JVM Math.log and DuckDB's ln may differ in the
+    last ulp). Distinct documents' priorities are random and never
+    within one ulp of each other, so the SELECTED SET is stable; the
+    raw priority is deliberately NOT emitted (a last-ulp difference in
+    an output column would fail the value hash without changing the
+    sample)."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    d = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    u = (h32(F.col("doc_id").cast("string"), seed="resv") + 1) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "lang", "n_chars", (-F.log(u) / w).alias("pri")
+    )
+    return (
+        keyed.orderBy("pri", "doc_id")
+        .limit(_WR_K)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     )

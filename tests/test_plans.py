@@ -261,3 +261,43 @@ def test_minhash_signatures_vectorized(spark):
     plan = _plan(spark, "dedup_minhash_lsh")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_capped_sharded(spark):
+    """r4 shape: scoring runs as grouped Arrow blocks over the
+    (label, shard) union frame — no per-pair join, no cartesian; the
+    capped index id-set joins back via broadcast."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # idx_ids set joins broadcast
+
+
+def test_simhash_pairs_hot_bands_anti_joined(spark):
+    """r4 cap: candidate generation excludes hot band values via a
+    broadcast ANTI join (the tiny-hot-set side is the broadcastable
+    one at any corpus size)."""
+    for name in ("dedup_simhash_pairs", "dedup_levenshtein_pairs"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_kmeans_assignment_vectorized(spark):
+    """r4: Lloyd assignment is Arrow-batched (MapInPandas), not the
+    interpreted HOF crossJoin+window argmin."""
+    plan = _plan(spark, "ann_kmeans_centroids")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_bottomk_sample_is_partial_topk(spark):
+    """The KMV sample must execute as TakeOrderedAndProject (mergeable
+    per-partition bottom-k), never a global Sort of the corpus."""
+    plan = _plan(spark, "q_bottomk_sample_quantiles")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_reservoir_is_partial_topk(spark):
+    plan = _plan(spark, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
