@@ -118,25 +118,45 @@ def read_changelog_asof(
     schema the table had at that time. Under monotone ingestion the
     kept set is a batch-id prefix.
 
-    Deciding the kept set is ONE column-pruned scan of
-    (batch, ts) — parquet reads only those two columns; at 100 TB a
-    batch manifest (min/max ts per batch id, maintained at write time)
-    replaces the probe scan with a metadata lookup."""
+    The kept set is decided METADATA-FIRST: batches listed in the
+    log's ``_batch_manifest.json`` sidecar (event-time ranges recorded
+    at landing by ``sinks.record_batch_ts``; merged across compaction
+    by ``fold_batch_ts_manifest``) are pruned without touching data —
+    the role a lakehouse transaction log's file stats play. Only batch
+    dirs MISSING from the manifest (pre-manifest layouts, foreign
+    writers) fall back to one column-pruned probe scan of (batch, ts)
+    over just those dirs."""
     from pathlib import Path
 
-    probe = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(log_dir)
-        .groupBy(batch_col)
-        .agg(F.min(ts_col).alias("_lo"))
-        .collect()
+    from ripcurrent_spark.sinks import batch_ts_manifest
+
+    root = Path(log_dir)
+    all_ids = sorted(
+        {int(d.name.split("=", 1)[1]) for d in root.rglob(f"{batch_col}=*")}
     )
-    keep = sorted(
-        r[batch_col] for r in probe if r["_lo"] is not None and r["_lo"] <= cutoff
-    )
+    manifest = batch_ts_manifest(log_dir)
+    keep = [b for b in all_ids if b in manifest and manifest[b][0] <= cutoff]
+    unknown = [b for b in all_ids if b not in manifest]
+    if unknown:
+        udirs = [
+            str(p)
+            for bid in unknown
+            for p in sorted(root.rglob(f"{batch_col}={bid}"))
+        ]
+        probe = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", str(root))
+            .parquet(*udirs)
+            .groupBy(batch_col)
+            .agg(F.min(ts_col).alias("_lo"))
+            .collect()
+        )
+        keep += [
+            r[batch_col] for r in probe if r["_lo"] is not None and r["_lo"] <= cutoff
+        ]
     dirs: list[str] = []
-    for bid in keep:
-        dirs += [str(p) for p in sorted(Path(log_dir).rglob(f"{batch_col}={bid}"))]
+    for bid in sorted(set(keep)):
+        dirs += [str(p) for p in sorted(root.rglob(f"{batch_col}={bid}"))]
     if not dirs:
         raise ValueError(f"no changelog batches at or before cutoff {cutoff!r}")
     return (

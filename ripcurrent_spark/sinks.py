@@ -407,6 +407,7 @@ def compact_log_batches(
     recovered: list[int] = []
     if (stage / "_MANIFEST.json").exists():
         recovered = _finish_log_compaction(spark, root, stage)  # crashed prior run
+        fold_batch_ts_manifest(root, recovered)
     elif stage.exists():
         shutil.rmtree(stage)  # unsealed stage: prior run died mid-write; log untouched
 
@@ -440,6 +441,7 @@ def compact_log_batches(
     tmp_manifest.write_text(json.dumps({"folded": fold, "part_cols": part_cols}))
     tmp_manifest.replace(stage / "_MANIFEST.json")  # atomic seal
     _finish_log_compaction(spark, root, stage)
+    fold_batch_ts_manifest(root, fold)
     return sorted({*recovered, *fold})
 
 
@@ -542,3 +544,67 @@ def merge_into(
         write_schema_sidecar(target, merged.schema)
     finally:
         staged.unpersist()
+
+
+BATCH_TS_MANIFEST = "_batch_manifest.json"
+
+
+def record_batch_ts(log_dir: str | Path, batch_id: int, min_ts, max_ts) -> None:
+    """Record one landed batch's event-time range in the changelog's
+    root manifest sidecar (``_batch_manifest.json`` — underscore-
+    prefixed, invisible to Spark's file listing like the schema
+    sidecar). The manifest is what makes time travel METADATA-DRIVEN:
+    ``read_changelog_asof`` prunes batch dirs from the manifest alone
+    instead of probe-scanning ts columns — the same role a lakehouse
+    transaction log's per-file stats play. foreachBatch serializes
+    triggers per query, so read-merge-write is race-free; the write is
+    atomic (tmp + rename), and a replayed batch MERGES its range
+    (idempotent: min/max are set unions)."""
+    import json
+
+    root = Path(log_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    p = root / BATCH_TS_MANIFEST
+    m = json.loads(p.read_text()) if p.exists() else {}
+    key = str(batch_id)
+    lo, hi = (int(min_ts), int(max_ts))
+    if key in m:
+        lo, hi = min(m[key][0], lo), max(m[key][1], hi)
+    m[key] = [lo, hi]
+    tmp = root / (BATCH_TS_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(m, sort_keys=True))
+    tmp.replace(p)
+
+
+def batch_ts_manifest(log_dir: str | Path) -> dict[int, tuple[int, int]]:
+    """Read the batch event-time manifest ({} when absent)."""
+    import json
+
+    p = Path(log_dir) / BATCH_TS_MANIFEST
+    if not p.exists():
+        return {}
+    return {int(k): (v[0], v[1]) for k, v in json.loads(p.read_text()).items()}
+
+
+def fold_batch_ts_manifest(log_dir: str | Path, folded: Sequence[int]) -> None:
+    """After log compaction folds batch dirs into the compacted base,
+    merge their manifest ranges into the base's entry so time travel
+    keeps working across compaction (no-op when no manifest)."""
+    import json
+
+    root = Path(log_dir)
+    p = root / BATCH_TS_MANIFEST
+    if not p.exists() or not folded:
+        return
+    m = json.loads(p.read_text())
+    base_key = str(COMPACTED_BATCH_ID)
+    ranges = [tuple(m[base_key])] if base_key in m else []
+    for bid in folded:
+        k = str(bid)
+        if k in m:
+            ranges.append(tuple(m.pop(k)))
+    if ranges:
+        m[base_key] = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+    tmp = root / (BATCH_TS_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(m, sort_keys=True))
+    tmp.replace(p)

@@ -216,6 +216,16 @@ def scd2_foreach_batch(
             .partitionBy("_bucket", "_batch_id")
             .parquet(log_dir)
         )
+        # Record this batch's event-time range in the root manifest so
+        # time-travel reads (read_changelog_asof) prune batch dirs from
+        # metadata instead of probe-scanning; replay merges its own
+        # range (idempotent).
+        from ripcurrent_spark.sinks import record_batch_ts
+
+        ts_col = order_cols[0]
+        rng = batch.agg(F.min(ts_col), F.max(ts_col)).first()
+        if rng[0] is not None:
+            record_batch_ts(log_dir, batch_id, rng[0], rng[1])
         log = spark.read.parquet(log_dir).filter(F.col("_bucket").isin(touched))
         keys = batch.select(*key_cols).distinct()
         affected_events = log.join(keys, list(key_cols), "left_semi").drop("_batch_id")

@@ -144,3 +144,71 @@ def test_schema_evolution_with_time_travel(spark, tmp_path):
     assert "b" in later.columns
     new = {r.id: r for r in latest_snapshot(later, ["id"], ("ts_ms", "seq")).collect()}
     assert new[1].a == "x1b" and new[1].b == "n1"
+
+
+# ----------------------------------------- batch-ts manifest time travel
+def test_changelog_asof_manifest_driven(spark, tmp_path):
+    """Batch-dir pruning is metadata-first: manifest-listed batches
+    prune by recorded range (proven by a coarse range that makes a
+    dir visible where a data probe would exclude it), unlisted
+    batches fall back to a probe scan of just their dirs."""
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.cdc.apply import read_changelog_asof
+    from ripcurrent_spark.sinks import record_batch_ts
+
+    log = str(tmp_path / "log")
+    b0 = spark.createDataFrame(
+        [("c", 100, 1, 1, "x1"), ("c", 110, 2, 2, "x2")],
+        "op string, ts_ms long, seq long, id long, a string",
+    )
+    b1 = spark.createDataFrame(
+        [("u", 200, 3, 1, "x1b", "n1")],
+        "op string, ts_ms long, seq long, id long, a string, b string",
+    )
+    b2 = spark.createDataFrame(
+        [("c", 300, 4, 5, "x5")], "op string, ts_ms long, seq long, id long, a string"
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        b.withColumn("_batch_id", F.lit(i)).write.mode("append").partitionBy(
+            "_batch_id"
+        ).parquet(log)
+    record_batch_ts(log, 0, 100, 110)
+    record_batch_ts(log, 1, 200, 210)  # batch 2 left unlisted
+
+    asof = read_changelog_asof(spark, log, 150)
+    assert "b" not in asof.columns and asof.count() == 2
+
+    # A coarse manifest range (merge widens 200 -> 120) makes batch
+    # 1's DIR visible at cutoff 150 — schema gains `b` although no row
+    # passes the ts filter. A data probe would have excluded the dir:
+    # the decision is provably metadata-driven.
+    record_batch_ts(log, 1, 120, 210)
+    asof2 = read_changelog_asof(spark, log, 150)
+    assert "b" in asof2.columns and asof2.count() == 2
+
+    # Unlisted batch 2 resolves via the probe fallback.
+    asof3 = read_changelog_asof(spark, log, 300)
+    assert asof3.count() == 4
+
+
+def test_compaction_folds_batch_manifest(spark, tmp_path):
+    """Log compaction merges folded batches' manifest ranges into the
+    compacted base entry, so metadata time travel keeps working."""
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.sinks import (
+        batch_ts_manifest,
+        compact_log_batches,
+        record_batch_ts,
+    )
+
+    log = tmp_path / "log"
+    for i, ts in enumerate([100, 200, 300]):
+        spark.createDataFrame([(ts, i)], "ts_ms long, v long").withColumn(
+            "_batch_id", F.lit(i)
+        ).write.mode("append").partitionBy("_batch_id").parquet(str(log))
+        record_batch_ts(log, i, ts, ts + 10)
+    folded = compact_log_batches(spark, str(log), keep_latest=1)
+    assert folded == [0, 1]
+    assert batch_ts_manifest(log) == {-1: (100, 210), 2: (300, 310)}
