@@ -206,3 +206,129 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
         F.regexp_count("text", F.lit(_URL_RE)).alias("n_urls"),
     )
+
+
+# ------------------------------------------------ char-bigram LM score
+# Alphabet after norm_text: a-z, 0-9, space = 37 symbols -> add-one
+# smoothing denominator for p(next | prev).
+_LM_V = 37
+
+
+@register(
+    "text_charlm_score",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {norm_text_sql('text')} AS t FROM documents
+  WHERE length({norm_text_sql('text')}) >= 2
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS b
+  FROM d
+),
+bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+cnt AS (SELECT b, SUM(c) AS cb FROM bgc GROUP BY b),
+tot AS (SELECT substr(b, 1, 1) AS a, SUM(cb) AS ca FROM cnt GROUP BY 1),
+lm AS (
+  SELECT b, CAST(round(ln((cb + 1) / (ca + {_LM_V})), 9) AS DECIMAL(20,9)) AS lnp
+  FROM cnt JOIN tot ON substr(cnt.b, 1, 1) = tot.a
+)
+SELECT bgc.doc_id,
+       CAST(SUM(bgc.c) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(bgc.c AS DECIMAL(12,0)) * lm.lnp) AS DOUBLE)
+             / SUM(bgc.c), 6) AS avg_logprob
+FROM bgc JOIN lm ON bgc.b = lm.b
+GROUP BY bgc.doc_id
+""",
+)
+def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram language-model quality score
+    (the CCNet/KenLM-filter SHAPE at char granularity): pass 1 builds
+    the LM — bigram counts with add-one smoothing over the 37-symbol
+    normalized alphabet, p(next|prev) = (c(ab)+1)/(c(a.)+37) — and
+    pass 2 scores every document by its mean log-likelihood under that
+    LM. Low scores flag gibberish/boilerplate whose character
+    transitions diverge from the corpus.
+
+    Scale shape: TWO map-only Arrow passes over the corpus, nothing
+    row-per-bigram ever materialized (the explode form shipped ~2k
+    rows per document through a 100M-row hash aggregate; the sf1
+    sweep put it at 38-48 s). Pass 1 emits one np.bincount histogram
+    of byte-pair codes per Arrow batch (<= 65536 rows per batch, in
+    practice <= 37^2) which a tiny groupBy folds into the LM; pass 2
+    collects the <= 1369-row LM as an int64 nanounit (1e-9) lookup
+    table indexed by byte-pair code and scores each document with one
+    vectorized gather+sum. Normalization stays a Spark expression
+    (regex parity with the oracle); the alphabet is ASCII after
+    norm_text, so byte pairs ARE character bigrams.
+
+    Determinism: IEEE division makes every p bit-identical across
+    engines; ln is libm (last-ulp differences possible), so each
+    log-prob is rounded to 9 decimals and the per-doc weighted sum
+    runs in INTEGER nanounits — exact and order-independent. The
+    final double math provably matches the oracle's
+    CAST(decimal-sum AS DOUBLE)/n: the nanounit sum (< 2^53) and 1e9
+    are both exact doubles, so sum/1e9 is the correctly rounded value
+    of the exact rational — the same double the decimal cast
+    produces — and the /n that follows uses identical operands."""
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", norm_text("text").alias("t")
+    ).filter(F.length("t") >= 2)
+
+    def _hist(batches):
+        for pdf in batches:
+            acc = np.zeros(65536, dtype=np.int64)
+            for t in pdf["t"]:
+                arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                codes = arr[:-1].astype(np.int32) * 256 + arr[1:]
+                acc += np.bincount(codes, minlength=65536)
+            nz = np.nonzero(acc)[0]
+            yield pd.DataFrame(
+                {
+                    "b": [chr(c >> 8) + chr(c & 255) for c in nz],
+                    "c": acc[nz],
+                }
+            )
+
+    cnt = (
+        d.mapInPandas(_hist, schema="b string, c long")
+        .groupBy("b")
+        .agg(F.sum("c").alias("cb"))
+    )
+    tot = cnt.groupBy(F.substring("b", 1, 1).alias("a")).agg(F.sum("cb").alias("ca"))
+    lm = (
+        cnt.join(tot, F.substring(cnt["b"], 1, 1) == tot["a"])
+        .select(
+            "b",
+            F.round(F.log((F.col("cb") + 1) / (F.col("ca") + _LM_V)), 9)
+            .cast("decimal(20,9)")
+            .alias("lnp"),
+        )
+    )
+    # Control-plane collect: <= 1369 LM rows -> int64 nanounit LUT.
+    lut = np.zeros(65536, dtype=np.int64)
+    for r in lm.collect():
+        code = (ord(r["b"][0]) << 8) + ord(r["b"][1])
+        lut[code] = int(r["lnp"].scaleb(9))
+
+    def _score(batches):
+        for pdf in batches:
+            ids, ns, sums = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                codes = arr[:-1].astype(np.int32) * 256 + arr[1:]
+                ids.append(doc_id)
+                ns.append(len(codes))
+                sums.append(int(lut[codes].sum()))
+            yield pd.DataFrame({"doc_id": ids, "n_bigrams": ns, "s9": sums})
+
+    scored = d.mapInPandas(_score, schema="doc_id long, n_bigrams long, s9 long")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bigrams"), 6
+        ).alias("avg_logprob"),
+    )
