@@ -872,3 +872,58 @@ def q_bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p50",
         "exact_p75",
     )
+
+
+_ED_PCTS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "q_hist_equidepth",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+),
+bnd AS (
+  SELECT {", ".join(f"quantile_cont(v, {p}) AS b{i}" for i, p in enumerate(_ED_PCTS))}
+  FROM o
+)
+SELECT ({" + ".join(f"CASE WHEN v > b{i} THEN 1 ELSE 0 END" for i in range(9))})
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(CAST(MIN(v) AS DOUBLE), 2) AS lo,
+       round(CAST(MAX(v) AS DOUBLE), 2) AS hi
+FROM o, bnd
+GROUP BY 1
+""",
+)
+def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals — the data-driven
+    complement to the fixed-bound q_hist_acctbal, and the statistic a
+    cost-based optimizer or skew planner actually wants (equal MASS
+    per bucket exposes where the distribution concentrates).
+
+    Two passes: exact interpolated deciles (Spark percentile ==
+    DuckDB quantile_cont, bit-identical) collected driver-side (a
+    9-double control-plane fetch — the broadcast-small-state
+    pattern), then one scan bucketing each row by counting bounds
+    strictly below it; boundary rows land identically on both engines
+    because the comparisons use the same bit-identical bound doubles.
+    At 100 TB the first pass moves to the approx-percentile sketch
+    with the same downstream shape."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    pcts = ", ".join(f"{p}D" for p in _ED_PCTS)
+    brow = o.agg(F.expr(f"percentile(v, array({pcts}))").alias("bs")).first()
+    bounds = list(brow["bs"])
+    bucket = sum(
+        (F.col("v") > F.lit(b)).cast("int") for b in bounds
+    ).alias("bucket")
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+    )

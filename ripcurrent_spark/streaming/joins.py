@@ -1,0 +1,74 @@
+"""Stream-stream interval joins, inner and LEFT OUTER.
+
+The inner form is the streaming twin of the batch bucketed range join
+(operators/intervals.py): both sides watermarked, equi-key plus a
+time-range condition, state evicted once the watermark passes a row's
+match window. The LEFT OUTER form adds the semantic the inner join
+cannot express: a left row whose window closes unmatched is emitted
+exactly once with null right columns — but only after the watermark
+proves no match can still arrive, so results are late-data-correct,
+not trigger-timing-dependent.
+
+Scale posture: state per side is bounded by (watermark + interval
+width) of traffic; the join is hash-partitioned on the key like its
+batch twin, so a 1000-executor cluster shards state by key. Skewed
+hot keys are the same lever as batch (salt the key into the
+condition); no state grows with total history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    ts: tuple[str, str],
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two STREAMING frames on ``key`` where the right event's
+    timestamp falls within [left_ts + lower, left_ts + upper].
+
+    ``how='left_outer'`` emits unmatched left rows (null right
+    columns) once the watermark passes ``left_ts + upper`` — the
+    point after which a match is provably impossible. Column names
+    must be disjoint across the two sides (streaming joins cannot
+    alias after the fact)."""
+    lk, rk = key
+    lt, rt = ts
+    lw = left.withWatermark(lt, watermark)
+    rw = right.withWatermark(rt, watermark)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) >= F.col(lt) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    ts: tuple[str, str],
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """The batch reference semantics for :func:`interval_join_streams`
+    (what the streamed result must converge to once every watermark
+    has passed)."""
+    lk, rk = key
+    lt, rt = ts
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) >= F.col(lt) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, how)

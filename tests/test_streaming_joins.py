@@ -129,3 +129,83 @@ def test_streaming_dedup_drop_duplicates(spark, tmp_path):
     kept = sorted(r.doc_id for r in spark.table("sdedup").collect())
     # doc 3 normalizes to doc 1's content -> dropped ACROSS triggers
     assert kept == [1, 2, 4]
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a purchase with no click in its
+    30-minute lookback emits ONCE with null click columns after the
+    watermark closes its window — and the streamed result set equals
+    the batch left join on the same data."""
+    from ripcurrent_spark.streaming.joins import (
+        interval_join_batch,
+        interval_join_streams,
+    )
+
+    src = tmp_path / "src"
+    _write(src, [EVENTS[:5], EVENTS[5:]])
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    sp, sc = split(stream)
+    # purchase is the LEFT side; a click must precede it by <= 30 min:
+    # p_ts in [c_ts, c_ts + 30 min] <=> c_ts in [p_ts - 30 min, p_ts].
+    joined = interval_join_streams(
+        sp,
+        sc,
+        key=("p_user", "c_user"),
+        ts=("p_ts", "c_ts"),
+        lower="-30 minutes",
+        upper="0 seconds",
+        watermark="2 hours",
+        how="left_outer",
+    ).select("purchase_id", "click_id")
+    out = tmp_path / "out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", str(out))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.createDataFrame(
+        [(e["ts"], e["user_id"], e["event_type"], e["event_id"]) for e in EVENTS],
+        "ts string, user_id long, event_type string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bp, bc = split(batch)
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in interval_join_batch(
+            bp,
+            bc,
+            key=("p_user", "c_user"),
+            ts=("p_ts", "c_ts"),
+            lower="-30 minutes",
+            upper="0 seconds",
+            how="left_outer",
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert (3, None) in got  # the unmatched purchase null-emits
+    assert got == want
