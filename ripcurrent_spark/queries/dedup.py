@@ -376,7 +376,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ripcurrent_spark.operators.similarity import unit_rows_np
 
     e = load(spark, sf_dir, "embeddings")
-    v = e.select(
+    # NULL labels never pair in the oracle (equi-join on label), so
+    # drop them up front — a NULL group would also crash the pandas
+    # block's int(label).
+    v = e.filter(F.col("label").isNotNull()).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
