@@ -168,7 +168,12 @@ def discover_tables(
     plans: list[TablePlan] = []
     for t in tables:
         tp = parsed.filter(F.col("table") == t)
-        first = tp.orderBy("ts_ms").select("_raw", "key_field").first()
+        # Deterministic tiebreak past ts_ms: snapshot loads commonly
+        # share one ts, and an arbitrary .first() would make column
+        # order / key_field flap across app restarts.
+        first = tp.orderBy("ts_ms", "key_value", "_raw").select(
+            "_raw", "key_field"
+        ).first()
         import json as _json
 
         payload = _json.loads(first["_raw"]).get("payload", {})

@@ -61,24 +61,25 @@ def latest_snapshot_salted(
     shuffle — a hot key ships at most n_salts rows per upstream
     partition instead of every event.
 
-    The latest row is selected by lexicographic max of the
-    (order_cols..., full row) struct; ties on order_cols resolve by
-    the row struct's remaining fields (deterministic), where the
-    window twin's row_number tie is arbitrary — order keys are unique
-    per key in a well-formed changelog (ts, seq), so both agree."""
+    The latest row is selected with max_by over the order_cols struct:
+    only the ORDERING needs an orderable type, so the carried row may
+    contain map/array columns (a packed-struct max would reject a
+    parse_envelope-shaped changelog whose row_payload is a map —
+    struct comparison cannot order maps). Ties on order_cols resolve
+    arbitrarily, exactly like the window twin's row_number tie; order
+    keys are unique per key in a well-formed changelog (ts, seq)."""
     cols = changelog.columns
     salt = F.pmod(F.hash(*[F.col(c) for c in order_cols]), F.lit(n_salts))
-    packed = F.struct(
-        *[F.col(c) for c in order_cols],
-        F.struct(*[F.col(c) for c in cols]).alias("_row"),
-    )
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    row = F.struct(*[F.col(c) for c in cols])
     per_salt = (
         changelog.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
-        .agg(F.max(packed).alias("_m"))
+        .agg(F.max_by(row, ordering).alias("_row"))
     )
-    latest = per_salt.groupBy(*key_cols).agg(F.max("_m").alias("_m"))
-    return latest.select("_m._row.*").filter(F.col(op_col) != "d")
+    ordering2 = F.struct(*[F.col(f"_row.{c}") for c in order_cols])
+    latest = per_salt.groupBy(*key_cols).agg(F.max_by("_row", ordering2).alias("_row"))
+    return latest.select("_row.*").filter(F.col(op_col) != "d")
 
 
 def scd2_history(
@@ -131,18 +132,18 @@ def read_changelog_asof(
     from ripcurrent_spark.sinks import batch_ts_manifest
 
     root = Path(log_dir)
-    all_ids = sorted(
-        {int(d.name.split("=", 1)[1]) for d in root.rglob(f"{batch_col}=*")}
-    )
+    # ONE recursive walk builds {batch_id: [dirs]}; every later step
+    # (manifest decisions, probe fallback, final listing) consumes the
+    # map — a per-batch rglob would traverse the whole log tree O(B)
+    # times on a long-lived changelog.
+    by_id: dict[int, list[str]] = {}
+    for d in sorted(root.rglob(f"{batch_col}=*")):
+        by_id.setdefault(int(d.name.split("=", 1)[1]), []).append(str(d))
     manifest = batch_ts_manifest(log_dir)
-    keep = [b for b in all_ids if b in manifest and manifest[b][0] <= cutoff]
-    unknown = [b for b in all_ids if b not in manifest]
+    keep = [b for b in by_id if b in manifest and manifest[b][0] <= cutoff]
+    unknown = [b for b in by_id if b not in manifest]
     if unknown:
-        udirs = [
-            str(p)
-            for bid in unknown
-            for p in sorted(root.rglob(f"{batch_col}={bid}"))
-        ]
+        udirs = [p for bid in unknown for p in by_id[bid]]
         probe = (
             spark.read.option("mergeSchema", "true")
             .option("basePath", str(root))
@@ -154,9 +155,7 @@ def read_changelog_asof(
         keep += [
             r[batch_col] for r in probe if r["_lo"] is not None and r["_lo"] <= cutoff
         ]
-    dirs: list[str] = []
-    for bid in sorted(set(keep)):
-        dirs += [str(p) for p in sorted(root.rglob(f"{batch_col}={bid}"))]
+    dirs = [p for bid in sorted(set(keep)) for p in by_id[bid]]
     if not dirs:
         raise ValueError(f"no changelog batches at or before cutoff {cutoff!r}")
     return (

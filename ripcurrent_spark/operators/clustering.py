@@ -69,13 +69,17 @@ def assign_np(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     batched computation (fixed earlier in the IVF coarse quantizer and
     the LSH block scorer).
 
-    Bit-parity with :func:`assign`'s determinism contract: the
-    distance accumulates PER DIMENSION in ascending order
+    Parity with :func:`assign`'s determinism contract: the distance
+    accumulates PER DIMENSION in ascending order
     (``acc += (x_d - y_d)^2``), the exact IEEE operation order of the
-    left-to-right aggregate fold, so the pre-rounding double is
-    bit-identical, round(.., 6) sees the same value, and np.argmin
-    over the cluster-sorted matrix reproduces ORDER BY _d, cluster
-    (first minimal index = lowest cluster id)."""
+    left-to-right aggregate fold, so the PRE-ROUNDING double is
+    bit-identical, and np.argmin over the cluster-sorted matrix
+    reproduces ORDER BY _d, cluster (first minimal index = lowest
+    cluster id). The rounding step itself is empirical parity, not
+    bit-contract: np.round is scale-then-rint half-even while
+    F.round/DuckDB round half-up on the shortest decimal repr — they
+    agree except for a distance whose 7th decimal is an exact 5
+    (measure-zero for real data; verified on the tested corpora)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -14,6 +14,8 @@ functions/hashing.py).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -236,22 +238,30 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def drop_hot_keys(df: DataFrame, key_cols: Sequence[str], cap: int) -> DataFrame:
+    """Drop every row whose key combination occurs in MORE than ``cap``
+    rows — the one document-frequency guard all candidate-generation
+    paths share (shingle index, simhash bands). Anti-join against the
+    HOT key set: hot keys are few by definition, so the broadcast side
+    stays tiny at any corpus size — broadcasting the KEPT set instead
+    would ship the whole surviving vocabulary to every executor.
+    Oracle mirror: a COUNT(*) OVER key window / HAVING <= cap filter
+    (strict > dropped, == cap kept)."""
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+    )
+    return df.join(F.broadcast(hot.select(*key_cols)), list(key_cols), "left_anti")
+
+
 def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: int | None = None) -> DataFrame:
     """Inverted-index candidate pairs: docs sharing a key, id_a < id_b.
     ``max_df`` drops keys hitting more than that many docs (hot-shingle
     guard — the scale lever; mirrored in oracle SQL)."""
     k = keyed.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
     if max_df is not None:
-        # Anti-join against the HOT key set (keys exceeding the cap):
-        # hot keys are few by definition, so the broadcast side stays
-        # tiny at any corpus size — broadcasting the KEPT set instead
-        # would ship the whole surviving vocabulary to every executor.
-        hot = (
-            k.groupBy("_k")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-        )
-        k = k.join(F.broadcast(hot.select("_k")), "_k", "left_anti")
+        k = drop_hot_keys(k, ["_k"], max_df)
     a = k.select(F.col("_id").alias("id_a"), "_k")
     b = k.select(F.col("_id").alias("id_b"), "_k")
     return (

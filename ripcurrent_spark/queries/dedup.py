@@ -214,15 +214,9 @@ def _capped_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
     fingerprint), exactly where band groups went quadratic twice
     before (16-bit/5k docs in r1, 32-bit/50k docs in the sf1 sweep);
     dropping them trades those all-alike pairs for bounded work. The
-    hot set is tiny by definition, so it broadcasts at any corpus
-    size (anti-join, never a kept-set broadcast)."""
-    bands = _sh64_bands(t, keep)
-    hot = (
-        bands.groupBy("b", "bval")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > _SH_MAX_DF)
-    )
-    return bands.join(F.broadcast(hot.select("b", "bval")), ["b", "bval"], "left_anti")
+    guard is the shared operators/dedup.drop_hot_keys anti-join (hot
+    set tiny by definition -> broadcastable at any corpus size)."""
+    return DD.drop_hot_keys(_sh64_bands(t, keep), ["b", "bval"], _SH_MAX_DF)
 
 
 def _sh64_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
@@ -456,10 +450,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     u = queries.unionByName(idx_rep)
+    # Dedupe by the PAIR KEY, not by (key, cosine): a pair with both
+    # endpoints indexed is scored in two shard groups through two
+    # differently-shaped BLAS calls, and a score within 1 ulp of a
+    # rounding boundary could round to two different 6-decimal values
+    # — a value-level distinct would then emit the pair twice. max()
+    # collapses to one row regardless (identical values in the normal
+    # case).
     return (
         u.groupBy("label", "shard")
         .applyInPandas(_block, schema=out_schema)
-        .distinct()
+        .groupBy("id_a", "id_b", "label")
+        .agg(F.max("cosine").alias("cosine"))
+        .select("id_a", "id_b", "label", "cosine")
     )
 
 

@@ -365,6 +365,13 @@ def _finish_log_compaction(spark, root: Path, stage: Path) -> list[int]:
     for d in root.glob(pattern):
         if int(d.name.split("=", 1)[1]) in fold:
             shutil.rmtree(d, ignore_errors=True)
+    # Fold the batch-ts manifest BEFORE dropping the stage: the sealed
+    # stage manifest is what re-triggers this function after a crash,
+    # so the ts-manifest fold replays with it (idempotent — folded
+    # keys are popped on first run, a re-run merges the base with
+    # itself). Folding outside this protocol would leave time-travel
+    # metadata pointing at deleted batch dirs after a crash here.
+    fold_batch_ts_manifest(root, fold)
     shutil.rmtree(stage, ignore_errors=True)
     return fold
 
@@ -407,7 +414,6 @@ def compact_log_batches(
     recovered: list[int] = []
     if (stage / "_MANIFEST.json").exists():
         recovered = _finish_log_compaction(spark, root, stage)  # crashed prior run
-        fold_batch_ts_manifest(root, recovered)
     elif stage.exists():
         shutil.rmtree(stage)  # unsealed stage: prior run died mid-write; log untouched
 
@@ -441,7 +447,6 @@ def compact_log_batches(
     tmp_manifest.write_text(json.dumps({"folded": fold, "part_cols": part_cols}))
     tmp_manifest.replace(stage / "_MANIFEST.json")  # atomic seal
     _finish_log_compaction(spark, root, stage)
-    fold_batch_ts_manifest(root, fold)
     return sorted({*recovered, *fold})
 
 

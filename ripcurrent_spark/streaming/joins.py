@@ -22,6 +22,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _interval_cond(key, ts, lower, upper):
+    """The one join condition both forms share: same-key, right ts in
+    [left ts + lower, left ts + upper] — boundary semantics live HERE
+    so the streamed result can never silently diverge from its batch
+    reference."""
+    lk, rk = key
+    lt, rt = ts
+    return (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) >= F.col(lt) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
@@ -40,16 +54,9 @@ def interval_join_streams(
     point after which a match is provably impossible. Column names
     must be disjoint across the two sides (streaming joins cannot
     alias after the fact)."""
-    lk, rk = key
-    lt, rt = ts
-    lw = left.withWatermark(lt, watermark)
-    rw = right.withWatermark(rt, watermark)
-    cond = (
-        (F.col(lk) == F.col(rk))
-        & (F.col(rt) >= F.col(lt) + F.expr(f"INTERVAL {lower}"))
-        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
-    )
-    return lw.join(rw, cond, how)
+    lw = left.withWatermark(ts[0], watermark)
+    rw = right.withWatermark(ts[1], watermark)
+    return lw.join(rw, _interval_cond(key, ts, lower, upper), how)
 
 
 def interval_join_batch(
@@ -64,11 +71,4 @@ def interval_join_batch(
     """The batch reference semantics for :func:`interval_join_streams`
     (what the streamed result must converge to once every watermark
     has passed)."""
-    lk, rk = key
-    lt, rt = ts
-    cond = (
-        (F.col(lk) == F.col(rk))
-        & (F.col(rt) >= F.col(lt) + F.expr(f"INTERVAL {lower}"))
-        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {upper}"))
-    )
-    return left.join(right, cond, how)
+    return left.join(right, _interval_cond(key, ts, lower, upper), how)

@@ -204,7 +204,16 @@ def scd2_foreach_batch(
         spark = batch.sparkSession
         assert_bucket_layout(history_dir)
         staged = batch.withColumn("_bucket", key_bucket(key_cols, n_buckets))
-        touched = sorted(r[0] for r in staged.select("_bucket").distinct().collect())
+        # One job fetches the touched-bucket set AND the batch's
+        # event-time range (for the ts manifest) — the batch is not
+        # persisted, so every extra action would rescan the source.
+        ts_col = order_cols[0]
+        probe = staged.agg(
+            F.collect_set("_bucket").alias("bk"),
+            F.min(ts_col).alias("lo"),
+            F.max(ts_col).alias("hi"),
+        ).first()
+        touched = sorted(probe["bk"])
         if not touched:
             return
         # Idempotent changelog landing: replay overwrites its own
@@ -222,10 +231,8 @@ def scd2_foreach_batch(
         # range (idempotent).
         from ripcurrent_spark.sinks import record_batch_ts
 
-        ts_col = order_cols[0]
-        rng = batch.agg(F.min(ts_col), F.max(ts_col)).first()
-        if rng[0] is not None:
-            record_batch_ts(log_dir, batch_id, rng[0], rng[1])
+        if probe["lo"] is not None:
+            record_batch_ts(log_dir, batch_id, probe["lo"], probe["hi"])
         log = spark.read.parquet(log_dir).filter(F.col("_bucket").isin(touched))
         keys = batch.select(*key_cols).distinct()
         affected_events = log.join(keys, list(key_cols), "left_semi").drop("_batch_id")
