@@ -212,3 +212,50 @@ def test_compaction_folds_batch_manifest(spark, tmp_path):
     folded = compact_log_batches(spark, str(log), keep_latest=1)
     assert folded == [0, 1]
     assert batch_ts_manifest(log) == {-1: (100, 210), 2: (300, 310)}
+
+
+def test_compaction_crash_recovery_replays_manifest_fold(spark, tmp_path):
+    """The review scenario: a crash AFTER the sealed stage exists but
+    BEFORE the swap completes must replay the whole finish — including
+    the batch-ts manifest fold — from the sealed stage on the next
+    compaction call."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.sinks import (
+        batch_ts_manifest,
+        compact_log_batches,
+        record_batch_ts,
+    )
+
+    log = tmp_path / "log"
+    for i, ts in enumerate([100, 200, 300]):
+        spark.createDataFrame([(ts, i)], "ts_ms long, v long").withColumn(
+            "_batch_id", F.lit(i)
+        ).write.mode("append").partitionBy("_batch_id").parquet(str(log))
+        record_batch_ts(log, i, ts, ts + 10)
+
+    # Simulate the crash point: stage the folded base + sealed
+    # manifest exactly as compact_log_batches would, then "crash"
+    # (never run the finish).
+    stage = tmp_path / "log.compact_stage"
+    (
+        spark.read.parquet(str(log))
+        .filter(F.col("_batch_id").isin([0, 1]))
+        .withColumn("_batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(str(stage))
+    )
+    (stage / "_MANIFEST.json").write_text(
+        json.dumps({"folded": [0, 1], "part_cols": ["_batch_id"]})
+    )
+
+    # Next compaction run recovers: swap + dir deletion + manifest fold.
+    folded = compact_log_batches(spark, str(log), keep_latest=1)
+    assert 0 in folded and 1 in folded
+    assert batch_ts_manifest(log) == {-1: (100, 210), 2: (300, 310)}
+    assert not (tmp_path / "log" / "_batch_id=0").exists()
+    rows = {(r.ts_ms, r.v) for r in spark.read.parquet(str(log)).collect()}
+    assert rows == {(100, 0), (200, 1), (300, 2)}
