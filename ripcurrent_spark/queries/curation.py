@@ -875,17 +875,35 @@ def q_bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ED_PCTS = [i / 10 for i in range(1, 10)]
+_ED_K = 8192
+
+
+def _ed_sample(o: DataFrame) -> DataFrame:
+    """Global bottom-k (KMV) sample of order totals — executes as
+    TakeOrderedAndProject (plan-pinned in tests/test_plans.py)."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    return (
+        o.select("v", h32(F.col("o_orderkey").cast("string"), seed="ed").alias("p"))
+        .orderBy("p", "v")
+        .limit(_ED_K)
+    )
 
 
 @register(
     "q_hist_equidepth",
     oracle=f"""
 WITH o AS (
-  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v FROM orders
+),
+samp AS (
+  SELECT v FROM o
+  ORDER BY {h32_sql("CAST(o_orderkey AS VARCHAR)", seed="ed")}, v
+  LIMIT {_ED_K}
 ),
 bnd AS (
   SELECT {", ".join(f"quantile_cont(v, {p}) AS b{i}" for i, p in enumerate(_ED_PCTS))}
-  FROM o
+  FROM samp
 )
 SELECT ({" + ".join(f"CASE WHEN v > b{i} THEN 1 ELSE 0 END" for i in range(9))})
          AS bucket,
@@ -902,19 +920,27 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost-based optimizer or skew planner actually wants (equal MASS
     per bucket exposes where the distribution concentrates).
 
-    Two passes: exact interpolated deciles (Spark percentile ==
-    DuckDB quantile_cont, bit-identical) collected driver-side (a
-    9-double control-plane fetch — the broadcast-small-state
-    pattern), then one scan bucketing each row by counting bounds
-    strictly below it; boundary rows land identically on both engines
-    because the comparisons use the same bit-identical bound doubles.
-    At 100 TB the first pass moves to the approx-percentile sketch
-    with the same downstream shape."""
+    100 TB-safe two passes (operators/sketches.py rationale): the
+    decile BOUNDS come from the deciles of a mergeable bottom-k (KMV)
+    sample — ``orderBy(priority).limit(k)`` executes as
+    TakeOrderedAndProject (per-partition partial top-k; only k rows
+    per partition reach the merge), so no task ever buffers the full
+    column the way exact global ``percentile`` does (pre-r5 this
+    query funneled every value through ONE aggregation buffer).
+    The 9-double bound fetch stays a control-plane ``first()``; the
+    second pass is the same single scan bucketing each row by
+    counting bounds strictly below it. The sample priorities are the
+    portable md5 hash, so the DuckDB oracle draws the IDENTICAL
+    sample and the value-hash checks the estimated bounds themselves;
+    per-bucket counts/lo/hi remain exact over the full scan. Sample
+    error: k=8192 puts decile bounds within ~1% of exact mass
+    (verified against the pre-r5 exact output at sf0.01)."""
     o = load(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").cast("double").alias("v")
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
     )
+    samp = _ed_sample(o)
     pcts = ", ".join(f"{p}D" for p in _ED_PCTS)
-    brow = o.agg(F.expr(f"percentile(v, array({pcts}))").alias("bs")).first()
+    brow = samp.agg(F.expr(f"percentile(v, array({pcts}))").alias("bs")).first()
     bounds = list(brow["bs"])
     bucket = sum(
         (F.col("v") > F.lit(b)).cast("int") for b in bounds

@@ -415,68 +415,100 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- median / MAD
+_MAD_K = 4096
+
+
+def _mad_samp_sql() -> str:
+    from ripcurrent_spark.operators.sketches import grouped_bottomk_sql
+
+    return grouped_bottomk_sql(
+        "c",
+        ["c_mktsegment"],
+        h32_sql("CAST(c_custkey AS VARCHAR)", seed="mad"),
+        ["c_custkey"],
+        _MAD_K,
+    )
+
+
 @register(
     "q_mad_outliers",
-    oracle="""
-WITH med AS (
-  SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med, count(*) AS n
-  FROM customer GROUP BY c_mktsegment
+    oracle=f"""
+WITH c AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal, c_custkey FROM customer
 ),
-dev AS (
-  SELECT c.c_mktsegment, abs(c.c_acctbal - m.med) AS adev, m.med, m.n
-  FROM customer c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+samp AS ({_mad_samp_sql()}),
+med AS (
+  SELECT c_mktsegment, quantile_cont(bal, 0.5) AS med FROM samp GROUP BY c_mktsegment
 ),
 mad AS (
-  SELECT c_mktsegment, any_value(med) AS med, any_value(n) AS n,
-         quantile_cont(adev, 0.5) AS mad
-  FROM dev GROUP BY c_mktsegment
+  SELECT s.c_mktsegment, any_value(m.med) AS med,
+         quantile_cont(abs(s.bal - m.med), 0.5) AS mad
+  FROM samp s JOIN med m USING (c_mktsegment) GROUP BY s.c_mktsegment
 )
-SELECT d.c_mktsegment,
-       m.med AS med, m.mad AS mad,
-       CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_outliers,
-       m.n AS n_rows
-FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
-GROUP BY d.c_mktsegment, m.med, m.mad, m.n
-ORDER BY d.c_mktsegment
+SELECT c.c_mktsegment, m.med, m.mad,
+       CAST(sum(CASE WHEN abs(c.bal - m.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c JOIN mad m USING (c_mktsegment)
+GROUP BY c.c_mktsegment, m.med, m.mad
+ORDER BY c.c_mktsegment
 """,
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier counts via median/MAD (3-sigma
-    equivalent: |x - med| > 3 * 1.4826 * MAD). Two exact-percentile
-    passes; medians are interpolated identically by Spark percentile
-    and DuckDB quantile_cont (proven by q_exact_quantiles), so the
-    outlier threshold is bit-identical.
+    equivalent: |x - med| > 3 * 1.4826 * MAD).
 
-    100 TB: exact percentile sorts per group — swap in
-    approx_percentile or interpolate over the q_hist_acctbal buckets;
-    plan shape (two grouped aggs + broadcast of the tiny per-group
-    stats) is unchanged.
+    100 TB-safe (r5): pre-r5 this ran TWO exact per-group percentile
+    passes — 5 market segments means 1/5 of the customer column per
+    aggregation buffer, an executor OOM at scale. Both medians now
+    come from ONE mergeable per-group bottom-k (KMV) sample
+    (operators/sketches.py: sharded two-phase window, parallelism
+    groups x shards, no full-group buffer): a uniform sample of the
+    group is also a uniform sample of its |x - med| deviations, so
+    the same k rows estimate med AND mad. The full scan then only
+    counts outliers against the broadcast 5-row stats. The sample is
+    drawn by the portable md5 priority, so the DuckDB oracle draws
+    the IDENTICAL sample and the value-hash checks the estimates
+    themselves (percentile == quantile_cont bit-identical, proven by
+    q_exact_quantiles); n_outliers/n_rows stay exact over the full
+    scan with a bit-identical threshold.
     """
-    cust = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
-    med = cust.groupBy("c_mktsegment").agg(
-        F.percentile("c_acctbal", F.lit(0.5)).alias("med"),
-        F.count("*").alias("n"),
+    from ripcurrent_spark.functions.hashing import h32
+    from ripcurrent_spark.operators.sketches import grouped_bottomk
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("double").alias("bal"), "c_custkey"
     )
-    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
-        "c_mktsegment",
-        F.abs(F.col("c_acctbal") - F.col("med")).alias("adev"),
-        "med",
-        "n",
+    samp = grouped_bottomk(
+        cust,
+        ["c_mktsegment"],
+        h32(F.col("c_custkey").cast("string"), seed="mad"),
+        ["c_custkey"],
+        _MAD_K,
     )
-    mad = dev.groupBy("c_mktsegment").agg(
-        F.first("med").alias("med"),
-        F.first("n").alias("n"),
-        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    med = samp.groupBy("c_mktsegment").agg(
+        F.percentile("bal", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        samp.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(F.col("bal") - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
     )
     return (
-        dev.select("c_mktsegment", "adev")
-        .join(F.broadcast(mad), "c_mktsegment")
-        .groupBy("c_mktsegment", "med", "mad", "n")
+        cust.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment", "med", "mad")
         .agg(
-            F.sum(F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.abs(F.col("bal") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
             .cast("long")
-            .alias("n_outliers")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
         .select(
             # no rounding: the interpolated medians are bit-identical
@@ -487,7 +519,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med",
             "mad",
             "n_outliers",
-            F.col("n").alias("n_rows"),
+            "n_rows",
         )
         .orderBy("c_mktsegment")
     )
