@@ -336,44 +336,56 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-def simhash64_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "toks") -> DataFrame:
-    """Vectorized 64-bit SimHash (two seeded 32-bit halves, seeds
-    'sh'/'shb'): tokens stay Spark-tokenized (regex parity with the
-    oracle), the per-token md5 + 32-lane vote fold runs in numpy over
-    mapInPandas batches with a per-batch token-hash memo.
+SIMHASH128_SEEDS = ("sh", "shb", "shc", "shd")
+SIMHASH128_COLS = ("sh_a", "sh_b", "sh_c", "sh_d")
+
+
+def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "toks") -> DataFrame:
+    """Vectorized 128-bit SimHash (FOUR seeded 32-bit halves, seeds
+    'sh'/'shb'/'shc'/'shd' -> columns sh_a..sh_d): tokens stay
+    Spark-tokenized (regex parity with the oracle), the per-token md5
+    + 32-lane vote fold runs in numpy over mapInPandas batches with a
+    per-batch token-hash memo.
+
+    Width rationale (r5): banding on w-bit prints goes quadratic once
+    the corpus >> 2^(w/4) band values — hit at 5k docs with 16 bits
+    (r1) and 50k with 32 bits (r3). 128 bits = 4 x 32-bit bands keeps
+    band groups near-singleton into the BILLIONS of docs; the portable
+    md5 yields 32 bits per seed, so the wide print is four seeded
+    halves on both engines.
 
     Bit-exact with the expression pipeline (token_hashes ->
     simhash_votes -> simhash_from_votes): md5 ints and +/-1 integer
     votes have one correct answer. The expression form evaluates an
-    interpreted lambda per (token, lane, seed) — 64 lanes x tokens per
-    doc — which the sf1 sweep showed costing ~2 min for 50k docs; the
-    numpy fold is one (tokens x 32) sign matrix per doc and a memoized
-    md5 per DISTINCT token (Zipf makes the memo hit rate high on any
-    real corpus)."""
+    interpreted lambda per (token, lane, seed) — which the sf1 sweep
+    showed costing ~2 min for 50k docs at 64 lanes; the numpy fold is
+    one (tokens x 32) sign matrix per (doc, seed) and a memoized md5
+    per DISTINCT token (Zipf makes the memo hit rate high on any real
+    corpus)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    seeds = SIMHASH128_SEEDS
+    cols = SIMHASH128_COLS
     out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("sh_a", T.LongType()),
-            T.StructField("sh_b", T.LongType()),
-        ]
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(c, T.LongType()) for c in cols]
     )
 
     def _fp(batches):
-        memo: dict[str, tuple[int, int]] = {}
+        memo: dict[str, tuple[int, ...]] = {}
         lanes = np.arange(32, dtype=np.uint64)
 
-        def th(tok: str) -> tuple[int, int]:
+        def th(tok: str) -> tuple[int, ...]:
             got = memo.get(tok)
             if got is None:
-                ha = int(hashlib.md5(f"sh:{tok}".encode()).hexdigest()[:8], 16)
-                hb = int(hashlib.md5(f"shb:{tok}".encode()).hexdigest()[:8], 16)
-                got = memo[tok] = (ha, hb)
+                got = memo[tok] = tuple(
+                    int(hashlib.md5(f"{s}:{tok}".encode()).hexdigest()[:8], 16)
+                    for s in seeds
+                )
             return got
 
         def fold(hs: np.ndarray) -> int:
@@ -384,17 +396,17 @@ def simhash64_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "to
             return int(((votes > 0).astype(np.uint64) << lanes).sum())
 
         for pdf in batches:
-            ids, sha, shb = [], [], []
+            ids = []
+            outs: list[list[int]] = [[] for _ in seeds]
             for doc_id, toks in zip(pdf[id_col], pdf[toks_col]):
                 # NULL token arrays (NULL text upstream) fold like empty
                 # docs instead of raising in the worker.
-                pairs = [th(t) for t in (toks if toks is not None else [])]
-                ha = np.array([p[0] for p in pairs], dtype=np.uint64)
-                hb = np.array([p[1] for p in pairs], dtype=np.uint64)
+                hashes = [th(t) for t in (toks if toks is not None else [])]
                 ids.append(doc_id)
-                sha.append(fold(ha) if len(ha) else 0)
-                shb.append(fold(hb) if len(hb) else 0)
-            yield pd.DataFrame({"doc_id": ids, "sh_a": sha, "sh_b": shb})
+                for i in range(len(seeds)):
+                    hs = np.array([h[i] for h in hashes], dtype=np.uint64)
+                    outs[i].append(fold(hs) if len(hs) else 0)
+            yield pd.DataFrame({"doc_id": ids, **{c: outs[i] for i, c in enumerate(cols)}})
 
     return toks_df.select(
         F.col(id_col).alias("doc_id"), F.col(toks_col).alias(toks_col)

@@ -68,10 +68,25 @@ def grouped_bottomk(
     (priority, *tiebreak) order must be a TOTAL order within each
     group — otherwise the selected SET can differ between the sharded
     and unsharded plans. Output drops no input columns and adds none.
+
+    ``shards=1`` skips the phase-1 salt window entirely — the right
+    form when group sizes are already bounded upstream (e.g. band
+    groups under the hot-band cap), where the extra shuffle buys
+    nothing.
     """
     clash = {_SHARD, _RN, "_bk_p"} & set(df.columns)
     if clash:
         raise ValueError(f"input already has internal column(s) {sorted(clash)}")
+    order: list[Column]
+    if shards == 1:
+        pri1 = df.withColumn("_bk_p", priority)
+        order = [F.col("_bk_p")] + [F.col(c) if isinstance(c, str) else c for c in tiebreak]
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            pri1.withColumn(_RN, F.row_number().over(w))
+            .filter(F.col(_RN) <= k)
+            .drop(_RN, "_bk_p")
+        )
     pri = df.withColumn(_SHARD, priority % F.lit(shards)).withColumn("_bk_p", priority)
     order = [F.col("_bk_p")] + [F.col(c) if isinstance(c, str) else c for c in tiebreak]
     w1 = Window.partitionBy(*group_cols, _SHARD).orderBy(*order)

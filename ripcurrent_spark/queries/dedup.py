@@ -173,33 +173,46 @@ def _simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame
     )
 
 
-def _simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh_a, sh_b): TWO independent 32-bit fingerprints
-    (seeds 'sh'/'shb') forming a 64-bit simhash — the portable md5
-    hash yields 32 bits per seed, so 64-bit width is two seeded
-    halves on both engines. Tokenization stays a Spark expression
-    (regex parity with the oracle); the md5 + vote fold is the
-    bit-exact vectorized path (operators/dedup.simhash64_np)."""
+def _simhash128_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_a..sh_d): FOUR independent 32-bit fingerprints
+    (seeds 'sh'/'shb'/'shc'/'shd') forming a 128-bit simhash — the
+    portable md5 hash yields 32 bits per seed, so the wide print is
+    four seeded halves on both engines. Tokenization stays a Spark
+    expression (regex parity with the oracle); the md5 + vote fold is
+    the bit-exact vectorized path (operators/dedup.simhash128_np).
+
+    The fold is CPU-bound, so it must not inherit the parquet scan's
+    byte-sized partitioning (a 50k-doc corpus is ~2 scan splits —
+    2-way parallelism on a 32-core box); repartitioning the token
+    arrays first costs one cheap shuffle and lets every core fold."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", DD.tokens("text").alias("toks"))
-    return DD.simhash64_np(toks)
+    toks = d.select("doc_id", DD.tokens("text").alias("toks")).repartition("doc_id")
+    return DD.simhash128_np(toks)
 
 
 _SH_MAX_DF = 1000
 
+# t CTE columns for the 128-bit print: four seeded 32-bit simhashes.
+_SH128_COLS_SQL = ",\n         ".join(
+    f"{DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed=s)} AS {c}"
+    for s, c in zip(DD.SIMHASH128_SEEDS, DD.SIMHASH128_COLS)
+)
+
+
+# 4 bands x 32 bits: band b IS the b-th seeded half.
 _SH64_BANDS_SQL = """
 bands AS (
-  SELECT doc_id, sh_a, sh_b, b,
-         CASE WHEN b = 0 THEN sh_a & 65535
-              WHEN b = 1 THEN (sh_a >> 16) & 65535
-              WHEN b = 2 THEN sh_b & 65535
-              ELSE (sh_b >> 16) & 65535 END AS bval
+  SELECT doc_id, sh_a, sh_b, sh_c, sh_d, b,
+         CASE WHEN b = 0 THEN sh_a
+              WHEN b = 1 THEN sh_b
+              WHEN b = 2 THEN sh_c
+              ELSE sh_d END AS bval
   FROM t, (SELECT unnest(range(4)) AS b)
 )"""
 
 _SH64_KEPT_SQL = f"""
 kept AS (
-  SELECT doc_id, sh_a, sh_b, b, bval FROM (
+  SELECT doc_id, sh_a, sh_b, sh_c, sh_d, b, bval FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY b, bval) AS _df FROM bands
   ) WHERE _df <= {_SH_MAX_DF}
 )"""
@@ -220,23 +233,27 @@ def _capped_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
 
 
 def _sh64_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
-    sha, shb = F.col("sh_a"), F.col("sh_b")
-    vals = [
-        shb.bitwiseAND(65535) if i == 2
-        else F.shiftright(shb, 16).bitwiseAND(65535) if i == 3
-        else sha.bitwiseAND(65535) if i == 0
-        else F.shiftright(sha, 16).bitwiseAND(65535)
-        for i in range(4)
-    ]
+    halves = list(DD.SIMHASH128_COLS)
     return t.select(
         "doc_id",
-        "sh_a",
-        "sh_b",
+        *halves,
         *keep,
         F.explode(
-            F.array(*[F.struct(F.lit(i).alias("b"), vals[i].alias("bval")) for i in range(4)])
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("b"), F.col(h).alias("bval"))
+                    for i, h in enumerate(halves)
+                ]
+            )
         ).alias("band"),
-    ).select("doc_id", "sh_a", "sh_b", *keep, F.col("band.b").alias("b"), F.col("band.bval").alias("bval"))
+    ).select(
+        "doc_id", *halves, *keep, F.col("band.b").alias("b"), F.col("band.bval").alias("bval")
+    )
+
+
+_SH128_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(a.{c}, b.{c}))" for c in DD.SIMHASH128_COLS
+)
 
 
 @register(
@@ -244,25 +261,24 @@ def _sh64_bands(t: DataFrame, keep: tuple = ()) -> DataFrame:
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='sh')} AS sh_a,
-         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='shb')} AS sh_b
+         {_SH128_COLS_SQL}
   FROM documents
 ),
 {_SH64_BANDS_SQL.strip()},
 {_SH64_KEPT_SQL.strip()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  bit_count(xor(a.sh_a, b.sh_a)) + bit_count(xor(a.sh_b, b.sh_b)) AS hamming
+                  {_SH128_HAMMING_SQL} AS hamming
   FROM kept a JOIN kept b
     ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.sh_a, b.sh_a)) + bit_count(xor(a.sh_b, b.sh_b)) <= 3
+  WHERE {_SH128_HAMMING_SQL} <= 3
 )
 SELECT id_a, id_b, hamming FROM cand
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint (two seeded 32-bit
-    halves), 4 bands x 16 bits (pigeonhole guarantees recall for
+    """SimHash near-dup pairs: 128-bit fingerprint (four seeded 32-bit
+    halves, r5), 4 bands x 32 bits (pigeonhole guarantees recall for
     hamming <= 3 over 4 bands), exact Hamming verify BEFORE the
     distinct so the dedup shuffle carries only true near-dups.
 
@@ -270,23 +286,33 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^(w/4) band values, so the band join blows up quadratically once
     corpus >> 2^(w/4). The r1 16-bit version exploded at 5k docs; the
     r2 32-bit version (256 values/band) hit the same wall at 50k docs
-    in the sf1 sweep (>300 s). 64 bits = 65k values/band keeps band
-    groups near-singleton into the tens of millions of docs; beyond
-    that, band on 4 disjoint 16-bit slices of a 128-bit print. Band
-    values shared by more than _SH_MAX_DF docs are dropped outright
-    (_capped_bands), so a degenerate print — the residual failure mode
-    the widening can't fix — degrades to bounded recall instead of
-    quadratic work."""
-    t = _simhash64_docs(spark, sf_dir)
+    in the sf1 sweep (>300 s); the r4 64-bit version (65k values/band)
+    would hit it again in the tens of millions. 128 bits = 2^32
+    values/band keeps band groups near-singleton into the billions of
+    docs. Band values shared by more than _SH_MAX_DF docs are dropped
+    outright (_capped_bands), so a degenerate print — the residual
+    failure mode the widening can't fix — degrades to bounded recall
+    instead of quadratic work."""
+    # Persist the prints: the hot-band aggregate and both join sides
+    # reference them; without a barrier the 4-seed md5 fold runs once
+    # per reference.
+    t = _simhash128_docs(spark, sf_dir).persist()
     bands = _capped_bands(t)
+    halves = list(DD.SIMHASH128_COLS)
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("sh_a").alias("aa"), F.col("sh_b").alias("ab"), "b", "bval"
+        F.col("doc_id").alias("id_a"),
+        *[F.col(h).alias(f"a_{h}") for h in halves],
+        "b",
+        "bval",
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("sh_a").alias("ba"), F.col("sh_b").alias("bb"), "b", "bval"
+        F.col("doc_id").alias("id_b"),
+        *[F.col(h).alias(f"b_{h}") for h in halves],
+        "b",
+        "bval",
     )
-    hamming = F.bit_count(F.col("aa").bitwiseXOR(F.col("ba"))) + F.bit_count(
-        F.col("ab").bitwiseXOR(F.col("bb"))
+    hamming = sum(
+        F.bit_count(F.col(f"a_{h}").bitwiseXOR(F.col(f"b_{h}"))) for h in halves
     )
     return (
         a.join(b, ["b", "bval"])
@@ -466,21 +492,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEV_CAP = 64  # per-band-group candidate-index size
+
+
+def _lev_idx_sql() -> str:
+    from ripcurrent_spark.functions.hashing import h32_sql
+
+    return f"""
+idx AS (
+  SELECT doc_id, b, bval FROM (
+    SELECT doc_id, b, bval, ROW_NUMBER() OVER (
+      PARTITION BY b, bval
+      ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)", seed="levcap")}, doc_id
+    ) AS r FROM kept
+  ) WHERE r <= {_LEV_CAP}
+)"""
+
+
 @register(
     "dedup_levenshtein_pairs",
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
          substr({DD.norm_text_sql('text')}, 1, 64) AS prefix,
-         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='sh')} AS sh_a,
-         {DD.simhash_sql(DD.tokens_sql('text'), bits=32, seed='shb')} AS sh_b
+         {_SH128_COLS_SQL}
   FROM documents
 ),
 {_SH64_BANDS_SQL.strip()},
 {_SH64_KEPT_SQL.strip()},
+{_lev_idx_sql().strip()},
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM kept a JOIN kept b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+  SELECT DISTINCT least(a.doc_id, i.doc_id) AS id_a,
+                  greatest(a.doc_id, i.doc_id) AS id_b
+  FROM kept a JOIN idx i
+    ON a.b = i.b AND a.bval = i.bval AND a.doc_id <> i.doc_id
 )
 SELECT id_a, id_b, levenshtein(ta.prefix, tb.prefix) AS edit_dist
 FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
@@ -488,11 +533,26 @@ WHERE levenshtein(ta.prefix, tb.prefix) <= 8
 """,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs: SimHash-band candidate generation (64-bit
-    print, 4 x 16-bit bands — same width rationale as
-    dedup_simhash_pairs: the 32-bit banding hit quadratic band groups
-    at 50k docs in the sf1 sweep), exact edit-distance verify (<=8 on
-    the 64-char normalized prefix).
+    """Fuzzy near-dup pairs: SimHash-band candidate generation
+    (128-bit print, 4 x 32-bit bands — same width rationale as
+    dedup_simhash_pairs), exact edit-distance verify (<=8 on the
+    64-char normalized prefix).
+
+    Candidate mass is bounded on BOTH axes (r5): hot band values
+    (> _SH_MAX_DF docs) are dropped outright (_capped_bands), and
+    within every surviving band group each doc pairs only against a
+    deterministic <= _LEV_CAP-member per-group candidate INDEX (first
+    members by portable hash of doc_id — the dedup_embedding_cosine
+    machinery, via operators/sketches.grouped_bottomk single-phase:
+    groups are already <= _SH_MAX_DF, so no shard pass needed). Work
+    per band group is n * min(n, cap) instead of n^2/2 — the r4 sweep
+    measured 19M candidate pairs at sf1 coming from sub-cap
+    IDENTICAL-print clusters, linear-but-heavy mass this cap cuts
+    ~8x. Failure mode on a giant near-dup cluster is bounded recall
+    (each doc still meets _LEV_CAP deterministic clustermates — far
+    past what connected-components needs), never quadratic work; the
+    oracle mirrors the same capped index so the driver value-hash
+    checks the capped semantics.
 
     The O(n*m) distance is the expensive verifier, so it runs exactly
     ONCE per DISTINCT candidate pair: ids dedup first (cheap shuffle
@@ -500,21 +560,33 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair cost (64 chars -> 4k DP cells). Computing the distance
     inside the band join looked equivalent but did the quadratic work
     per band collision (4x) and shuffled 200-char strings through the
-    distinct. Wider prefixes buy precision linearly in cost^2. Hot
-    band values (> _SH_MAX_DF docs) are dropped before the join
-    (_capped_bands), bounding every band group."""
-    t = _simhash64_docs(spark, sf_dir).persist()
+    distinct. Wider prefixes buy precision linearly in cost^2."""
+    from ripcurrent_spark.functions.hashing import h32
+    from ripcurrent_spark.operators.sketches import grouped_bottomk
+
+    t = _simhash128_docs(spark, sf_dir).persist()
     d = load(spark, sf_dir, "documents")
     prefix = d.select(
         "doc_id", F.substring(DD.norm_text("text"), 1, 64).alias("prefix")
     )
-    bands = _capped_bands(t)
-    a = bands.select(F.col("doc_id").alias("id_a"), "b", "bval")
-    b = bands.select(F.col("doc_id").alias("id_b"), "b", "bval")
+    bands = _capped_bands(t).select("doc_id", "b", "bval")
+    idx = grouped_bottomk(
+        bands,
+        ["b", "bval"],
+        h32(F.col("doc_id").cast("string"), seed="levcap"),
+        ["doc_id"],
+        _LEV_CAP,
+        shards=1,
+    )
+    a = bands.select(F.col("doc_id").alias("qid"), "b", "bval")
+    i = idx.select(F.col("doc_id").alias("iid"), "b", "bval")
     cand = (
-        a.join(b, ["b", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(i, ["b", "bval"])
+        .filter(F.col("qid") != F.col("iid"))
+        .select(
+            F.least("qid", "iid").alias("id_a"),
+            F.greatest("qid", "iid").alias("id_b"),
+        )
         .distinct()
     )
     ta = prefix.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))

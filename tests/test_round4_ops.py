@@ -14,12 +14,14 @@ def test_capped_bands_drops_hot_band_groups(spark):
     contributes ZERO band rows to candidate generation (bounded work,
     not quadratic pairs), while small groups are untouched."""
     n_hot = _SH_MAX_DF + 200
-    rows = [(i, 111, 222) for i in range(n_hot)] + [
-        (1_000_000, 333, 444),
-        (1_000_001, 333, 444),
-        (1_000_002, 555, 666),
+    rows = [(i, 111, 222, 333, 444) for i in range(n_hot)] + [
+        (1_000_000, 555, 666, 777, 888),
+        (1_000_001, 555, 666, 777, 888),
+        (1_000_002, 999, 111, 222, 333),
     ]
-    t = spark.createDataFrame(rows, "doc_id long, sh_a long, sh_b long")
+    t = spark.createDataFrame(
+        rows, "doc_id long, sh_a long, sh_b long, sh_c long, sh_d long"
+    )
     kept = _capped_bands(t)
     ids = {r.doc_id for r in kept.select("doc_id").distinct().collect()}
     assert ids == {1_000_000, 1_000_001, 1_000_002}
@@ -39,8 +41,10 @@ def test_capped_bands_drops_hot_band_groups(spark):
 def test_capped_bands_keeps_groups_at_cap(spark):
     """Groups of exactly _SH_MAX_DF docs survive (the cap is a strict
     > threshold, mirroring the oracle's COUNT(*) <= cap window)."""
-    rows = [(i, 777, 888) for i in range(_SH_MAX_DF)]
-    t = spark.createDataFrame(rows, "doc_id long, sh_a long, sh_b long")
+    rows = [(i, 777, 888, 999, 111) for i in range(_SH_MAX_DF)]
+    t = spark.createDataFrame(
+        rows, "doc_id long, sh_a long, sh_b long, sh_c long, sh_d long"
+    )
     assert _capped_bands(t).count() == _SH_MAX_DF * 4  # 4 bands each
 
 
