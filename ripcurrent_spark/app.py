@@ -253,7 +253,17 @@ def run_app(
             .option("checkpointLocation", str(Path(ckpt) / plan.table))
             .queryName(f"upsert-{plan.table}")
             .foreachBatch(
-                upsert_foreach_batch(plan.target_dir, key_cols=[plan.key_field])
+                # evolve_schema: table plans are discovered once at
+                # startup, so a column ADDED mid-run only enters the
+                # stream's typed payload after a restart — at which
+                # point the first merge against the narrower existing
+                # target must widen it instead of dying on
+                # upsert_parquet's column-drift guard (the reference
+                # re-creates its script on column-set change,
+                # Main.java:238-257).
+                upsert_foreach_batch(
+                    plan.target_dir, key_cols=[plan.key_field], evolve_schema=True
+                )
             )
             .start()
         )

@@ -67,8 +67,19 @@ def latest_snapshot_salted(
     parse_envelope-shaped changelog whose row_payload is a map —
     struct comparison cannot order maps). Ties on order_cols resolve
     arbitrarily, exactly like the window twin's row_number tie; order
-    keys are unique per key in a well-formed changelog (ts, seq)."""
+    keys are unique per key in a well-formed changelog (ts, seq).
+    All-NULL order cols are a tie too — the ordering STRUCT is never
+    NULL (struct(NULL, NULL) is a non-NULL value max_by orders NULLs-
+    low), so a key whose every event has NULL order cols still emits
+    exactly one row, same as the window twin (pinned in
+    tests/test_cdc.py); WHICH of the tied rows wins may differ
+    between the twins, as for any tie."""
     cols = changelog.columns
+    clash = {"_salt", "_row"} & set(cols)
+    if clash:
+        # Internal names would silently shadow same-named changelog
+        # columns through the struct repack.
+        raise ValueError(f"changelog already has internal column(s) {sorted(clash)}")
     salt = F.pmod(F.hash(*[F.col(c) for c in order_cols]), F.lit(n_salts))
     ordering = F.struct(*[F.col(c) for c in order_cols])
     row = F.struct(*[F.col(c) for c in cols])
@@ -120,18 +131,42 @@ def read_changelog_asof(
     kept set is a batch-id prefix.
 
     The kept set is decided METADATA-FIRST: batches listed in the
-    log's ``_batch_manifest.json`` sidecar (event-time ranges recorded
-    at landing by ``sinks.record_batch_ts``; merged across compaction
-    by ``fold_batch_ts_manifest``) are pruned without touching data —
-    the role a lakehouse transaction log's file stats play. Only batch
-    dirs MISSING from the manifest (pre-manifest layouts, foreign
-    writers) fall back to one column-pruned probe scan of (batch, ts)
-    over just those dirs."""
+    log's ``_batch_manifest.json`` sidecar (event-time ranges AND
+    partition dirs recorded at landing by ``sinks.record_batch_ts``;
+    merged across compaction by ``fold_batch_ts_manifest``) are pruned
+    without touching data — the role a lakehouse transaction log's
+    file stats play. When every manifest entry also carries its dir
+    list, the kept batches resolve to paths with ZERO directory
+    listing (an rglob per read is an object-store list-call storm on
+    a years-long changelog); that path relies on the manifest's
+    single-writer contract — a batch dir landed by a foreign writer
+    that bypassed record_batch_ts is invisible to it (delete the
+    sidecar to force the walk). A crash between the parquet landing
+    and the manifest record leaves the batch out until the replay
+    re-lands it — read-committed semantics, strictly better than
+    surfacing a half-landed batch. Entries missing dirs (pre-r5
+    manifests) or batch dirs missing from the manifest entirely
+    (pre-manifest layouts) fall back to one recursive walk, plus one
+    column-pruned probe scan of (batch, ts) over just the unknown
+    dirs."""
     from pathlib import Path
 
-    from ripcurrent_spark.sinks import batch_ts_manifest
+    from ripcurrent_spark.sinks import batch_dir_manifest, batch_ts_manifest
 
     root = Path(log_dir)
+    manifest = batch_ts_manifest(log_dir)
+    dirmap = batch_dir_manifest(log_dir)
+    if manifest and set(dirmap) >= set(manifest):
+        keep = sorted(b for b in manifest if manifest[b][0] <= cutoff)
+        dirs = [str(root / d) for b in keep for d in dirmap[b]]
+        if not dirs:
+            raise ValueError(f"no changelog batches at or before cutoff {cutoff!r}")
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", log_dir)
+            .parquet(*dirs)
+            .filter(F.col(ts_col) <= cutoff)
+        )
     # ONE recursive walk builds {batch_id: [dirs]}; every later step
     # (manifest decisions, probe fallback, final listing) consumes the
     # map — a per-batch rglob would traverse the whole log tree O(B)
@@ -139,7 +174,6 @@ def read_changelog_asof(
     by_id: dict[int, list[str]] = {}
     for d in sorted(root.rglob(f"{batch_col}=*")):
         by_id.setdefault(int(d.name.split("=", 1)[1]), []).append(str(d))
-    manifest = batch_ts_manifest(log_dir)
     keep = [b for b in by_id if b in manifest and manifest[b][0] <= cutoff]
     unknown = [b for b in by_id if b not in manifest]
     if unknown:

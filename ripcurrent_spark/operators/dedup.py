@@ -246,13 +246,21 @@ def drop_hot_keys(df: DataFrame, key_cols: Sequence[str], cap: int) -> DataFrame
     stays tiny at any corpus size — broadcasting the KEPT set instead
     would ship the whole surviving vocabulary to every executor.
     Oracle mirror: a COUNT(*) OVER key window / HAVING <= cap filter
-    (strict > dropped, == cap kept)."""
+    (strict > dropped, == cap kept).
+
+    NULL-key rows are dropped UP FRONT: a left_anti join can never
+    remove them (NULL never equi-matches), so without the filter a
+    hot NULL-key group would sail past the cap — diverging from the
+    window mirror above, which does cap NULL groups. NULL keys also
+    never produce candidate pairs downstream (the candidate equi-join
+    skips them), so dropping is both the safe and the cheap contract."""
+    keyed = df.na.drop(subset=list(key_cols))
     hot = (
-        df.groupBy(*key_cols)
+        keyed.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > cap)
     )
-    return df.join(F.broadcast(hot.select(*key_cols)), list(key_cols), "left_anti")
+    return keyed.join(F.broadcast(hot.select(*key_cols)), list(key_cols), "left_anti")
 
 
 def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: int | None = None) -> DataFrame:

@@ -362,16 +362,23 @@ def _finish_log_compaction(spark, root: Path, stage: Path) -> list[int]:
         .partitionBy(*part_cols)
         .parquet(str(root))
     )
+    base_dirs = []
     for d in root.glob(pattern):
-        if int(d.name.split("=", 1)[1]) in fold:
+        bid = int(d.name.split("=", 1)[1])
+        if bid in fold:
             shutil.rmtree(d, ignore_errors=True)
+        elif bid == COMPACTED_BATCH_ID:
+            base_dirs.append(str(d.relative_to(root)))
     # Fold the batch-ts manifest BEFORE dropping the stage: the sealed
     # stage manifest is what re-triggers this function after a crash,
     # so the ts-manifest fold replays with it (idempotent — folded
     # keys are popped on first run, a re-run merges the base with
     # itself). Folding outside this protocol would leave time-travel
-    # metadata pointing at deleted batch dirs after a crash here.
-    fold_batch_ts_manifest(root, fold)
+    # metadata pointing at deleted batch dirs after a crash here. The
+    # base entry's dir list comes from the same post-overwrite glob
+    # that drives fold-dir deletion, so it reflects exactly the base
+    # partitions that survive this compaction.
+    fold_batch_ts_manifest(root, fold, base_dirs=base_dirs)
     shutil.rmtree(stage, ignore_errors=True)
     return fold
 
@@ -554,17 +561,34 @@ def merge_into(
 BATCH_TS_MANIFEST = "_batch_manifest.json"
 
 
-def record_batch_ts(log_dir: str | Path, batch_id: int, min_ts, max_ts) -> None:
-    """Record one landed batch's event-time range in the changelog's
-    root manifest sidecar (``_batch_manifest.json`` — underscore-
-    prefixed, invisible to Spark's file listing like the schema
-    sidecar). The manifest is what makes time travel METADATA-DRIVEN:
+def record_batch_ts(
+    log_dir: str | Path,
+    batch_id: int,
+    min_ts,
+    max_ts,
+    dirs: Sequence[str] | None = None,
+) -> None:
+    """Record one landed batch's event-time range — and, when given,
+    its partition DIRS (log_dir-relative) — in the changelog's root
+    manifest sidecar (``_batch_manifest.json`` — underscore-prefixed,
+    invisible to Spark's file listing like the schema sidecar). The
+    manifest is what makes time travel METADATA-DRIVEN:
     ``read_changelog_asof`` prunes batch dirs from the manifest alone
-    instead of probe-scanning ts columns — the same role a lakehouse
-    transaction log's per-file stats play. foreachBatch serializes
-    triggers per query, so read-merge-write is race-free; the write is
-    atomic (tmp + rename), and a replayed batch MERGES its range
-    (idempotent: min/max are set unions)."""
+    instead of probe-scanning ts columns, and with ``dirs`` recorded
+    it resolves the kept batches to paths with ZERO directory listing
+    — the role a lakehouse transaction log's per-file stats play (an
+    rglob per read is an object-store list-call storm on a years-long
+    changelog).
+
+    Concurrency contract: ONE writer per log_dir. foreachBatch
+    serializes triggers within a query, so read-merge-write is
+    race-free under that contract; the write is atomic (tmp + rename)
+    and a replayed batch MERGES its range and dir set (idempotent:
+    min/max and set unions). A second concurrent writer (or a writer
+    racing offline compaction's fold) can lose entries — reads stay
+    CORRECT via read_changelog_asof's probe fallback, but the
+    metadata pruning silently degrades; run compaction only with the
+    stream stopped, as tests/test_compaction.py's protocol does."""
     import json
 
     root = Path(log_dir)
@@ -573,9 +597,13 @@ def record_batch_ts(log_dir: str | Path, batch_id: int, min_ts, max_ts) -> None:
     m = json.loads(p.read_text()) if p.exists() else {}
     key = str(batch_id)
     lo, hi = (int(min_ts), int(max_ts))
+    dset = set(dirs or [])
     if key in m:
-        lo, hi = min(m[key][0], lo), max(m[key][1], hi)
-    m[key] = [lo, hi]
+        old = m[key]
+        lo, hi = min(old[0], lo), max(old[1], hi)
+        if len(old) > 2:
+            dset |= set(old[2])
+    m[key] = [lo, hi] + ([sorted(dset)] if dset else [])
     tmp = root / (BATCH_TS_MANIFEST + ".tmp")
     tmp.write_text(json.dumps(m, sort_keys=True))
     tmp.replace(p)
@@ -591,10 +619,36 @@ def batch_ts_manifest(log_dir: str | Path) -> dict[int, tuple[int, int]]:
     return {int(k): (v[0], v[1]) for k, v in json.loads(p.read_text()).items()}
 
 
-def fold_batch_ts_manifest(log_dir: str | Path, folded: Sequence[int]) -> None:
+def batch_dir_manifest(log_dir: str | Path) -> dict[int, list[str]]:
+    """log_dir-relative partition dirs per batch, for the entries that
+    recorded them (pre-dirs manifest entries are simply absent — the
+    caller compares key sets against :func:`batch_ts_manifest` to
+    decide whether listing can be skipped entirely)."""
+    import json
+
+    p = Path(log_dir) / BATCH_TS_MANIFEST
+    if not p.exists():
+        return {}
+    return {
+        int(k): list(v[2])
+        for k, v in json.loads(p.read_text()).items()
+        if len(v) > 2
+    }
+
+
+def fold_batch_ts_manifest(
+    log_dir: str | Path,
+    folded: Sequence[int],
+    base_dirs: Sequence[str] | None = None,
+) -> None:
     """After log compaction folds batch dirs into the compacted base,
     merge their manifest ranges into the base's entry so time travel
-    keeps working across compaction (no-op when no manifest)."""
+    keeps working across compaction (no-op when no manifest). The
+    folded entries' dir lists are discarded (those dirs are deleted);
+    the base entry's dirs are REPLACED by ``base_dirs`` when given
+    (the compactor's post-overwrite base partition listing), else
+    dropped — an entry without dirs degrades that read to the walk
+    fallback, never to a wrong answer."""
     import json
 
     root = Path(log_dir)
@@ -603,13 +657,15 @@ def fold_batch_ts_manifest(log_dir: str | Path, folded: Sequence[int]) -> None:
         return
     m = json.loads(p.read_text())
     base_key = str(COMPACTED_BATCH_ID)
-    ranges = [tuple(m[base_key])] if base_key in m else []
+    ranges = [tuple(m[base_key][:2])] if base_key in m else []
     for bid in folded:
         k = str(bid)
         if k in m:
-            ranges.append(tuple(m.pop(k)))
+            ranges.append(tuple(m.pop(k)[:2]))
     if ranges:
-        m[base_key] = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        m[base_key] = [lo, hi] + ([sorted(set(base_dirs))] if base_dirs else [])
     tmp = root / (BATCH_TS_MANIFEST + ".tmp")
     tmp.write_text(json.dumps(m, sort_keys=True))
     tmp.replace(p)

@@ -225,14 +225,22 @@ def scd2_foreach_batch(
             .partitionBy("_bucket", "_batch_id")
             .parquet(log_dir)
         )
-        # Record this batch's event-time range in the root manifest so
-        # time-travel reads (read_changelog_asof) prune batch dirs from
-        # metadata instead of probe-scanning; replay merges its own
-        # range (idempotent).
+        # Record this batch's event-time range AND its partition dirs
+        # (known exactly: one leaf per touched bucket) in the root
+        # manifest so time-travel reads (read_changelog_asof) prune
+        # batch dirs from metadata and resolve paths with zero
+        # directory listing; replay merges its own range/dirs
+        # (idempotent).
         from ripcurrent_spark.sinks import record_batch_ts
 
         if probe["lo"] is not None:
-            record_batch_ts(log_dir, batch_id, probe["lo"], probe["hi"])
+            record_batch_ts(
+                log_dir,
+                batch_id,
+                probe["lo"],
+                probe["hi"],
+                dirs=[f"_bucket={b}/_batch_id={batch_id}" for b in touched],
+            )
         log = spark.read.parquet(log_dir).filter(F.col("_bucket").isin(touched))
         keys = batch.select(*key_cols).distinct()
         affected_events = log.join(keys, list(key_cols), "left_semi").drop("_batch_id")

@@ -127,3 +127,37 @@ def test_run_app_end_to_end(spark, tmp_path):
 
     # All streams stopped after the drain.
     assert all(not q.isActive for q in handle.queries)
+
+
+def test_run_app_restart_evolves_widened_schema(spark, tmp_path):
+    """ADVICE r4: plans are discovered once at startup, so a column
+    added upstream mid-run only enters the stream after a restart —
+    the first merge against the existing NARROWER target must then
+    widen it (evolve_schema) instead of dying on the column-drift
+    guard. Old rows surface NULL for the new column."""
+    import os
+
+    cfg = _write_config(tmp_path)
+    run_app(spark, cfg, once=True)
+
+    e = _event("cust", "u", 500, 1, "a3@x.com", "rome")
+    val = json.loads(e["value"])
+    val["payload"]["after"]["phone"] = "555-0100"
+    e["value"] = json.dumps(val)
+    batch2 = tmp_path / "events" / "part-001.json"
+    with open(batch2, "w") as f:
+        f.write(json.dumps(e) + "\n")
+    # File-source triggers order by mtime: make batch 2 strictly newer.
+    first = tmp_path / "events" / "part-000.json"
+    os.utime(batch2, (first.stat().st_mtime + 10, first.stat().st_mtime + 10))
+
+    handle = run_app(spark, cfg, once=True)
+    by_table = {p.table: p for p in handle.plans}
+    assert "phone" in by_table["cust"].columns  # re-discovery saw it
+
+    snap = {
+        r.id: r
+        for r in spark.read.parquet(str(tmp_path / "out" / "cust_masked")).collect()
+    }
+    assert snap["1"].phone == "555-0100"
+    assert snap["1"].ALTERED_email == "A3@X.COM"
