@@ -55,39 +55,56 @@ def main() -> None:
         .count()
     )
 
-    # Machine calibration: a FIXED workload (CPU-bound range-sum + one
-    # fixed-path parquet scan-agg) whose cost is independent of code
-    # changes, so cross-round bench totals can be compared on shared,
-    # noisy hardware: headline/calibration ratios cancel ambient VM
-    # slowdown (round 2 burned review time proving a 1.56x "regression"
-    # was entirely environmental).
+    # Machine calibration: a FIXED workload whose cost is independent
+    # of code changes, so cross-round bench totals can be compared on
+    # shared, noisy hardware: headline/calibration ratios cancel
+    # ambient VM slowdown (round 2 burned review time proving a 1.56x
+    # "regression" was entirely environmental). v2 (r5): the probe is
+    # MULTI-CORE — an all-core CPU sum, one real shuffle, and the
+    # fixed parquet scan-agg — because the v1 near-single-threaded
+    # probe didn't track 32-core contention and normalized_total
+    # wobbled ~1.2x on code-untouched queries (r4 verdict). Median of
+    # 3, like the queries.
+    cpus = os.cpu_count() or 8
     cal_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(1_000_000_000).selectExpr("sum(id)").collect()
+        spark.range(1_000_000_000, numPartitions=cpus * 2).selectExpr(
+            "sum(id % 7)"
+        ).collect()
+        spark.range(50_000_000, numPartitions=cpus).selectExpr(
+            "id % 9973 AS k", "id AS v"
+        ).groupBy("k").sum("v").count()
         spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").selectExpr(
             "sum(l_quantity)", "sum(l_extendedprice)", "count(*)"
         ).collect()
         cal_runs.append(time.perf_counter() - t0)
-    calibration = min(cal_runs)
+    calibration = sorted(cal_runs)[1]
+
+    def _median(rs: list[float]) -> float:
+        rs = sorted(rs)
+        n = len(rs)
+        return rs[n // 2] if n % 2 else (rs[n // 2 - 1] + rs[n // 2]) / 2
 
     per_query: dict[str, float] = {}
+    per_spread: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(2):  # min-of-2: steady-state, GC-noise resistant
+        for _ in range(3):  # median-of-3: one GC/noise outlier can't move it
             spark.catalog.clearCache()  # intra-query persist() must not carry over
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        # Environment noise (shared VM) occasionally inflates BOTH runs
-        # by 5-10x; if the two disagree badly or stay suspiciously high,
-        # buy one more sample before recording the minimum.
-        if min(runs) > 2.5 and (min(runs) > 5 or max(runs) > 2 * min(runs)):
+        # Environment noise (shared VM) occasionally inflates runs
+        # 5-10x; if the middle sample still looks contaminated, buy one
+        # more before recording (median of 4 = mean of middle two).
+        if sorted(runs)[1] > 2 * min(runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        per_query[name] = round(min(runs), 4)
+        per_query[name] = round(_median(runs), 4)
+        per_spread[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(per_query.values()), 4)
     out = {
@@ -95,11 +112,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "spread": per_spread,
         "sf": sf_dir,
         # Cross-round comparability on shared hardware: compare
-        # normalized_total (= total / calibration_sec) across rounds;
-        # raw totals move with ambient machine speed.
+        # normalized_total (= total / calibration_sec) across rounds
+        # WITHIN one calibration_version; raw totals move with ambient
+        # machine speed.
         "calibration_sec": round(calibration, 4),
+        "calibration_version": 2,
         "normalized_total": round(total / calibration, 3),
     }
     print(json.dumps(out))

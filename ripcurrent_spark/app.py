@@ -22,13 +22,36 @@ Mirrors Main.java:83-157's startup sequence on Spark:
     embedded-engine shutdown hook of Main.java:150-157), or drain and
     exit with ``--once``.
 
+Target modes (Main.java:151-155 + script emission 447-521):
+
+- default: bucket-scoped parquet UPSERT per table (the ODBC-target
+  /UPDATE //DELETE //APPEND semantics on a lakehouse layout);
+- ``dataTarget=<path>`` + ``dataTargetProcessType=record`` (+
+  ``dataTargetSeparator``, default tab; ``\\t`` escapes decode per
+  load_properties): the reference's RECORD/flat-file deliverable —
+  masked CREATE events append as separator-delimited records
+  (Main.java:456-464 emits /OUTFILE + /APPEND for op "c" only in
+  record mode), one flat-file directory per table under
+  ``<dataTarget>/<table><postfix>`` (the reference appends all tables
+  to one file because its engine loop is sequential; per-table dirs
+  are the parallel-writer equivalent and keep heterogeneous schemas
+  apart).
+
 Extra keys (no reference equivalent — the file-source twin of the
 Debezium connector block): ``sourcePath`` (dir of JSON-line change
 events), ``targetPath``, ``checkpointPath``, ``classifyThreshold``,
 ``table.include.list`` (comma list), ``table.exclude.list`` (regex;
 the reference default excludes its own ``.*_masked`` targets),
-``maxFilesPerTrigger``. Relative paths resolve against the config
-file's directory (the reference resolves against APP_HOME).
+``maxFilesPerTrigger``, and ``sourceFormat`` selecting the transport:
+``json-files`` (default), ``kafka-wire-files`` (parquet files of
+Kafka-wire records — binary key/value + topic/partition/offset, the
+mocked-broker contract of tests/test_kafka_source.py), or ``kafka``
+(a real broker via sources.read_debezium_kafka; needs the
+spark-sql-kafka jar plus ``kafka.bootstrap.servers`` /
+``kafka.topicPattern``). All transports land on the one parsed
+envelope, so downstream plans are identical. Relative paths resolve
+against the config file's directory (the reference resolves against
+APP_HOME).
 """
 
 from __future__ import annotations
@@ -142,14 +165,19 @@ def discover_tables(
     exclude_re: str | None,
     target_path: str,
     postfix: str,
+    raw: DataFrame | None = None,
 ) -> list[TablePlan]:
     """Batch-sample the source to decide, per table: column list (in
     first-event payload order), key field, and column classifications.
     The generic envelope carries string payloads
     (decimal.handling.mode=string precedent, Main.java:143-144), so
     sampled columns type as strings; logical-type decode is the
-    schema-driven path (cdc/decode.py) when the events embed one."""
-    raw = spark.read.schema("key string, value string").json(source_path)
+    schema-driven path (cdc/decode.py) when the events embed one.
+    ``raw`` overrides the default json-file read with another
+    transport's (key, value) string frame (see run_app's
+    ``sourceFormat``)."""
+    if raw is None:
+        raw = spark.read.schema("key string, value string").json(source_path)
     # Keep the raw value line ("_"-prefixed columns pass through the
     # envelope parse): Spark's MapType does not preserve JSON key
     # order, but the source column ORDER matters (the reference keeps
@@ -208,6 +236,63 @@ def discover_tables(
     return plans
 
 
+def _read_source(
+    spark: SparkSession, cfg: dict[str, str], source_path: str, mfpt: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(batch raw key/value frame for discovery, parsed-envelope
+    STREAM) for the configured ``sourceFormat``. Every transport lands
+    on the one envelope contract, so downstream plans are identical —
+    the app switches brokers by config, not code."""
+    from ripcurrent_spark.sources import (
+        KAFKA_WIRE_SCHEMA,
+        kafka_records_to_envelope,
+        read_debezium_kafka,
+    )
+
+    fmt = cfg.get("sourceFormat", "json-files")
+    if fmt == "json-files":
+        raw = spark.read.schema("key string, value string").json(source_path)
+        return raw, read_cdc_stream(spark, source_path, max_files_per_trigger=mfpt)
+    if fmt == "kafka-wire-files":
+        # Parquet files of Kafka-wire records (binary key/value +
+        # topic/partition/offset) — the mocked-broker contract pinned
+        # by tests/test_kafka_source.py, and the replay format a real
+        # pipeline's raw-topic archiver lands.
+        raw = (
+            spark.read.schema(KAFKA_WIRE_SCHEMA)
+            .parquet(source_path)
+            .select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+            )
+        )
+        reader = spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        if mfpt:
+            reader = reader.option("maxFilesPerTrigger", str(mfpt))
+        return raw, kafka_records_to_envelope(reader.parquet(source_path))
+    if fmt == "kafka":
+        # Live broker (requires the spark-sql-kafka jar): sourcePath is
+        # unused; the topic pattern selects tables.
+        servers = cfg["kafka.bootstrap.servers"]
+        pattern = cfg["kafka.topicPattern"]
+        raw = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribePattern", pattern)
+            .option("startingOffsets", "earliest")
+            .load()
+            .select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+            )
+        )
+        stream = read_debezium_kafka(
+            spark, servers, pattern, max_offsets_per_trigger=mfpt
+        )
+        return raw, stream
+    raise ValueError(f"unknown sourceFormat {fmt!r}")
+
+
 def run_app(
     spark: SparkSession,
     config_path: str | Path,
@@ -232,14 +317,31 @@ def run_app(
     ] or None
     exclude_re = cfg.get("table.exclude.list") or None
     mfpt = int(cfg["maxFilesPerTrigger"]) if cfg.get("maxFilesPerTrigger") else None
+    # Main.java:151-155: unset process type defaults to ODBC (here:
+    # the parquet upsert twin); "record" selects the flat-file target.
+    data_target = cfg.get("dataTarget")
+    process_type = cfg.get("dataTargetProcessType", "ODBC")
+    separator = cfg.get("dataTargetSeparator") or "\t"
+    record_mode = data_target is not None and process_type.lower() == "record"
+    if record_mode:
+        data_target = _resolve(base, data_target)
 
     rl, dclib = load_libraries(cfg, base)
+    raw_batch, stream = _read_source(spark, cfg, source_path, mfpt)
     plans = discover_tables(
-        spark, source_path, dclib, threshold, include, exclude_re, target_path, postfix
+        spark,
+        source_path,
+        dclib,
+        threshold,
+        include,
+        exclude_re,
+        target_path,
+        postfix,
+        raw=raw_batch,
     )
 
     handle = AppHandle(plans=plans, schema_change_log=log_path)
-    stream = read_cdc_stream(spark, source_path, max_files_per_trigger=mfpt)
+    meta_cols = ("op", "ts_ms", "table", "key_field", "key_value")
     for plan in plans:
         masked = masked_cdc_stream(
             stream.filter(F.col("table") == plan.table),
@@ -247,26 +349,45 @@ def run_app(
             plan.classifications,
             rl,
         )
-        q = (
-            masked.filter(F.col("op").isin(*_DML_OPS))
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", str(Path(ckpt) / plan.table))
-            .queryName(f"upsert-{plan.table}")
-            .foreachBatch(
-                # evolve_schema: table plans are discovered once at
-                # startup, so a column ADDED mid-run only enters the
-                # stream's typed payload after a restart — at which
-                # point the first merge against the narrower existing
-                # target must widen it instead of dying on
-                # upsert_parquet's column-drift guard (the reference
-                # re-creates its script on column-set change,
-                # Main.java:238-257).
-                upsert_foreach_batch(
-                    plan.target_dir, key_cols=[plan.key_field], evolve_schema=True
-                )
+        if record_mode:
+            # The reference's RECORD target appends masked CREATE
+            # events only (/OUTFILE + /APPEND is emitted solely for
+            # op "c", Main.java:456-464); data columns keep source
+            # positions with ALTERED_ names where a rule applied.
+            out_cols = [c for c in masked.columns if c not in meta_cols]
+            q = (
+                masked.filter(F.col("op") == "c")
+                .select(*out_cols)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", str(Path(ckpt) / plan.table))
+                .queryName(f"record-{plan.table}")
+                .format("csv")
+                .option("sep", separator)
+                .option("header", "false")
+                .option("path", str(Path(data_target) / f"{plan.table}{postfix}"))
+                .start()
             )
-            .start()
-        )
+        else:
+            q = (
+                masked.filter(F.col("op").isin(*_DML_OPS))
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", str(Path(ckpt) / plan.table))
+                .queryName(f"upsert-{plan.table}")
+                .foreachBatch(
+                    # evolve_schema: table plans are discovered once at
+                    # startup, so a column ADDED mid-run only enters the
+                    # stream's typed payload after a restart — at which
+                    # point the first merge against the narrower existing
+                    # target must widen it instead of dying on
+                    # upsert_parquet's column-drift guard (the reference
+                    # re-creates its script on column-set change,
+                    # Main.java:238-257).
+                    upsert_foreach_batch(
+                        plan.target_dir, key_cols=[plan.key_field], evolve_schema=True
+                    )
+                )
+                .start()
+            )
         handle.queries.append(q)
     ddl_q = (
         stream.writeStream.outputMode("append")

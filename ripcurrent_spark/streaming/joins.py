@@ -1,13 +1,16 @@
-"""Stream-stream interval joins, inner and LEFT OUTER.
+"""Stream-stream interval joins: inner, LEFT, RIGHT and FULL OUTER.
 
 The inner form is the streaming twin of the batch bucketed range join
 (operators/intervals.py): both sides watermarked, equi-key plus a
 time-range condition, state evicted once the watermark passes a row's
-match window. The LEFT OUTER form adds the semantic the inner join
-cannot express: a left row whose window closes unmatched is emitted
-exactly once with null right columns — but only after the watermark
-proves no match can still arrive, so results are late-data-correct,
-not trigger-timing-dependent.
+match window. The OUTER forms add the semantic the inner join cannot
+express: a row whose window closes unmatched is emitted exactly once
+with null other-side columns — but only after the watermark proves no
+match can still arrive, so results are late-data-correct, not
+trigger-timing-dependent. All four forms are proven equal to the
+batch join on the same predicate (tests/test_streaming_joins.py),
+and an unmatched row whose window has NOT yet closed stays in state,
+never half-emitted.
 
 Scale posture: state per side is bounded by (watermark + interval
 width) of traffic; the join is hash-partitioned on the key like its
@@ -49,8 +52,9 @@ def interval_join_streams(
     """Join two STREAMING frames on ``key`` where the right event's
     timestamp falls within [left_ts + lower, left_ts + upper].
 
-    ``how='left_outer'`` emits unmatched left rows (null right
-    columns) once the watermark passes ``left_ts + upper`` — the
+    ``how`` in {'inner', 'left_outer', 'right_outer', 'full_outer'}:
+    the outer forms emit unmatched rows (null other-side columns)
+    once the watermark passes the end of their match window — the
     point after which a match is provably impossible. Column names
     must be disjoint across the two sides (streaming joins cannot
     alias after the fact)."""

@@ -209,3 +209,89 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     }
     assert (3, None) in got  # the unmatched purchase null-emits
     assert got == want
+
+
+def _outer_join_scenario(spark, tmp_path, how):
+    """Shared harness for the outer-join family: purchases LEFT,
+    clicks RIGHT, 30-minute lookback. Adds an unmatched CLICK (user 3
+    never purchases) so the right side has a null-emission too; the
+    t=600 pusher pair matches itself, so every unmatched row on
+    either side sits far below the final watermark and must emit."""
+    from ripcurrent_spark.streaming.joins import (
+        interval_join_batch,
+        interval_join_streams,
+    )
+
+    events = EVENTS[:5] + [_ev(30, 3, "click", 50)] + EVENTS[5:]
+    src = tmp_path / "src"
+    _write(src, [events[:6], events[6:]])
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    args = dict(
+        key=("p_user", "c_user"),
+        ts=("p_ts", "c_ts"),
+        lower="-30 minutes",
+        upper="0 seconds",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    sp, sc = split(stream)
+    joined = interval_join_streams(
+        sp, sc, watermark="2 hours", how=how, **args
+    ).select("purchase_id", "click_id")
+    out = tmp_path / "out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", str(out))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.createDataFrame(
+        [(e["ts"], e["user_id"], e["event_type"], e["event_id"]) for e in events],
+        "ts string, user_id long, event_type string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bp, bc = split(batch)
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in interval_join_batch(bp, bc, how=how, **args)
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    return got, want
+
+
+def test_stream_stream_right_outer_interval_join(spark, tmp_path):
+    """RIGHT OUTER: a click no purchase follows within 30 minutes
+    emits ONCE with null purchase columns after its window provably
+    closes; streamed result equals the batch right join."""
+    got, want = _outer_join_scenario(spark, tmp_path, "right_outer")
+    assert (None, 50) in got  # the unmatched click null-emits
+    assert got == want
+
+
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER: unmatched rows from BOTH sides null-emit exactly
+    once; streamed result equals the batch full join."""
+    got, want = _outer_join_scenario(spark, tmp_path, "full_outer")
+    assert (None, 50) in got  # unmatched right
+    assert (3, None) in got  # unmatched left
+    assert got == want
