@@ -384,6 +384,8 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
     )
 
     def _fp(batches):
+        # md5 memo keyed by DISTINCT token, carried across batches of
+        # one partition (Zipf makes the hit rate high on any corpus).
         memo: dict[str, tuple[int, ...]] = {}
         lanes = np.arange(32, dtype=np.uint64)
 
@@ -396,25 +398,43 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
                 )
             return got
 
-        def fold(hs: np.ndarray) -> int:
-            # int64 BEFORE the +/-1 mapping: in uint64, 0*2-1 wraps to
-            # 2^64-1 and every vote goes positive.
-            bits = ((hs[:, None] >> lanes) & 1).astype(np.int64)
-            votes = (bits * 2 - 1).sum(axis=0)
-            return int(((votes > 0).astype(np.uint64) << lanes).sum())
-
         for pdf in batches:
-            ids = []
-            outs: list[list[int]] = [[] for _ in seeds]
-            for doc_id, toks in zip(pdf[id_col], pdf[toks_col]):
-                # NULL token arrays (NULL text upstream) fold like empty
-                # docs instead of raising in the worker.
-                hashes = [th(t) for t in (toks if toks is not None else [])]
-                ids.append(doc_id)
-                for i in range(len(seeds)):
-                    hs = np.array([h[i] for h in hashes], dtype=np.uint64)
-                    outs[i].append(fold(hs) if len(hs) else 0)
-            yield pd.DataFrame({"doc_id": ids, **{c: outs[i] for i, c in enumerate(cols)}})
+            # Whole-batch fold: factorize every token of the batch,
+            # md5 once per batch-distinct token, gather, then ONE
+            # (total_tokens x 32) sign matrix per seed reduced per doc
+            # with np.add.reduceat over doc offsets. Bit-exact with
+            # the per-doc expression fold: votes are int64 integers
+            # (associative addition, one correct answer); int64 BEFORE
+            # the +/-1 mapping because in uint64, 0*2-1 wraps to
+            # 2^64-1 and every vote goes positive. NULL token arrays
+            # (NULL text upstream) fold like empty docs.
+            tok_lists = [
+                list(t) if t is not None else [] for t in pdf[toks_col]
+            ]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            flat = [t for ts in tok_lists for t in ts]
+            ids = list(pdf[id_col])
+            if not flat:
+                yield pd.DataFrame(
+                    {"doc_id": ids, **{c: [0] * len(ids) for c in cols}}
+                )
+                continue
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            per_seed = np.array([th(t) for t in uniques], dtype=np.uint64)  # (U, S)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonempty = lens > 0
+            out: dict[str, list[int]] = {}
+            for i, c in enumerate(cols):
+                hs = per_seed[:, i][codes]  # (total,)
+                signs = (((hs[:, None] >> lanes) & 1).astype(np.int64) * 2) - 1
+                # reduceat needs strictly valid segment starts; compute
+                # on non-empty docs only, empty docs print 0.
+                votes = np.add.reduceat(signs, offsets[nonempty], axis=0)
+                prints = ((votes > 0).astype(np.uint64) << lanes).sum(axis=1)
+                col_out = np.zeros(len(ids), dtype=np.uint64)
+                col_out[nonempty] = prints
+                out[c] = [int(v) for v in col_out]
+            yield pd.DataFrame({"doc_id": ids, **out})
 
     return toks_df.select(
         F.col(id_col).alias("doc_id"), F.col(toks_col).alias(toks_col)
