@@ -892,3 +892,187 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep_id"),
         (F.col("doc_id") == keep).alias("is_kept"),
     )
+
+
+# --- SemDeDup: semantic dedup via k-means cells + intra-cell cosine ---
+
+from ripcurrent_spark.queries.ann import _KM_K as _SD_K  # noqa: E402
+from ripcurrent_spark.queries.ann import _km_iter_sql as _sd_km_iter_sql  # noqa: E402
+
+_SD_CAP = 512  # per-cluster candidate-index size (binds only past sf0.1)
+_SD_SHARDS = 8  # query-side sharding of the scoring stage
+_SD_TAU = 0.35  # drop threshold (corpus near-dups sit at cosine 0.35-0.51)
+
+
+def _sd_idx_sql() -> str:
+    from ripcurrent_spark.functions.hashing import h32_sql
+
+    return f"""
+sdidx AS (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cluster
+      ORDER BY {h32_sql("CAST(vec_id AS VARCHAR)", seed="sdcap")}, vec_id
+    ) AS r FROM av
+  ) WHERE r <= {_SD_CAP}
+)"""
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         emb AS cemb
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_SD_K})
+),{_sd_km_iter_sql('v', 'c0', '1')},
+c1 AS (SELECT cluster, list(c_val ORDER BY dim) AS cemb FROM m1 GROUP BY cluster)
+,{_sd_km_iter_sql('v', 'c1', '2')},
+av AS (SELECT vec_id, emb, cluster FROM a2),
+{_sd_idx_sql().strip()},
+sdpairs AS (
+  SELECT q.vec_id AS vec_id, q.cluster AS cluster, i.vec_id AS nb,
+         round(
+           list_sum(list_transform(range(1, len(q.emb)+1), d -> q.emb[d] * i.emb[d]))
+           / (sqrt(list_sum(list_transform(range(1, len(q.emb)+1), d -> q.emb[d] * q.emb[d])))
+              * sqrt(list_sum(list_transform(range(1, len(i.emb)+1), d -> i.emb[d] * i.emb[d])))),
+           6) AS cosine
+  FROM av q JOIN sdidx i ON q.cluster = i.cluster AND i.vec_id < q.vec_id
+)
+SELECT vec_id, cluster, nb AS dup_of, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY nb) AS rk
+  FROM sdpairs WHERE cosine >= {_SD_TAU}
+) WHERE rk = 1
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    for training corpora — k-means the embedding space into cells,
+    then drop any vector whose cosine to another member of its OWN
+    cell exceeds tau. Returns the DROP LIST: (vec_id, cluster,
+    dup_of, cosine) where dup_of is the surviving duplicate. The
+    paper keeps the member farthest from the centroid; here the
+    keeper is the LOWEST vec_id (deterministic across engines, same
+    convention as dedup_exact's MIN(doc_id)) — a doc is dropped iff
+    a lower-id cellmate is within tau, and dup_of is the lowest such
+    id (its rounded cosine reported).
+
+    Composition of two proven pieces, nothing new to trust: cell
+    assignment is the deterministic Lloyd trainer behind
+    ann_kmeans_centroids (DECIMAL means, rounded-distance argmin —
+    operators/clustering.py), and the intra-cell scorer is the
+    dedup_embedding_cosine capped-index machinery: every vector
+    scores only against a deterministic <= {_SD_CAP}-member per-cell
+    INDEX (first members by portable hash of vec_id), sharded
+    {_SD_SHARDS} ways on the query side, so per-cell work is
+    n * min(n, cap) and parallelism is cells x shards — with k cells
+    over billions of rows the cap is what keeps this linear, and its
+    failure mode is bounded recall, never quadratic work. Each query
+    row lands in exactly ONE (cluster, shard) group, so the block
+    output needs no pair-dedup pass.
+
+    tau is corpus-calibrated (this corpus's near-dup band is cosine
+    0.35-0.51 — same threshold as dedup_embedding_cosine); on the
+    denser sf1 corpus (median intra-cell cosine 0.91) the same tau
+    prunes ~99% — the paper's aggressive-epsilon regime, where the
+    drop fraction is a corpus property, not an engine one.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    from ripcurrent_spark.functions.hashing import h32
+    from ripcurrent_spark.operators.clustering import kmeans_assignments
+    from ripcurrent_spark.operators.similarity import unit_rows_np
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    a = kmeans_assignments(v, k=_SD_K, iters=2).select("vec_id", "emb", "cluster")
+
+    rnk = a.select(
+        "vec_id", "cluster", h32(F.col("vec_id").cast("string"), seed="sdcap").alias("_h")
+    )
+    w = W.partitionBy("cluster").orderBy("_h", "vec_id")
+    idx_ids = (
+        rnk.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _SD_CAP)
+        .select("vec_id")
+    )
+    idx = a.join(F.broadcast(idx_ids), "vec_id")
+
+    shard = F.pmod(
+        h32(F.col("vec_id").cast("string"), seed="sdshard"), F.lit(_SD_SHARDS)
+    ).cast("int")
+    qside = a.select(
+        "vec_id", "cluster", "emb", shard.alias("shard"), F.lit(False).alias("is_idx")
+    )
+    iside = idx.select(
+        "vec_id",
+        "cluster",
+        "emb",
+        F.explode(F.sequence(F.lit(0), F.lit(_SD_SHARDS - 1))).alias("shard"),
+        F.lit(True).alias("is_idx"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cluster = int(pdf["cluster"].iloc[0])
+        qp = pdf[~pdf["is_idx"]]
+        ip = pdf[pdf["is_idx"]]
+        empty = pd.DataFrame({"vec_id": [], "cluster": [], "dup_of": [], "cosine": []})
+        if not len(qp) or not len(ip):
+            return empty
+        qids = qp["vec_id"].to_numpy(dtype=np.int64)
+        iids = ip["vec_id"].to_numpy(dtype=np.int64)
+        qm = unit_rows_np(np.array(list(qp["emb"]), dtype=np.float64))
+        im = unit_rows_np(np.array(list(ip["emb"]), dtype=np.float64))
+        out_v, out_d, out_c = [], [], []
+        chunk = 1024
+        big = np.int64(2**62)
+        for s in range(0, len(qids), chunk):
+            scores = np.round(qm[s : s + chunk] @ im.T, 6)
+            mask = (scores >= _SD_TAU) & (iids[None, :] < qids[s : s + chunk, None])
+            rows = mask.any(axis=1)
+            if not rows.any():
+                continue
+            # lowest-id qualifying neighbor per query row, then its score
+            nb_ids = np.where(mask, iids[None, :], big)
+            jmin = nb_ids.argmin(axis=1)
+            ridx = np.nonzero(rows)[0]
+            out_v.append(qids[s + ridx])
+            out_d.append(iids[jmin[ridx]])
+            out_c.append(scores[ridx, jmin[ridx]])
+        if not out_v:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "cluster": cluster,
+                "dup_of": np.concatenate(out_d),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    u = qside.unionByName(iside)
+    return (
+        u.groupBy("cluster", "shard")
+        .applyInPandas(_block, schema=out_schema)
+        .select("vec_id", "cluster", "dup_of", "cosine")
+    )

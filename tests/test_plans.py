@@ -342,3 +342,15 @@ def test_quantile_sketch_groups_sharded_sample(spark):
     plan = _plan(spark, "q_quantile_sketch_groups")
     assert "_bk_shard" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_capped_sharded(spark):
+    """dedup_semdedup composes the kmeans assignment (MapInPandas)
+    with the capped-index grouped scorer (FlatMapGroupsInPandas over
+    (cluster, shard)); the capped id-set joins back via broadcast and
+    nothing is cartesian."""
+    plan = _plan(spark, "dedup_semdedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
