@@ -25,7 +25,16 @@ from ripcurrent_spark.io import load
 DAY_MS = 86_400_000
 
 
-def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_changelog(
+    spark: SparkSession, sf_dir: str, with_before: bool = False
+) -> DataFrame:
+    """``with_before=True`` adds a ``_before`` map<string,string>
+    column: the key's INSERT image on 'u'/'d' events (each key sees
+    exactly one pre-update state here), NULL on 'c' — Debezium's
+    before-image contract (Main.java:171-178). Computed inline per
+    branch from the same scan, because every branch still HAS the
+    original column values: reconstructing it downstream would take a
+    changelog-to-insert self-join (a full extra shuffle at scale)."""
     o = load(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(12,2)")
     # Wall-clock-as-UTC epoch millis regardless of session tz, so the
@@ -38,7 +47,26 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         price.alias("price"),
         ts.alias("ins_ts"),
     )
-    inserts = base.select(
+    ins_image = F.map_from_arrays(
+        F.array(
+            F.lit("o_orderkey"),
+            F.lit("o_custkey"),
+            F.lit("o_orderstatus"),
+            F.lit("totalprice"),
+        ),
+        F.array(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("price").cast("string"),
+        ),
+    )
+    null_image = F.lit(None).cast("map<string,string>")
+
+    def _with_before(df: DataFrame, img) -> DataFrame:
+        return df.withColumn("_before", img) if with_before else df
+
+    inserts = _with_before(base, null_image).select(
         F.lit("c").alias("op"),
         F.lit(1).alias("seq"),
         F.col("ins_ts").alias("ts_ms"),
@@ -46,8 +74,11 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderstatus",
         F.col("price").alias("totalprice"),
+        *(["_before"] if with_before else []),
     )
-    updates = base.filter(F.col("o_orderstatus") == "O").select(
+    updates = _with_before(
+        base.filter(F.col("o_orderstatus") == "O"), ins_image
+    ).select(
         F.lit("u").alias("op"),
         F.lit(2).alias("seq"),
         (F.col("ins_ts") + DAY_MS).alias("ts_ms"),
@@ -57,8 +88,11 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price") * F.lit("1.05").cast("decimal(3,2)"), 2)
         .cast("decimal(12,2)")
         .alias("totalprice"),
+        *(["_before"] if with_before else []),
     )
-    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+    deletes = _with_before(
+        base.filter(F.col("o_orderkey") % 7 == 0), ins_image
+    ).select(
         F.lit("d").alias("op"),
         F.lit(3).alias("seq"),
         (F.col("ins_ts") + 2 * DAY_MS).alias("ts_ms"),
@@ -66,6 +100,7 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("o_custkey"),
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(None).cast("decimal(12,2)").alias("totalprice"),
+        *(["_before"] if with_before else []),
     )
     return inserts.unionByName(updates).unionByName(deletes)
 

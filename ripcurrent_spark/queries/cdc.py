@@ -45,8 +45,12 @@ def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip: changelog -> Debezium JSON (key + value) ->
     parse_envelope -> flattened typed columns. Deletes carry the
     BEFORE image (Main.java:171-178); here before = the insert
-    payload, so the oracle joins the delete back to its insert."""
-    log = synth_changelog(spark, sf_dir)
+    payload. The before-image comes from synth_changelog's
+    ``with_before`` branch columns — ONE scan, no
+    changelog-to-insert self-join (the oracle still joins, because
+    SQL over the changelog CTE has no other way to see the insert
+    image; the Spark side never re-shuffles for it)."""
+    log = synth_changelog(spark, sf_dir, with_before=True)
     payload = F.map_from_arrays(
         F.array(F.lit("o_orderkey"), F.lit("o_custkey"), F.lit("o_orderstatus"), F.lit("totalprice")),
         F.array(
@@ -56,26 +60,13 @@ def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("totalprice").cast("string"),
         ),
     )
-    ins_payload_by_key = synth_changelog(spark, sf_dir).filter(F.col("op") == "c").select(
-        F.col("o_orderkey").alias("_k"),
-        F.map_from_arrays(
-            F.array(F.lit("o_orderkey"), F.lit("o_custkey"), F.lit("o_orderstatus"), F.lit("totalprice")),
-            F.array(
-                F.col("o_orderkey").cast("string"),
-                F.col("o_custkey").cast("string"),
-                F.col("o_orderstatus"),
-                F.col("totalprice").cast("string"),
-            ),
-        ).alias("_ins_payload"),
-    )
-    log = log.join(ins_payload_by_key, log.o_orderkey == ins_payload_by_key._k, "left")
     events = build_envelope_json(
         log,
         op=F.col("op"),
         ts_ms=F.col("ts_ms"),
         table="orders",
         key_col="o_orderkey",
-        before=F.when(F.col("op") != "c", F.col("_ins_payload")),
+        before=F.col("_before"),
         after=F.when(F.col("op") != "d", payload),
     )
     parsed = parse_envelope(events)

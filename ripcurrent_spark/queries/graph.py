@@ -134,6 +134,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("rank"),
             )
+            # Persist the per-iteration rank state (node-sized, tiny
+            # next to the edge frame): Catalyst swaps the subtree for
+            # an InMemoryRelation, so each iteration's plan compiles
+            # ALONE instead of janino re-compiling an N-iteration
+            # unrolled mega-tree at the end — the unrolled form's
+            # cold-start was ~4x the warm run's compute at sf1 (the
+            # computed longs are identical either way).
+            .persist()
         )
     out = (
         ranks.join(deg, ranks.node == deg.src)
