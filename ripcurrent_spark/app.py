@@ -48,7 +48,9 @@ Kafka-wire records — binary key/value + topic/partition/offset, the
 mocked-broker contract of tests/test_kafka_source.py), or ``kafka``
 (a real broker via sources.read_debezium_kafka; needs the
 spark-sql-kafka jar plus ``kafka.bootstrap.servers`` /
-``kafka.topicPattern``). All transports land on the one parsed
+``kafka.topicPattern``; throttles via ``maxOffsetsPerTrigger`` —
+records, not files — and ``sourcePath`` becomes optional). All
+transports land on the one parsed
 envelope, so downstream plans are identical. Relative paths resolve
 against the config file's directory (the reference resolves against
 APP_HOME).
@@ -286,8 +288,17 @@ def _read_source(
                 F.col("value").cast("string").alias("value"),
             )
         )
+        # Deliberately NOT mfpt: maxFilesPerTrigger counts FILES
+        # (thousands of records each); reusing it as a per-RECORD cap
+        # would throttle a broker stream to a crawl. Brokers get their
+        # own unit-correct key.
+        mopt = (
+            int(cfg["maxOffsetsPerTrigger"])
+            if cfg.get("maxOffsetsPerTrigger")
+            else None
+        )
         stream = read_debezium_kafka(
-            spark, servers, pattern, max_offsets_per_trigger=mfpt
+            spark, servers, pattern, max_offsets_per_trigger=mopt
         )
         return raw, stream
     raise ValueError(f"unknown sourceFormat {fmt!r}")
@@ -305,7 +316,12 @@ def run_app(
     block until SIGINT/SIGTERM."""
     cfg = load_properties(config_path)
     base = Path(config_path).resolve().parent
-    source_path = _resolve(base, cfg["sourcePath"])
+    # sourcePath is the file-transport input dir; a live-broker config
+    # (sourceFormat=kafka) has no files to point at, so the key is
+    # optional there and required everywhere else.
+    if cfg.get("sourcePath") is None and cfg.get("sourceFormat", "json-files") != "kafka":
+        raise ValueError("config key 'sourcePath' is required for file sources")
+    source_path = _resolve(base, cfg["sourcePath"]) if cfg.get("sourcePath") else None
     target_path = _resolve(base, cfg["targetPath"])
     ckpt = _resolve(base, cfg.get("checkpointPath", str(Path(target_path) / "_checkpoints")))
     postfix = cfg.get("targetNamePostfix", "")
@@ -359,7 +375,14 @@ def run_app(
                 masked.filter(F.col("op") == "c")
                 .select(*out_cols)
                 .writeStream.outputMode("append")
-                .option("checkpointLocation", str(Path(ckpt) / plan.table))
+                # Mode-scoped checkpoint (matches the queryName): the
+                # upsert mode's foreachBatch checkpoint already holds
+                # offsets through batch N, so toggling an existing
+                # deployment to record mode must NOT resume from it —
+                # that would silently skip all history in the new
+                # flat-file target (and a file sink can't adopt a
+                # foreachBatch checkpoint anyway).
+                .option("checkpointLocation", str(Path(ckpt) / f"record-{plan.table}"))
                 .queryName(f"record-{plan.table}")
                 .format("csv")
                 .option("sep", separator)

@@ -398,10 +398,17 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
                 )
             return got
 
+        # Bound the fold's working set: the sign matrix is
+        # (slice_tokens x 32) int64 per seed, so cap slice_tokens —
+        # an Arrow batch of 10k long docs (1000+ tokens each) would
+        # otherwise materialize multi-GB intermediates per worker,
+        # where the replaced per-doc fold peaked at one doc's matrix.
+        chunk_tokens = 1 << 20
+
         for pdf in batches:
             # Whole-batch fold: factorize every token of the batch,
-            # md5 once per batch-distinct token, gather, then ONE
-            # (total_tokens x 32) sign matrix per seed reduced per doc
+            # md5 once per batch-distinct token, gather, then a
+            # (slice_tokens x 32) sign matrix per seed reduced per doc
             # with np.add.reduceat over doc offsets. Bit-exact with
             # the per-doc expression fold: votes are int64 integers
             # (associative addition, one correct answer); int64 BEFORE
@@ -421,18 +428,44 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
                 continue
             codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
             per_seed = np.array([th(t) for t in uniques], dtype=np.uint64)  # (U, S)
+            if (codes < 0).any():
+                # factorize codes a None ELEMENT as -1 (excluded from
+                # uniques); without this row it would gather the LAST
+                # unique's hash via wrap-around. th(None) hashes the
+                # same "<seed>:None" string the per-doc path fed md5.
+                per_seed = np.vstack(
+                    [per_seed, np.array(th(None), dtype=np.uint64)]
+                )
+                codes = np.where(codes < 0, len(per_seed) - 1, codes)
             offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
             nonempty = lens > 0
+            ne_idx = np.nonzero(nonempty)[0]
+            ne_starts = offsets[nonempty]
+            ne_lens = lens[nonempty]
+            # Slice DOC ranges so each slice's token count stays under
+            # the cap (a single giant doc forms its own slice).
+            slices: list[tuple[int, int]] = []  # [lo, hi) over ne_idx
+            lo = 0
+            while lo < len(ne_idx):
+                hi, tok = lo, 0
+                while hi < len(ne_idx) and (tok == 0 or tok + ne_lens[hi] <= chunk_tokens):
+                    tok += ne_lens[hi]
+                    hi += 1
+                slices.append((lo, hi))
+                lo = hi
             out: dict[str, list[int]] = {}
             for i, c in enumerate(cols):
-                hs = per_seed[:, i][codes]  # (total,)
-                signs = (((hs[:, None] >> lanes) & 1).astype(np.int64) * 2) - 1
-                # reduceat needs strictly valid segment starts; compute
-                # on non-empty docs only, empty docs print 0.
-                votes = np.add.reduceat(signs, offsets[nonempty], axis=0)
-                prints = ((votes > 0).astype(np.uint64) << lanes).sum(axis=1)
+                hs_all = per_seed[:, i][codes]  # (total,)
                 col_out = np.zeros(len(ids), dtype=np.uint64)
-                col_out[nonempty] = prints
+                for lo, hi in slices:
+                    t0 = ne_starts[lo]
+                    t1 = ne_starts[hi - 1] + ne_lens[hi - 1]
+                    signs = (
+                        ((hs_all[t0:t1, None] >> lanes) & 1).astype(np.int64) * 2
+                    ) - 1
+                    votes = np.add.reduceat(signs, ne_starts[lo:hi] - t0, axis=0)
+                    prints = ((votes > 0).astype(np.uint64) << lanes).sum(axis=1)
+                    col_out[ne_idx[lo:hi]] = prints
                 out[c] = [int(v) for v in col_out]
             yield pd.DataFrame({"doc_id": ids, **out})
 

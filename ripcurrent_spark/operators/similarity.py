@@ -370,3 +370,50 @@ def nearest_centroid_np(
             )
 
     return corpus.select(id_col, emb_col).mapInPandas(_assign, schema=out_schema)
+
+
+def capped_shard_union(
+    v: DataFrame,
+    id_col: str,
+    group_col: str,
+    emb_col: str,
+    cap: int,
+    shards: int,
+    cap_seed: str,
+    shard_seed: str,
+) -> DataFrame:
+    """The shared frame behind the capped-index cosine scorers
+    (dedup_embedding_cosine per-label, dedup_semdedup per-cell): a
+    UNION of every row tagged ``is_idx=false`` in its own
+    hash-assigned ``shard``, plus a deterministic <= ``cap``-member
+    per-group candidate INDEX (first members by portable h32 of the
+    id — mirrored in the oracles) tagged ``is_idx=true`` and
+    replicated to every shard. Grouping the result by
+    (group, shard) gives each Arrow block one shard of queries plus
+    the whole (bounded) index, so per-group work is n * min(n, cap)
+    and parallelism is groups x shards; past the cap the failure mode
+    is bounded recall, never quadratic work."""
+    rnk = v.select(
+        id_col, group_col, h32(F.col(id_col).cast("string"), seed=cap_seed).alias("_h")
+    )
+    w = W.partitionBy(group_col).orderBy("_h", id_col)
+    idx_ids = (
+        rnk.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .select(id_col)
+    )
+    idx = v.join(F.broadcast(idx_ids), id_col)
+    shard = F.pmod(
+        h32(F.col(id_col).cast("string"), seed=shard_seed), F.lit(shards)
+    ).cast("int")
+    qside = v.select(
+        id_col, group_col, emb_col, shard.alias("shard"), F.lit(False).alias("is_idx")
+    )
+    iside = idx.select(
+        id_col,
+        group_col,
+        emb_col,
+        F.explode(F.sequence(F.lit(0), F.lit(shards - 1))).alias("shard"),
+        F.lit(True).alias("is_idx"),
+    )
+    return qside.unionByName(iside)

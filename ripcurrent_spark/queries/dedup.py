@@ -389,11 +389,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-sum oracle after round(.., 6) on the tested data."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
-    from ripcurrent_spark.functions.hashing import h32
-    from ripcurrent_spark.operators.similarity import unit_rows_np
+    from ripcurrent_spark.operators.similarity import capped_shard_union, unit_rows_np
 
     e = load(spark, sf_dir, "embeddings")
     # NULL labels never pair in the oracle (equi-join on label), so
@@ -405,32 +403,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
 
-    # Deterministic per-label candidate index (narrow window input:
-    # the per-label rank sorts 16-byte rows, not embeddings; the
-    # surviving id set — labels x cap rows — broadcasts back).
-    rnk = v.select(
-        "vec_id", "label", h32(F.col("vec_id").cast("string"), seed="eccap").alias("_h")
-    )
-    w = W.partitionBy("label").orderBy("_h", "vec_id")
-    idx_ids = (
-        rnk.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= _EC_CAP)
-        .select("vec_id")
-    )
-    idx = v.join(F.broadcast(idx_ids), "vec_id")
-
-    shard = F.pmod(
-        h32(F.col("vec_id").cast("string"), seed="ecshard"), F.lit(_EC_SHARDS)
-    ).cast("int")
-    queries = v.select(
-        "vec_id", "label", "emb", shard.alias("shard"), F.lit(False).alias("is_idx")
-    )
-    idx_rep = idx.select(
-        "vec_id",
-        "label",
-        "emb",
-        F.explode(F.sequence(F.lit(0), F.lit(_EC_SHARDS - 1))).alias("shard"),
-        F.lit(True).alias("is_idx"),
+    # Deterministic per-label candidate index + query sharding (the
+    # shared operator; narrow window input — the per-label rank sorts
+    # 16-byte rows, not embeddings; the surviving id set — labels x
+    # cap rows — broadcasts back).
+    u = capped_shard_union(
+        v, "vec_id", "label", "emb", _EC_CAP, _EC_SHARDS, "eccap", "ecshard"
     )
 
     out_schema = T.StructType(
@@ -475,7 +453,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    u = queries.unionByName(idx_rep)
     # Dedupe by the PAIR KEY, not by (key, cosine): a pair with both
     # endpoints indexed is scored in two shard groups through two
     # differently-shaped BLAS calls, and a score within 1 ulp of a
@@ -984,12 +961,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
-    from ripcurrent_spark.functions.hashing import h32
     from ripcurrent_spark.operators.clustering import kmeans_assignments
-    from ripcurrent_spark.operators.similarity import unit_rows_np
+    from ripcurrent_spark.operators.similarity import capped_shard_union, unit_rows_np
 
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
@@ -997,30 +972,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
     a = kmeans_assignments(v, k=_SD_K, iters=2).select("vec_id", "emb", "cluster")
-
-    rnk = a.select(
-        "vec_id", "cluster", h32(F.col("vec_id").cast("string"), seed="sdcap").alias("_h")
-    )
-    w = W.partitionBy("cluster").orderBy("_h", "vec_id")
-    idx_ids = (
-        rnk.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= _SD_CAP)
-        .select("vec_id")
-    )
-    idx = a.join(F.broadcast(idx_ids), "vec_id")
-
-    shard = F.pmod(
-        h32(F.col("vec_id").cast("string"), seed="sdshard"), F.lit(_SD_SHARDS)
-    ).cast("int")
-    qside = a.select(
-        "vec_id", "cluster", "emb", shard.alias("shard"), F.lit(False).alias("is_idx")
-    )
-    iside = idx.select(
-        "vec_id",
-        "cluster",
-        "emb",
-        F.explode(F.sequence(F.lit(0), F.lit(_SD_SHARDS - 1))).alias("shard"),
-        F.lit(True).alias("is_idx"),
+    u = capped_shard_union(
+        a, "vec_id", "cluster", "emb", _SD_CAP, _SD_SHARDS, "sdcap", "sdshard"
     )
 
     out_schema = T.StructType(
@@ -1070,7 +1023,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    u = qside.unionByName(iside)
     return (
         u.groupBy("cluster", "shard")
         .applyInPandas(_block, schema=out_schema)

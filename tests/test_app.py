@@ -231,3 +231,21 @@ def test_run_app_kafka_wire_source(spark, tmp_path):
     assert set(snap) == {"1"}
     assert snap["1"].ALTERED_email == "A2@X.COM"
     assert snap["1"].city == "rome"
+
+
+def test_run_app_requires_source_path_for_file_sources(spark, tmp_path):
+    """sourcePath is required for file transports (clear error, not a
+    KeyError mid-startup) but optional for sourceFormat=kafka, where
+    there are no files to point at."""
+    import pytest
+
+    cfg_path = _write_config(tmp_path)
+    stripped = "\n".join(
+        ln
+        for ln in open(cfg_path).read().splitlines()
+        if not ln.startswith("sourcePath=")
+    )
+    with open(cfg_path, "w") as f:
+        f.write(stripped + "\n")
+    with pytest.raises(ValueError, match="sourcePath"):
+        run_app(spark, cfg_path, once=True)
