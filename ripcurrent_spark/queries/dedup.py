@@ -971,7 +971,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    a = kmeans_assignments(v, k=_SD_K, iters=2).select("vec_id", "emb", "cluster")
+    # Persist the assignment: capped_shard_union reads its input three
+    # times (rank, index join, query side), and unpersisted each read
+    # re-runs the assignment scan (a python-worker mapInPandas pass
+    # over every embedding). Corpus-linear in size (id + emb + cluster
+    # per row).
+    a = (
+        kmeans_assignments(v, k=_SD_K, iters=2)
+        .select("vec_id", "emb", "cluster")
+        .persist()
+    )
     u = capped_shard_union(
         a, "vec_id", "cluster", "emb", _SD_CAP, _SD_SHARDS, "sdcap", "sdshard"
     )

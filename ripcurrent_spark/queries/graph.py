@@ -88,10 +88,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph, in 64-bit fixed point.
 
     Edge build: lineitem self-joined on l_orderkey (equi-join on the
-    natural key — co-partitioned, fanout = lines per order). Each
-    iteration joins ranks to edges on src and re-aggregates on dst;
-    the edge frame is persisted once so the scan + distinct is not
-    repeated per round, and rank state stays distributed end to end.
+    natural key — co-partitioned, fanout = lines per order), persisted
+    once. Rank state is NODE-sized — one (node, rank, outdeg) row per
+    part that ships — so each iteration BROADCASTS the state into the
+    edge join: the persisted edge frame is never shuffled or sorted
+    again, and the only per-iteration shuffle is the partial-aggregated
+    groupBy(dst) of contributions (map-side combine caps shuffle volume
+    at partitions x nodes). For graphs whose node state outgrows a
+    broadcast (billions of nodes), the fallback is the classic shape:
+    pre-repartition edges by src once and shuffle-hash-join the rank
+    state each round — still node-sized shuffles only.
     """
     # Pre-distinct (order, part) BEFORE the self-join: repeated lines
     # of the same part in one order would multiply the join fanout and
@@ -114,25 +120,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
-    nodes = deg.select(F.col("src").alias("node"))
+    # Rank state carries outdeg so the contribution join needs ONE
+    # broadcast, not a second join against deg.
+    state = deg.select(
+        F.col("src").alias("node"),
+        F.lit(SCALE).cast("long").alias("rank"),
+        "outdeg",
+    )
     for _ in range(N_ITER):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg.withColumnRenamed("src", "dsrc"), edges.src == F.col("dsrc"))
-            .select("dst", F.expr("rank div outdeg").alias("c"))
+        contrib = edges.join(F.broadcast(state), edges.src == state.node).select(
+            "dst", F.expr("rank div outdeg").alias("c")
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, nodes.node == sums.dst, "left")
+        state = (
+            deg.join(F.broadcast(sums), deg.src == sums.dst, "left")
             .select(
-                "node",
+                F.col("src").alias("node"),
                 (
                     F.lit(TELEPORT)
                     + 85 * F.expr("coalesce(s, CAST(0 AS BIGINT)) div 100")
                 )
                 .cast("long")
                 .alias("rank"),
+                "outdeg",
             )
             # Persist the per-iteration rank state (node-sized, tiny
             # next to the edge frame): Catalyst swaps the subtree for
@@ -143,10 +153,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # computed longs are identical either way).
             .persist()
         )
-    out = (
-        ranks.join(deg, ranks.node == deg.src)
-        .select(F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"), "outdeg")
+    return (
+        state.select(
+            F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"), "outdeg"
+        )
         .orderBy(F.desc("rank_fp"), "part_key")
         .limit(100)
     )
-    return out

@@ -250,12 +250,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied (qty*5*cnt < sum) to stay in exact DECIMAL."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    stats = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # Per-part stats are keyed by l_partkey, so pruning lineitem to the
+    # filtered brand's parts FIRST (broadcast semi join — the filter is
+    # a part attribute, so every line of a surviving part survives)
+    # leaves the stats per key unchanged while the heavy groupBy and
+    # the stats join both run over ~1/6 of lineitem.
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    stats = lf.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(_dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(stats, l.l_partkey == stats.pk)
+        lf.join(stats, lf.l_partkey == stats.pk)
         .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
         .agg((F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / 7.0).alias("avg_yearly"))
     )
@@ -282,18 +289,30 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    big = (
+    # The HAVING subquery and the outer per-order SUM are the SAME
+    # aggregate over the same key, so compute it ONCE: a partial-agg
+    # groupBy (map-side combine shrinks the shuffle to ~orders-sized)
+    # whose filtered result joins orders directly. The naive shape
+    # shuffles lineitem twice (HAVING agg + rejoin of 6M line rows) to
+    # recompute an aggregate it already had. (A window over l_orderkey
+    # also works but shuffles and sorts the RAW line rows — measured
+    # slower than the combine.)
+    lagg = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("tq"))
-        .filter(F.col("tq") > 150)
-        .select("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        o.join(lagg, o.o_orderkey == lagg.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderdate")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
@@ -536,7 +555,36 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    ps = l.groupBy(
+    # Prune lineitem BEFORE the heavy (part, supplier) aggregation:
+    # only EUROPE suppliers survive the eu join and only p_size=15
+    # parts survive the final part join, and both the per-pair MIN and
+    # the per-part best are computed within those slices — so two
+    # broadcast semi joins up front shrink the groupBy input ~250x
+    # without changing any surviving aggregate.
+    # (fresh loads + renamed columns: s/n/r are re-joined below for
+    # attributes, and Spark's ambiguous-self-join check rejects a
+    # shared-lineage column on both sides.)
+    s2 = load(spark, sf_dir, "supplier")
+    n2 = load(spark, sf_dir, "nation")
+    r2 = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        s2.select(F.col("s_suppkey").alias("eu_skey"), F.col("s_nationkey").alias("eu_nkey"))
+        .join(
+            F.broadcast(
+                n2.select(F.col("n_nationkey").alias("eu_nk"), F.col("n_regionkey").alias("eu_rk"))
+            ),
+            F.col("eu_nkey") == F.col("eu_nk"),
+        )
+        .join(
+            F.broadcast(r2.select(F.col("r_regionkey").alias("eu_rgk"))),
+            F.col("eu_rk") == F.col("eu_rgk"),
+        )
+        .select("eu_skey")
+    )
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(F.broadcast(eu_sup), l.l_suppkey == F.col("eu_skey"), "left_semi")
+    ps = lf.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(F.min(_dec("l_extendedprice")).alias("ps_supplycost"))
     eu = (
@@ -603,8 +651,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     nat = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(zero)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # Broadcast the selective part filter BEFORE the l-o shuffle
+        # join: p_type keeps ~1/6 of lineitem, so the shuffle moves
+        # ~1M rows instead of 6M at sf1 (Catalyst won't reorder inner
+        # joins without CBO stats — the order here IS the plan).
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
@@ -655,8 +707,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     amount = _rev() - _dec("p_retailprice") * _dec("l_quantity") / 100
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # The %bolt% part filter is the selective one — broadcast it
+        # onto lineitem BEFORE the l-o shuffle join so the shuffle
+        # moves only matching lines (Catalyst won't reorder inner
+        # joins without CBO stats).
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))

@@ -176,3 +176,34 @@ def test_asof_legacy_manifest_without_dirs_falls_back(spark, tmp_path):
         record_batch_ts(log, i, ts, ts + 10)  # legacy: no dirs
     asof = read_changelog_asof(spark, str(log), 150)
     assert {r.v for r in asof.collect()} == {0}
+
+
+def test_ewma_seam_across_arrow_batches(spark):
+    """ewma_per_key's mapInPandas fold must be batch-boundary-invisible:
+    with Arrow batches capped at 7 rows, a 40-row key spans several
+    batches inside one partition, and every row must still equal the
+    single-batch (per-key pandas ewm) reference — for alpha values
+    whose weights do NOT sum to exactly 1.0 in float, so the seam
+    formula's explicit weight-sum divide is exercised too."""
+    import pandas as pd
+
+    from ripcurrent_spark.operators.text import ewma_per_key
+
+    rows = [("u1", i, float((i * 37) % 101) - 50.0) for i in range(40)]
+    rows += [("u2", i, float((i * 13) % 17)) for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, seq int, x double").repartition(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        for alpha in (0.5, 0.3, 0.9):
+            got = {
+                (r.k, r.seq): r.ewma
+                for r in ewma_per_key(df, "k", "seq", "x", alpha=alpha).collect()
+            }
+            for key in ("u1", "u2"):
+                xs = [x for k, _, x in rows if k == key]
+                ref = pd.Series(xs).ewm(alpha=alpha, adjust=False).mean()
+                for i, want in enumerate(ref):
+                    assert got[(key, i)] == want, (alpha, key, i)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
