@@ -233,7 +233,10 @@ def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/clustering.py."""
     from ripcurrent_spark.operators.clustering import kmeans_centroid_stats
 
-    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    # Persist the cast vectors: the Lloyd build reads them four times
+    # (seed top-k, two assignment passes, the stats pass); without the
+    # persist each read repeats the parquet scan + array cast.
+    v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
     return kmeans_centroid_stats(v, k=_KM_K, iters=2)
 
 

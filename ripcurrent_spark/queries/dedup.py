@@ -967,10 +967,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ripcurrent_spark.operators.similarity import capped_shard_union, unit_rows_np
 
     e = load(spark, sf_dir, "embeddings")
+    # Persist the cast vectors: the Lloyd build reads them four times
+    # (seed top-k, two assignment passes, the stats pass) and each
+    # unpersisted read repeats the parquet scan + array cast — the
+    # scan alone was ~1/4 of the query's sf1 wall time.
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
+    ).persist()
     # Persist the assignment: capped_shard_union reads its input three
     # times (rank, index join, query side), and unpersisted each read
     # re-runs the assignment scan (a python-worker mapInPandas pass
