@@ -96,11 +96,13 @@ def main() -> None:
             reg[name].spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         # Environment noise (shared VM) occasionally inflates runs
-        # 5-10x; if the middle sample still looks contaminated — OR
-        # every run is suspiciously high (uniform contamination, the
-        # case an agreement test can't see) — buy one more before
-        # recording (median of 4 = mean of middle two).
-        if sorted(runs)[1] > 2 * min(runs) or min(runs) > 5:
+        # 5-10x; if the middle sample still looks contaminated, buy one
+        # more before recording (median of 4 = mean of middle two).
+        # No ABSOLUTE-seconds test here: it misreads legitimately slow
+        # queries (or a bigger $SPARK_GRAFT_SF_DIR) as contamination and
+        # silently switches their statistic; uniform whole-run slowdown
+        # is what calibration_sec / normalized_total exist to expose.
+        if sorted(runs)[1] > 2 * min(runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).count()

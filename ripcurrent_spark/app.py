@@ -273,6 +273,17 @@ def _read_source(
             reader = reader.option("maxFilesPerTrigger", str(mfpt))
         return raw, kafka_records_to_envelope(reader.parquet(source_path))
     if fmt == "kafka":
+        # Deliberately NOT mfpt: maxFilesPerTrigger counts FILES
+        # (thousands of records each); reusing it as a per-RECORD cap
+        # would throttle a broker stream to a crawl. Brokers get their
+        # own unit-correct key — and a config carrying the file key
+        # fails LOUDLY (before any broker connection is attempted)
+        # rather than running silently unthrottled.
+        if cfg.get("maxFilesPerTrigger"):
+            raise ValueError(
+                "maxFilesPerTrigger does not apply to sourceFormat=kafka "
+                "(files vs records); set maxOffsetsPerTrigger instead"
+            )
         # Live broker (requires the spark-sql-kafka jar): sourcePath is
         # unused; the topic pattern selects tables.
         servers = cfg["kafka.bootstrap.servers"]
@@ -288,10 +299,6 @@ def _read_source(
                 F.col("value").cast("string").alias("value"),
             )
         )
-        # Deliberately NOT mfpt: maxFilesPerTrigger counts FILES
-        # (thousands of records each); reusing it as a per-RECORD cap
-        # would throttle a broker stream to a crawl. Brokers get their
-        # own unit-correct key.
         mopt = (
             int(cfg["maxOffsetsPerTrigger"])
             if cfg.get("maxOffsetsPerTrigger")
@@ -318,8 +325,10 @@ def run_app(
     base = Path(config_path).resolve().parent
     # sourcePath is the file-transport input dir; a live-broker config
     # (sourceFormat=kafka) has no files to point at, so the key is
-    # optional there and required everywhere else.
-    if cfg.get("sourcePath") is None and cfg.get("sourceFormat", "json-files") != "kafka":
+    # optional there and required everywhere else. Falsy, not just
+    # missing: a blanked-out `sourcePath=` line must hit this error,
+    # not a cryptic read-from-None failure downstream.
+    if not cfg.get("sourcePath") and cfg.get("sourceFormat", "json-files") != "kafka":
         raise ValueError("config key 'sourcePath' is required for file sources")
     source_path = _resolve(base, cfg["sourcePath"]) if cfg.get("sourcePath") else None
     target_path = _resolve(base, cfg["targetPath"])
@@ -381,7 +390,10 @@ def run_app(
                 # deployment to record mode must NOT resume from it —
                 # that would silently skip all history in the new
                 # flat-file target (and a file sink can't adopt a
-                # foreachBatch checkpoint anyway).
+                # foreachBatch checkpoint anyway). This record-<table>
+                # layout is record mode's layout since its
+                # introduction — renaming it later would restart
+                # running record deployments from offset zero.
                 .option("checkpointLocation", str(Path(ckpt) / f"record-{plan.table}"))
                 .queryName(f"record-{plan.table}")
                 .format("csv")

@@ -427,7 +427,12 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
                 )
                 continue
             codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-            per_seed = np.array([th(t) for t in uniques], dtype=np.uint64)  # (U, S)
+            # (U, S); the reshape keeps S columns even when U == 0 — an
+            # all-None batch factorizes to EMPTY uniques, and a bare
+            # np.array([]) would be 1-D and crash the vstack below.
+            per_seed = np.array(
+                [th(t) for t in uniques], dtype=np.uint64
+            ).reshape(-1, len(cols))
             if (codes < 0).any():
                 # factorize codes a None ELEMENT as -1 (excluded from
                 # uniques); without this row it would gather the LAST

@@ -88,18 +88,23 @@ def ewma_per_key(
 
     ONE shuffle (repartition on key) + sortWithinPartitions(key, ts) +
     mapInPandas: groups arrive contiguous and time-ordered, so pandas'
-    grouped C ewm kernel folds every group in an Arrow batch in one
-    call, and a carry (last key, last ewma) re-seeds the single group
-    that can span a batch boundary. The seam rows are refolded with the
-    kernel's own update arithmetic — alpha round-tripped through
-    com=(1-a)/a and an explicit divide by the weight sum, verified
-    bit-identical to pandas for arbitrary alpha — so batch boundaries
-    are invisible in the output. Python crossings per partition are
-    O(Arrow batches), where the previous groupBy().applyInPandas form
-    paid one per KEY (15k keys at sf1 -> 15k crossings -> ~10 s of pure
-    dispatch). State never crosses keys; the largest cost is the one
-    key shuffle, and skewed keys degrade to a longer python seam loop,
-    never to OOM."""
+    grouped C ewm kernel (dropna=False — a NULL key is a group like any
+    other, matching the old groupBy().applyInPandas semantics) folds
+    every group in an Arrow batch in one call, and a carry
+    (key, mean, old-weight) re-seeds the single group that can span a
+    batch boundary. Seam rows are refolded with the kernel's own
+    update arithmetic — alpha round-tripped through com=(1-a)/a, an
+    explicit divide by the weight sum, and the ignore_na=False decay
+    (NaN observations emit the prior mean while decaying the old
+    weight) — verified bit-identical to pandas for arbitrary alpha and
+    NaN placement, so batch boundaries are invisible in the output.
+    Python crossings per partition are O(Arrow batches), where the
+    previous groupBy().applyInPandas form paid one per KEY (15k keys
+    at sf1 -> 15k crossings -> ~10 s of pure dispatch); the python
+    seam loop touches only the first and last group of each batch.
+    State never crosses keys; the largest cost is the one key shuffle,
+    and skewed keys degrade to a longer python seam loop, never to
+    OOM."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -115,30 +120,75 @@ def ewma_per_key(
     # round-trip; replicate exactly so the seam fold matches the kernel.
     com = (1.0 - alpha) / alpha
     a2 = 1.0 / (1.0 + com)
-    old_wt, new_wt = 1.0 - a2, a2
+    owf, new_wt = 1.0 - a2, a2  # old-weight decay factor, new weight
+
+    def _isna(x) -> bool:
+        return x is None or (isinstance(x, float) and x != x)
+
+    def _neq_mask(keys, ref):
+        # Elementwise "differs from ref", NULL/NaN-aware: na == na.
+        if _isna(ref):
+            return ~pd.isna(keys)
+        return keys != ref
+
+    def _refold(vals, start, end, w, ow, out):
+        # The pandas ewm kernel (adjust=False, ignore_na=False), one
+        # observation at a time: NaN emits the prior mean and decays
+        # the old weight; the first valid value seeds the mean.
+        for j in range(start, end):
+            cur = vals[j]
+            if w == w:
+                ow *= owf
+                if cur == cur:
+                    if w != cur:
+                        w = (ow * w + new_wt * cur) / (ow + new_wt)
+                    ow = 1.0
+            elif cur == cur:
+                w = cur
+            if out is not None:
+                out[j] = w
+        return w, ow
 
     def fold(batches):
-        carry_key, carry_val = None, None
+        has_carry, carry_key = False, None
+        carry_w, carry_ow = float("nan"), 1.0
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             keys = pdf[key_col].to_numpy()
             vals = pdf[value_col].to_numpy(dtype="float64")
             g = (
-                pdf.groupby(key_col, sort=False)[value_col]
+                pdf.groupby(key_col, sort=False, dropna=False)[value_col]
                 .ewm(alpha=alpha, adjust=False)
                 .mean()
             )
-            ewma = np.empty(len(vals), dtype="float64")
+            ewma = np.empty(n, dtype="float64")
             ewma[g.index.get_level_values(-1).to_numpy()] = g.to_numpy()
-            if carry_key is not None and keys[0] == carry_key:
-                neq = keys != keys[0]
-                m = int(np.argmax(neq)) if neq.any() else len(keys)
-                w = carry_val
-                for j in range(m):
-                    w = (old_wt * w + new_wt * vals[j]) / (old_wt + new_wt)
-                    ewma[j] = w
-            carry_key, carry_val = keys[-1], float(ewma[-1])
+            first = keys[0]
+            same0 = has_carry and (
+                (_isna(first) and _isna(carry_key))
+                or (not _isna(first) and not _isna(carry_key) and first == carry_key)
+            )
+            m = 0
+            if same0:
+                neq = _neq_mask(keys, first)
+                m = int(np.argmax(neq)) if neq.any() else n
+                w, ow = _refold(vals, 0, m, carry_w, carry_ow, out=ewma)
+            if same0 and m == n:
+                # One group fills the whole batch: carry straight from
+                # the seam refold's end state.
+                carry_w, carry_ow = w, ow
+            else:
+                # Fresh refold of the batch's LAST group purely to
+                # obtain (mean, old-weight) for the carry — identical
+                # arithmetic to the kernel, so the mean agrees with
+                # ewma[-1]; the old weight is the part the kernel
+                # doesn't expose.
+                neq_l = _neq_mask(keys, keys[-1])
+                p = n - int(np.argmax(neq_l[::-1])) if neq_l.any() else 0
+                carry_w, carry_ow = _refold(vals, p, n, float("nan"), 1.0, out=None)
+            carry_key, has_carry = keys[-1], True
             yield pd.DataFrame(
                 {
                     key_col: pdf[key_col],

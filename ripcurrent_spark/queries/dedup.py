@@ -397,10 +397,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL labels never pair in the oracle (equi-join on label), so
     # drop them up front — a NULL group would also crash the pandas
     # block's int(label).
-    v = e.filter(F.col("label").isNotNull()).select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    # Persisted: capped_shard_union reads its input three times (rank,
+    # index join, query side); unpersisted each read repeats the
+    # parquet scan + array cast.
+    v = (
+        e.filter(F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .persist()
     )
 
     # Deterministic per-label candidate index + query sharding (the

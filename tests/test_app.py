@@ -236,16 +236,37 @@ def test_run_app_kafka_wire_source(spark, tmp_path):
 def test_run_app_requires_source_path_for_file_sources(spark, tmp_path):
     """sourcePath is required for file transports (clear error, not a
     KeyError mid-startup) but optional for sourceFormat=kafka, where
-    there are no files to point at."""
+    there are no files to point at. A BLANKED `sourcePath=` line is
+    'missing' too — it must hit the same friendly error, not a cryptic
+    read-from-None failure downstream."""
     import pytest
 
     cfg_path = _write_config(tmp_path)
-    stripped = "\n".join(
+    base = [
         ln
         for ln in open(cfg_path).read().splitlines()
         if not ln.startswith("sourcePath=")
-    )
-    with open(cfg_path, "w") as f:
-        f.write(stripped + "\n")
-    with pytest.raises(ValueError, match="sourcePath"):
+    ]
+    for variant in (base, base + ["sourcePath="]):
+        with open(cfg_path, "w") as f:
+            f.write("\n".join(variant) + "\n")
+        with pytest.raises(ValueError, match="sourcePath"):
+            run_app(spark, cfg_path, once=True)
+
+
+def test_run_app_rejects_file_trigger_key_for_kafka(spark, tmp_path):
+    """maxFilesPerTrigger counts FILES; for a broker source it neither
+    applies nor approximates — a config carrying it must fail loudly
+    instead of running unthrottled against the whole backlog."""
+    import pytest
+
+    cfg_path = _write_config(tmp_path)
+    with open(cfg_path, "a") as f:
+        f.write(
+            "sourceFormat=kafka\n"
+            "maxFilesPerTrigger=100\n"
+            "kafka.bootstrap.servers=localhost:9\n"
+            "kafka.topicPattern=dbserver1\\..*\n"
+        )
+    with pytest.raises(ValueError, match="maxOffsetsPerTrigger"):
         run_app(spark, cfg_path, once=True)

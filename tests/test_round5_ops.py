@@ -191,6 +191,14 @@ def test_ewma_seam_across_arrow_batches(spark):
 
     rows = [("u1", i, float((i * 37) % 101) - 50.0) for i in range(40)]
     rows += [("u2", i, float((i * 13) % 17)) for i in range(9)]
+    # A NULL key is a group like any other (sorts first, spans several
+    # 7-row batches), and NaN observations — including one at a batch
+    # seam and a trailing run — must decay the old weight exactly like
+    # the kernel's ignore_na=False path.
+    rows += [
+        (None, i, None if i in (0, 6, 7, 8, 13) else float((i * 29) % 23) - 11.0)
+        for i in range(15)
+    ]
     df = spark.createDataFrame(rows, "k string, seq int, x double").repartition(1)
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
@@ -200,10 +208,42 @@ def test_ewma_seam_across_arrow_batches(spark):
                 (r.k, r.seq): r.ewma
                 for r in ewma_per_key(df, "k", "seq", "x", alpha=alpha).collect()
             }
-            for key in ("u1", "u2"):
+            for key in ("u1", "u2", None):
                 xs = [x for k, _, x in rows if k == key]
-                ref = pd.Series(xs).ewm(alpha=alpha, adjust=False).mean()
+                ref = pd.Series(xs, dtype="float64").ewm(
+                    alpha=alpha, adjust=False
+                ).mean()
                 for i, want in enumerate(ref):
-                    assert got[(key, i)] == want, (alpha, key, i)
+                    if want != want:
+                        # Arrow surfaces a pandas NaN as SQL NULL.
+                        v = got[(key, i)]
+                        assert v is None or v != v, (alpha, key, i)
+                    else:
+                        assert got[(key, i)] == want, (alpha, key, i)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_simhash128_all_none_token_batch(spark):
+    """An Arrow batch whose every token element is None must not crash
+    the factorize gather (empty `uniques` used to produce a 1-D
+    per_seed that broke the None-row vstack), and a [None] token list
+    must hash the same "<seed>:None" string the per-doc expression
+    path feeds md5 — i.e. equal prints for equal token lists."""
+    from ripcurrent_spark.operators.dedup import simhash128_np
+
+    df = spark.createDataFrame(
+        [(1, [None]), (2, [None, None]), (3, [None])],
+        "doc_id long, toks array<string>",
+    )
+    rows = {r.doc_id: r for r in simhash128_np(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert tuple(rows[1])[1:] == tuple(rows[3])[1:]  # same toks -> same print
+    # mixed batch: None elements coexist with real tokens
+    df2 = spark.createDataFrame(
+        [(1, ["a", None]), (2, ["a", None]), (3, ["b"])],
+        "doc_id long, toks array<string>",
+    )
+    rows2 = {r.doc_id: r for r in simhash128_np(df2).collect()}
+    assert tuple(rows2[1])[1:] == tuple(rows2[2])[1:]
+    assert tuple(rows2[1])[1:] != tuple(rows2[3])[1:]
