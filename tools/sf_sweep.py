@@ -43,6 +43,17 @@ def main() -> int:
     qs = all_queries()
     names = [n.strip() for n in args.only.split(",") if n.strip()] or list(qs)
 
+    # Warm the session before the first timed slot: JVM JIT, codegen,
+    # Arrow python workers, and the parquet reader path otherwise land
+    # entirely on whichever query happens to run first (the full-sweep
+    # artifact showed the first registry query 4x its --only time).
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(str(Path(args.sf_dir) / "nation.parquet"))
+    warm.groupBy("n_regionkey").count().collect()
+    import pandas as _pd  # noqa: F401
+
+    warm.mapInPandas(lambda it: it, warm.schema).count()
+
     import threading
 
     results: dict[str, dict] = {}
