@@ -266,40 +266,51 @@ FROM p GROUP BY i, j
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance (upper triangle of the leading 8 dims) —
     the sufficient statistics for whitening / PCA prep over a vector
-    corpus. One scan, no join: each row emits its 36 pair products
-    inline, and moments accumulate in DECIMAL(38,12) (exact,
-    order-independent) so the covariance hash-matches the oracle.
-    The double arithmetic (div, div, mul, sub) is ordered identically
-    on both engines."""
+    corpus. ONE scan, no join, no row multiplication: all 8 dim sums +
+    36 pair-product sums accumulate as scalar aggregates of a single
+    pass (an earlier form exploded 36 structs per row — a 36x row
+    blow-up feeding a groupBy that this shape simply doesn't need),
+    then the 36 output rows unfold from the one aggregate row.
+    Moments accumulate in DECIMAL(38,12) (exact, order-independent) so
+    the covariance hash-matches the oracle; the double arithmetic
+    (div, div, mul, sub) is ordered identically on both engines."""
     e = load(spark, sf_dir, "embeddings")
     dec = "decimal(38,12)"
     d = F.transform(F.slice("embedding", 1, _COV_D), lambda x: x.cast("double"))
     v = e.select(d.alias("emb"))
     combos = [(i, j) for i in range(1, _COV_D + 1) for j in range(i, _COV_D + 1)]
-    pairs = v.select(
+    sums = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("emb")[k - 1].cast(dec)).alias(f"s{k}")
+            for k in range(1, _COV_D + 1)
+        ],
+        *[
+            F.sum((F.col("emb")[i - 1] * F.col("emb")[j - 1]).cast(dec)).alias(
+                f"p{i}_{j}"
+            )
+            for i, j in combos
+        ],
+    )
+    moments = sums.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).cast("long").alias("i"),
                         F.lit(j).cast("long").alias("j"),
-                        F.col("emb")[i - 1].cast(dec).alias("x"),
-                        F.col("emb")[j - 1].cast(dec).alias("y"),
-                        (F.col("emb")[i - 1] * F.col("emb")[j - 1]).cast(dec).alias("xy"),
+                        F.col("n").alias("n"),
+                        F.col(f"s{i}").alias("sx"),
+                        F.col(f"s{j}").alias("sy"),
+                        F.col(f"p{i}_{j}").alias("sxy"),
                     )
                     for i, j in combos
                 ]
             )
         ).alias("s")
-    ).select("s.i", "s.j", "s.x", "s.y", "s.xy")
-    agg = pairs.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum("xy").alias("sxy"),
-    )
+    ).select("s.i", "s.j", "s.n", "s.sx", "s.sy", "s.sxy")
     n = F.col("n")
-    return agg.select(
+    return moments.select(
         "i",
         "j",
         "n",

@@ -737,17 +737,25 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= _SPAN_TOKENS
     )
     n_full = F.floor(F.size("t") / _SPAN_TOKENS).cast("int")
-    chunks = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_full - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice("t", i * _SPAN_TOKENS + 1, _SPAN_TOKENS)
-                ),
-            )
-        ).alias("chunk"),
-    ).select("doc_id", F.md5("chunk").alias("chash"))
+    # Persisted: both the frequency side and the join side read this
+    # frame — unpersisted, the tokenize + chunk + md5 of the whole
+    # corpus runs twice. (doc_id, 32-char hash) per chunk, tiny
+    # relative to the corpus text it replaces.
+    chunks = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_full - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("t", i * _SPAN_TOKENS + 1, _SPAN_TOKENS)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("chash"))
+        .persist()
+    )
     cnt = chunks.groupBy("chash").agg(F.count_distinct("doc_id").alias("nd"))
     common = F.when(F.col("nd") >= _SPAN_MIN_DOCS, 1).otherwise(0)
     return (
