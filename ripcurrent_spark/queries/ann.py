@@ -379,3 +379,148 @@ def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("majority_label"),
         F.round(F.col("c").cast("double") / F.col("n_members"), 6).alias("purity"),
     )
+
+
+_PCA_ITERS = 200  # fixed power-iteration count (deterministic, both engines;
+# the synthetic corpus is near-isotropic — top-two eigenvalue ratio
+# ~1.06 — so convergence needs (1/1.06)^n small: n=200 -> ~2e-5)
+
+
+def _pca_oracle() -> str:
+    """Generated SQL twin of emb_pca_project: the SAME covariance CTE
+    as emb_covariance, mirrored to a full matrix, then the SAME
+    normalized power iteration as a recursive CTE over one 64-column
+    row — every +/*//, the per-step renormalization, the sign flip,
+    sqrt and the final projection in the identical left-associated
+    IEEE order as the Spark side's python fold, so the projection
+    value-hashes exactly. (Each step renormalizes — without it, 200
+    matvecs by a covariance with eigenvalues ~0.02 underflow to 0.)"""
+    D = _COV_D
+    mm_cols = ",\n       ".join(
+        f"max(CASE WHEN i = {i} AND j = {j} THEN cov END) AS c{i}_{j}"
+        for i in range(1, D + 1)
+        for j in range(1, D + 1)
+    )
+    base_v = ", ".join(
+        f"CAST({1.0 if i == 1 else 0.0} AS DOUBLE) AS v{i}" for i in range(1, D + 1)
+    )
+    w_expr = {
+        i: " + ".join(f"mm.c{i}_{j} * v{j}" for j in range(1, D + 1))
+        for i in range(1, D + 1)
+    }
+    step_norm = " + ".join(f"({w_expr[k]}) * ({w_expr[k]})" for k in range(1, D + 1))
+    step_v = ",\n         ".join(
+        f"({w_expr[i]}) / sqrt({step_norm}) AS v{i}" for i in range(1, D + 1)
+    )
+    flip_v = ", ".join(f"v{i} * s AS f{i}" for i in range(1, D + 1))
+    norm_expr = " + ".join(f"f{i} * f{i}" for i in range(1, D + 1))
+    unit_v = ", ".join(f"f{i} / nrm AS u{i}" for i in range(1, D + 1))
+    proj_expr = " + ".join(f"emb[{i}] * u{i}" for i in range(1, D + 1))
+    return f"""
+WITH RECURSIVE vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+p AS (
+  SELECT a.i, b.j, emb[a.i] AS x, emb[b.j] AS y
+  FROM vv,
+       (SELECT unnest(range(1, {D + 1})) AS i) a,
+       (SELECT unnest(range(1, {D + 1})) AS j) b
+  WHERE b.j >= a.i
+),
+cov0 AS (
+  SELECT i, j,
+         round(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), 6) AS cov
+  FROM p GROUP BY i, j
+),
+covf AS (
+  SELECT i, j, cov FROM cov0
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov0 WHERE i <> j
+),
+mm AS (
+  SELECT {mm_cols}
+  FROM covf
+),
+it AS (
+  SELECT 0 AS k, {base_v}
+  UNION ALL
+  SELECT k + 1,
+         {step_v}
+  FROM it, mm WHERE k < {_PCA_ITERS}
+),
+fin AS (SELECT * FROM it WHERE k = {_PCA_ITERS}),
+flip AS (
+  SELECT CASE WHEN v1 < 0 THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s, *
+  FROM fin
+),
+fl AS (SELECT {flip_v} FROM flip),
+un AS (SELECT *, sqrt({norm_expr}) AS nrm FROM fl),
+uv AS (SELECT {unit_v} FROM un)
+SELECT vec_id, round({proj_expr}, 6) AS pca1
+FROM vv, uv
+"""
+
+
+@register("emb_pca_project", oracle=_pca_oracle())
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the leading 8 embedding
+    dims — the whitening/decorrelation primitive of an embedding
+    curation pipeline (dominant-direction removal, ABTT-style, and the
+    1-D ordering behind stratified semantic sampling).
+
+    Execution shape for 100 TB: ONE corpus scan accumulates the exact
+    DECIMAL covariance moments as scalar aggregates (emb_covariance's
+    one-pass shape); the 8x8 eigen-solve is CONTROL-PLANE (12
+    power-iteration steps over 36 doubles on the driver — no data
+    moves); the projection is a second map-only scan against 8
+    broadcast literal weights. No shuffle anywhere but the scalar
+    aggregate's final merge.
+
+    Cross-engine exactness: the driver iteration uses only IEEE
+    +,*,/,sqrt in a fixed left-associated order, and the oracle runs
+    the SAME iteration as a recursive CTE over the SAME rounded
+    covariance (proven hash-equal in emb_covariance) — correctly
+    rounded IEEE ops are bit-identical on both engines, so the
+    projections value-hash exactly. The component's sign is fixed
+    deterministically (first unnormalized coordinate non-negative)."""
+    import math
+
+    D = _COV_D
+    rows = emb_covariance(spark, sf_dir).collect()
+    C = [[0.0] * D for _ in range(D)]
+    for r in rows:
+        C[r.i - 1][r.j - 1] = float(r.cov)
+        C[r.j - 1][r.i - 1] = float(r.cov)
+    v = [1.0] + [0.0] * (D - 1)
+    for _ in range(_PCA_ITERS):
+        w = []
+        for i in range(D):
+            acc = C[i][0] * v[0]
+            for j in range(1, D):
+                acc = acc + C[i][j] * v[j]
+            w.append(acc)
+        # Per-step renormalization, mirroring the oracle's
+        # (w_1*w_1 + ... + w_D*w_D) fold order exactly.
+        sn = (w[0]) * (w[0])
+        for k in range(1, D):
+            sn = sn + (w[k]) * (w[k])
+        sn = math.sqrt(sn)
+        v = [x / sn for x in w]
+    s = -1.0 if v[0] < 0 else 1.0
+    f = [x * s for x in v]
+    nrm = f[0] * f[0]
+    for j in range(1, D):
+        nrm = nrm + f[j] * f[j]
+    nrm = math.sqrt(nrm)
+    u = [x / nrm for x in f]
+
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.slice("embedding", 1, D), lambda x: x.cast("double"))
+    base = e.select("vec_id", emb.alias("emb"))
+    proj = F.col("emb")[0] * F.lit(u[0])
+    for j in range(1, D):
+        proj = proj + F.col("emb")[j] * F.lit(u[j])
+    return base.select("vec_id", F.round(proj, 6).alias("pca1"))
