@@ -242,6 +242,22 @@ def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COV_D = 8  # leading dims profiled (full 64x64 is the same plan, more rows)
 
+# Shared between the emb_covariance and emb_pca_project oracles — the
+# PCA projection's exactness proof rests on iterating over EXACTLY the
+# covariance emb_covariance publishes, so there is one point of truth
+# for the pair CTE and the rounded-covariance expression.
+def _cov_pairs_sql(src: str) -> str:
+    return f"""SELECT a.i, b.j, emb[a.i] AS x, emb[b.j] AS y
+  FROM {src},
+       (SELECT unnest(range(1, {_COV_D + 1})) AS i) a,
+       (SELECT unnest(range(1, {_COV_D + 1})) AS j) b
+  WHERE b.j >= a.i"""
+
+
+_COV_EXPR_SQL = """round(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), 6)"""
+
 
 @register(
     "emb_covariance",
@@ -250,16 +266,10 @@ WITH v AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
 ),
 p AS (
-  SELECT a.i, b.j, emb[a.i] AS x, emb[b.j] AS y
-  FROM v,
-       (SELECT unnest(range(1, {_COV_D + 1})) AS i) a,
-       (SELECT unnest(range(1, {_COV_D + 1})) AS j) b
-  WHERE b.j >= a.i
+  {_cov_pairs_sql("v")}
 )
 SELECT i, j, COUNT(*) AS n,
-       round(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
-             - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
-               * (CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), 6) AS cov
+       {_COV_EXPR_SQL} AS cov
 FROM p GROUP BY i, j
 """,
 )
@@ -292,23 +302,30 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, j in combos
         ],
     )
-    moments = sums.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("long").alias("i"),
-                        F.lit(j).cast("long").alias("j"),
-                        F.col("n").alias("n"),
-                        F.col(f"s{i}").alias("sx"),
-                        F.col(f"s{j}").alias("sy"),
-                        F.col(f"p{i}_{j}").alias("sxy"),
-                    )
-                    for i, j in combos
-                ]
-            )
-        ).alias("s")
-    ).select("s.i", "s.j", "s.n", "s.sx", "s.sy", "s.sxy")
+    # n > 0: a global aggregate always emits one row, but the oracle's
+    # GROUP BY emits none on an empty corpus — the filter keeps the
+    # empty-input row counts identical (0 rows, not 36 NULL-cov rows).
+    moments = (
+        sums.filter(F.col("n") > 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("i"),
+                            F.lit(j).cast("long").alias("j"),
+                            F.col("n").alias("n"),
+                            F.col(f"s{i}").alias("sx"),
+                            F.col(f"s{j}").alias("sy"),
+                            F.col(f"p{i}_{j}").alias("sxy"),
+                        )
+                        for i, j in combos
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.i", "s.j", "s.n", "s.sx", "s.sy", "s.sxy")
+    )
     n = F.col("n")
     return moments.select(
         "i",
@@ -422,17 +439,11 @@ WITH RECURSIVE vv AS (
   FROM embeddings
 ),
 p AS (
-  SELECT a.i, b.j, emb[a.i] AS x, emb[b.j] AS y
-  FROM vv,
-       (SELECT unnest(range(1, {D + 1})) AS i) a,
-       (SELECT unnest(range(1, {D + 1})) AS j) b
-  WHERE b.j >= a.i
+  {_cov_pairs_sql("vv")}
 ),
 cov0 AS (
   SELECT i, j,
-         round(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
-               - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
-                 * (CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), 6) AS cov
+         {_COV_EXPR_SQL} AS cov
   FROM p GROUP BY i, j
 ),
 covf AS (
@@ -473,49 +484,59 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution shape for 100 TB: ONE corpus scan accumulates the exact
     DECIMAL covariance moments as scalar aggregates (emb_covariance's
-    one-pass shape); the 8x8 eigen-solve is CONTROL-PLANE (12
-    power-iteration steps over 36 doubles on the driver — no data
-    moves); the projection is a second map-only scan against 8
+    one-pass shape); the eigen-solve is CONTROL-PLANE (200 normalized
+    power-iteration steps over the 8x8 covariance on the driver — no
+    data moves); the projection is a second map-only scan against 8
     broadcast literal weights. No shuffle anywhere but the scalar
     aggregate's final merge.
 
     Cross-engine exactness: the driver iteration uses only IEEE
     +,*,/,sqrt in a fixed left-associated order, and the oracle runs
     the SAME iteration as a recursive CTE over the SAME rounded
-    covariance (proven hash-equal in emb_covariance) — correctly
-    rounded IEEE ops are bit-identical on both engines, so the
-    projections value-hash exactly. The component's sign is fixed
-    deterministically (first unnormalized coordinate non-negative)."""
+    covariance (the literal shared _cov_pairs_sql/_COV_EXPR_SQL text,
+    proven hash-equal in emb_covariance) — correctly rounded IEEE ops
+    are bit-identical on both engines, so the projections value-hash
+    exactly. The component's sign is fixed deterministically (first
+    unnormalized coordinate non-negative). Degenerate inputs (empty
+    corpus, all-NULL embeddings, a zero-variance-everywhere matrix)
+    short-circuit to the e1 weight vector instead of crashing —
+    output rows are empty or all-NULL there, so the weights never
+    reach a hash anyway."""
     import math
 
     D = _COV_D
     rows = emb_covariance(spark, sf_dir).collect()
     C = [[0.0] * D for _ in range(D)]
     for r in rows:
-        C[r.i - 1][r.j - 1] = float(r.cov)
-        C[r.j - 1][r.i - 1] = float(r.cov)
-    v = [1.0] + [0.0] * (D - 1)
-    for _ in range(_PCA_ITERS):
-        w = []
-        for i in range(D):
-            acc = C[i][0] * v[0]
-            for j in range(1, D):
-                acc = acc + C[i][j] * v[j]
-            w.append(acc)
-        # Per-step renormalization, mirroring the oracle's
-        # (w_1*w_1 + ... + w_D*w_D) fold order exactly.
-        sn = (w[0]) * (w[0])
-        for k in range(1, D):
-            sn = sn + (w[k]) * (w[k])
-        sn = math.sqrt(sn)
-        v = [x / sn for x in w]
-    s = -1.0 if v[0] < 0 else 1.0
-    f = [x * s for x in v]
-    nrm = f[0] * f[0]
-    for j in range(1, D):
-        nrm = nrm + f[j] * f[j]
-    nrm = math.sqrt(nrm)
-    u = [x / nrm for x in f]
+        c = float(r.cov) if r.cov is not None else 0.0
+        C[r.i - 1][r.j - 1] = c
+        C[r.j - 1][r.i - 1] = c
+    u = [1.0] + [0.0] * (D - 1)
+    if any(x != 0.0 for row in C for x in row):
+        v = list(u)
+        for _ in range(_PCA_ITERS):
+            w = []
+            for i in range(D):
+                acc = C[i][0] * v[0]
+                for j in range(1, D):
+                    acc = acc + C[i][j] * v[j]
+                w.append(acc)
+            # Per-step renormalization, mirroring the oracle's
+            # (w_1*w_1 + ... + w_D*w_D) fold order exactly.
+            sn = (w[0]) * (w[0])
+            for k in range(1, D):
+                sn = sn + (w[k]) * (w[k])
+            if sn == 0.0:
+                break  # v fell into C's null space; keep the last v
+            sn = math.sqrt(sn)
+            v = [x / sn for x in w]
+        s = -1.0 if v[0] < 0 else 1.0
+        f = [x * s for x in v]
+        nrm = f[0] * f[0]
+        for j in range(1, D):
+            nrm = nrm + f[j] * f[j]
+        nrm = math.sqrt(nrm)
+        u = [x / nrm for x in f]
 
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform(F.slice("embedding", 1, D), lambda x: x.cast("double"))

@@ -259,7 +259,7 @@ def test_pca_projection_is_dominant_eigenvector(spark):
 
     from ripcurrent_spark.queries.ann import _COV_D, emb_covariance, emb_pca_project
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF001
     rows = emb_covariance(spark, sf).collect()
     C = np.zeros((_COV_D, _COV_D))
     for r in rows:

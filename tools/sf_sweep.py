@@ -60,6 +60,12 @@ def main() -> int:
     t_all = time.perf_counter()
     for i, name in enumerate(names):
         q = qs[name]
+        # Intra-query persist() must not carry over (same hygiene as
+        # bench.py): a query's cached frames resident across the rest
+        # of the sweep both flatter later siblings that re-derive the
+        # same frames and evict/spill their own caches — each slot
+        # measures the query COLD, from its own scans.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         # Enforce the per-query budget: a timer cancels the query's
         # job group so one scale cliff can't eat the whole sweep.
