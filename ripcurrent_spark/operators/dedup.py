@@ -46,10 +46,16 @@ def ngrams_of_tokens(tokens_ref: Column, n: int = 3, distinct: bool = True) -> C
 
     Built by zipping n shifted copies of the token array and
     concatenating per element. The tempting alternative —
-    ``transform(sequence(...), i -> slice(tokens, i, n))`` — re-
-    evaluates the whole tokens expression (regexp + split) for EVERY
-    element inside the lambda (no common-subexpression elimination
-    across the HOF boundary), turning shingling O(tokens^2) per row.
+    ``transform(sequence(...), i -> element_at(tokens, i+k))`` —
+    benches ~35% faster in isolation BUT references the token column
+    INSIDE the lambda: whenever an optimizer rule inlines the producer
+    expression into the consumer (filter pushdown through the
+    projection did it in practice), the regexp+split re-runs PER
+    ELEMENT-ACCESS — measured 5.5 s -> 115 s on the same sf1 frame
+    the moment a downstream filter touched the gram column. The
+    shifted-copies form only references the token column OUTSIDE the
+    lambda, so worst-case inlining re-runs the regex n+1 times per
+    row (linear), never per gram. Measured-and-rejected r5.
 
     `tokens_ref` should be a materialized column (project `tokens()`
     in a separate select first): it is referenced n+1 times here, and
