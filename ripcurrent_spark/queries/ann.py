@@ -403,15 +403,17 @@ _PCA_ITERS = 200  # fixed power-iteration count (deterministic, both engines;
 # ~1.06 — so convergence needs (1/1.06)^n small: n=200 -> ~2e-5)
 
 
-def _pca_oracle() -> str:
-    """Generated SQL twin of emb_pca_project: the SAME covariance CTE
-    as emb_covariance, mirrored to a full matrix, then the SAME
-    normalized power iteration as a recursive CTE over one 64-column
-    row — every +/*//, the per-step renormalization, the sign flip,
-    sqrt and the final projection in the identical left-associated
-    IEEE order as the Spark side's python fold, so the projection
-    value-hashes exactly. (Each step renormalizes — without it, 200
-    matvecs by a covariance with eigenvalues ~0.02 underflow to 0.)"""
+def _pca_cte_sql() -> str:
+    """Shared SQL prefix of the emb_pca_project / emb_remove_dominant
+    oracles: the SAME covariance CTE as emb_covariance, mirrored to a
+    full matrix, then the SAME normalized power iteration as a
+    recursive CTE over one 64-column row — every +/*//, the per-step
+    renormalization, the sign flip and sqrt in the identical
+    left-associated IEEE order as the Spark side's python fold
+    (_pca_component), ending in the one-row `uv` (u1..uD unit weight
+    columns) and the row-wise `vv` (vec_id, emb). (Each step
+    renormalizes — without it, 200 matvecs by a covariance with
+    eigenvalues ~0.02 underflow to 0.)"""
     D = _COV_D
     mm_cols = ",\n       ".join(
         f"max(CASE WHEN i = {i} AND j = {j} THEN cov END) AS c{i}_{j}"
@@ -432,7 +434,6 @@ def _pca_oracle() -> str:
     flip_v = ", ".join(f"v{i} * s AS f{i}" for i in range(1, D + 1))
     norm_expr = " + ".join(f"f{i} * f{i}" for i in range(1, D + 1))
     unit_v = ", ".join(f"f{i} / nrm AS u{i}" for i in range(1, D + 1))
-    proj_expr = " + ".join(f"emb[{i}] * u{i}" for i in range(1, D + 1))
     return f"""
 WITH RECURSIVE vv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -470,8 +471,31 @@ flip AS (
 fl AS (SELECT {flip_v} FROM flip),
 un AS (SELECT *, sqrt({norm_expr}) AS nrm FROM fl),
 uv AS (SELECT {unit_v} FROM un)
-SELECT vec_id, round({proj_expr}, 6) AS pca1
+"""
+
+
+def _pca_proj_sql() -> str:
+    return " + ".join(f"emb[{i}] * u{i}" for i in range(1, _COV_D + 1))
+
+
+def _pca_oracle() -> str:
+    return f"""{_pca_cte_sql()}
+SELECT vec_id, round({_pca_proj_sql()}, 6) AS pca1
 FROM vv, uv
+"""
+
+
+def _abtt_oracle() -> str:
+    D = _COV_D
+    res = ", ".join(f"round(emb[{i}] - proj * u{i}, 6) AS r{i}" for i in range(1, D + 1))
+    return f"""{_pca_cte_sql()},
+pr AS (
+  SELECT vec_id, emb, {", ".join(f"u{i}" for i in range(1, D + 1))},
+         ({_pca_proj_sql()}) AS proj
+  FROM vv, uv
+)
+SELECT vec_id, {res}
+FROM pr
 """
 
 
@@ -502,6 +526,17 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-circuit to the e1 weight vector instead of crashing —
     output rows are empty or all-NULL there, so the weights never
     reach a hash anyway."""
+    D = _COV_D
+    u = _pca_component(spark, sf_dir)
+    base = _emb_base(spark, sf_dir)
+    return base.select("vec_id", F.round(_proj_col(u), 6).alias("pca1"))
+
+
+def _pca_component(spark: SparkSession, sf_dir: str) -> list:
+    """The top-component unit weights (driver-side twin of the
+    oracles' `uv` CTE): 200 normalized power-iteration steps over the
+    collected 8x8 covariance, every op IEEE-ordered exactly like the
+    generated SQL (see emb_pca_project's docstring)."""
     import math
 
     D = _COV_D
@@ -537,11 +572,47 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = nrm + f[j] * f[j]
         nrm = math.sqrt(nrm)
         u = [x / nrm for x in f]
+    return u
 
-    e = load(spark, sf_dir, "embeddings")
-    emb = F.transform(F.slice("embedding", 1, D), lambda x: x.cast("double"))
-    base = e.select("vec_id", emb.alias("emb"))
+
+def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.transform(F.slice("embedding", 1, _COV_D), lambda x: x.cast("double"))
+    return load(spark, sf_dir, "embeddings").select("vec_id", emb.alias("emb"))
+
+
+def _proj_col(u: list):
     proj = F.col("emb")[0] * F.lit(u[0])
-    for j in range(1, D):
+    for j in range(1, _COV_D):
         proj = proj + F.col("emb")[j] * F.lit(u[j])
-    return base.select("vec_id", F.round(proj, 6).alias("pca1"))
+    return proj
+
+
+@register("emb_remove_dominant", oracle=_abtt_oracle())
+def emb_remove_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction removal (the ABTT / all-but-the-top
+    postprocessing step): residual_k = emb_k - (emb . u) * u_k against
+    the top principal component u from emb_pca_project's machinery —
+    the standard de-biasing transform before similarity search over
+    anisotropic embedding corpora.
+
+    Same 100 TB shape as emb_pca_project: covariance one-pass scalar
+    aggregate + control-plane eigen-solve + one map-only residual
+    scan (the dot product is STAGED as its own projection so the 8
+    residual columns reference one computed value, not 8 re-inlined
+    dot expressions). Exactness mirrors emb_pca_project: the oracle
+    derives u in the same recursive CTE and computes
+    round(emb[k] - proj * u_k, 6) with the identical IEEE ops."""
+    D = _COV_D
+    u = _pca_component(spark, sf_dir)
+    staged = _emb_base(spark, sf_dir).select(
+        "vec_id", "emb", _proj_col(u).alias("proj")
+    )
+    return staged.select(
+        "vec_id",
+        *[
+            F.round(F.col("emb")[k - 1] - F.col("proj") * F.lit(u[k - 1]), 6).alias(
+                f"r{k}"
+            )
+            for k in range(1, D + 1)
+        ],
+    )

@@ -286,3 +286,20 @@ def test_pca_projection_is_dominant_eigenvector(spark):
     mask = ~np.isnan(got)
     corr = abs(np.corrcoef(ref[mask], got[mask])[0, 1])
     assert corr > 0.999, corr
+
+
+def test_abtt_residuals_orthogonal_to_component(spark):
+    """emb_remove_dominant's residuals must be (near-)orthogonal to
+    the dominant component: residual . u = emb.u - (emb.u)(u.u) = 0 up
+    to the round-6 output quantization."""
+    import numpy as np
+
+    from ripcurrent_spark.queries.ann import _COV_D, _pca_component, emb_remove_dominant
+
+    sf = SF001
+    u = np.array(_pca_component(spark, sf))
+    assert abs(np.linalg.norm(u) - 1.0) < 1e-12
+    rows = emb_remove_dominant(spark, sf).limit(300).collect()
+    R = np.array([[getattr(r, f"r{k}") for k in range(1, _COV_D + 1)] for r in rows])
+    dots = R @ u
+    assert np.abs(dots).max() < 5e-6, np.abs(dots).max()  # round-6 quantization
