@@ -616,3 +616,51 @@ def emb_remove_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, D + 1)
         ],
     )
+
+
+@register(
+    "emb_correlation",
+    oracle=f"""
+WITH v AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+),
+p AS (
+  {_cov_pairs_sql("v")}
+),
+c AS (
+  SELECT i, j, {_COV_EXPR_SQL} AS cov
+  FROM p GROUP BY i, j
+),
+d AS (SELECT i AS di, sqrt(cov) AS sd FROM c WHERE i = j)
+SELECT c.i, c.j, round(c.cov / (a.sd * b.sd), 6) AS corr
+FROM c JOIN d a ON c.i = a.di JOIN d b ON c.j = b.di
+""",
+)
+def emb_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle of the leading 8
+    dims) — the normalized covariance a feature-redundancy audit reads
+    before dimension pruning. Derived entirely from emb_covariance's
+    one-pass scalar-aggregate moments: the 36-row covariance frame is
+    tiny, so the per-dim sd join is two broadcasts of an 8-row frame —
+    no extra corpus scan beyond the shared covariance aggregate.
+    Exactness: corr = round(cov_r / (sqrt(var_i) * sqrt(var_j)), 6)
+    over the ROUNDED covariance both engines already hash-agree on;
+    sqrt//*// are correctly rounded IEEE, mirrored in the oracle. A
+    zero-variance dim would divide by zero (engine-dependent inf/NULL)
+    — same degeneracy class emb_pca_project documents; real corpora
+    have positive variance in every dim."""
+    cov = emb_covariance(spark, sf_dir)
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di"), F.sqrt(F.col("cov")).alias("sd")
+    )
+    a = diag.select(F.col("di").alias("ai"), F.col("sd").alias("sd_a"))
+    b = diag.select(F.col("di").alias("bj"), F.col("sd").alias("sd_b"))
+    return (
+        cov.join(F.broadcast(a), cov.i == F.col("ai"))
+        .join(F.broadcast(b), cov.j == F.col("bj"))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("cov") / (F.col("sd_a") * F.col("sd_b")), 6).alias("corr"),
+        )
+    )
