@@ -649,7 +649,10 @@ def emb_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-variance dim would divide by zero (engine-dependent inf/NULL)
     — same degeneracy class emb_pca_project documents; real corpora
     have positive variance in every dim."""
-    cov = emb_covariance(spark, sf_dir)
+    # Persisted: the 36-row frame is referenced three times (output +
+    # both sd sides), and each unpersisted reference would re-run the
+    # full covariance corpus scan.
+    cov = emb_covariance(spark, sf_dir).persist()
     diag = cov.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("di"), F.sqrt(F.col("cov")).alias("sd")
     )
