@@ -398,33 +398,27 @@ def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCA_ITERS = 200  # fixed power-iteration count (deterministic, both engines;
-# the synthetic corpus is near-isotropic — top-two eigenvalue ratio
-# ~1.06 — so convergence needs (1/1.06)^n small: n=200 -> ~2e-5)
+_PCA_ITERS = 800  # fixed power-iteration count (deterministic, both engines;
+# the synthetic corpus is near-isotropic — adjacent eigenvalue ratios
+# run as low as ~1.02 at the SECOND gap, so convergence needs
+# (1/1.02)^n small: n=800 -> ~1e-7; the first gap (~1.06) converges
+# far earlier. Extra steps cost only driver flops / CTE rows.)
 
 
-def _pca_cte_sql() -> str:
-    """Shared SQL prefix of the emb_pca_project / emb_remove_dominant
-    oracles: the SAME covariance CTE as emb_covariance, mirrored to a
-    full matrix, then the SAME normalized power iteration as a
-    recursive CTE over one 64-column row — every +/*//, the per-step
-    renormalization, the sign flip and sqrt in the identical
-    left-associated IEEE order as the Spark side's python fold
-    (_pca_component), ending in the one-row `uv` (u1..uD unit weight
-    columns) and the row-wise `vv` (vec_id, emb). (Each step
-    renormalizes — without it, 200 matvecs by a covariance with
-    eigenvalues ~0.02 underflow to 0.)"""
+def _iter_block_sql(mat: str, tag: str, uprefix: str) -> str:
+    """One normalized power iteration as SQL CTEs: it{tag} (recursive)
+    -> fin/flip/fl/un{tag} -> uv{tag} holding the unit weights
+    {uprefix}1..{uprefix}D. `mat` is a one-row CTE with c{i}_{j}
+    columns. Every +/*//, the per-step renormalization, the sign flip
+    and sqrt are in the identical left-associated IEEE order as the
+    python fold (_pca_iterate). (Each step renormalizes — without it,
+    800 matvecs by a covariance with eigenvalues ~0.02 underflow.)"""
     D = _COV_D
-    mm_cols = ",\n       ".join(
-        f"max(CASE WHEN i = {i} AND j = {j} THEN cov END) AS c{i}_{j}"
-        for i in range(1, D + 1)
-        for j in range(1, D + 1)
-    )
     base_v = ", ".join(
         f"CAST({1.0 if i == 1 else 0.0} AS DOUBLE) AS v{i}" for i in range(1, D + 1)
     )
     w_expr = {
-        i: " + ".join(f"mm.c{i}_{j} * v{j}" for j in range(1, D + 1))
+        i: " + ".join(f"{mat}.c{i}_{j} * v{j}" for j in range(1, D + 1))
         for i in range(1, D + 1)
     }
     step_norm = " + ".join(f"({w_expr[k]}) * ({w_expr[k]})" for k in range(1, D + 1))
@@ -433,7 +427,36 @@ def _pca_cte_sql() -> str:
     )
     flip_v = ", ".join(f"v{i} * s AS f{i}" for i in range(1, D + 1))
     norm_expr = " + ".join(f"f{i} * f{i}" for i in range(1, D + 1))
-    unit_v = ", ".join(f"f{i} / nrm AS u{i}" for i in range(1, D + 1))
+    unit_v = ", ".join(f"f{i} / nrm AS {uprefix}{i}" for i in range(1, D + 1))
+    return f"""it{tag} AS (
+  SELECT 0 AS k, {base_v}
+  UNION ALL
+  SELECT k + 1,
+         {step_v}
+  FROM it{tag}, {mat} WHERE k < {_PCA_ITERS}
+),
+fin{tag} AS (SELECT * FROM it{tag} WHERE k = {_PCA_ITERS}),
+flip{tag} AS (
+  SELECT CASE WHEN v1 < 0 THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s, *
+  FROM fin{tag}
+),
+fl{tag} AS (SELECT {flip_v} FROM flip{tag}),
+un{tag} AS (SELECT *, sqrt({norm_expr}) AS nrm FROM fl{tag}),
+uv{tag} AS MATERIALIZED (SELECT {unit_v} FROM un{tag})"""
+
+
+def _pca_cte_sql() -> str:
+    """Shared SQL prefix of the PCA-family oracles: the SAME
+    covariance CTE as emb_covariance, mirrored to a full matrix (`mm`,
+    one row of c{i}_{j} columns), then the top-component power
+    iteration ending in the one-row `uv` (u1..uD unit weights) and the
+    row-wise `vv` (vec_id, emb)."""
+    D = _COV_D
+    mm_cols = ",\n       ".join(
+        f"max(CASE WHEN i = {i} AND j = {j} THEN cov END) AS c{i}_{j}"
+        for i in range(1, D + 1)
+        for j in range(1, D + 1)
+    )
     return f"""
 WITH RECURSIVE vv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -452,25 +475,11 @@ covf AS (
   UNION ALL
   SELECT j AS i, i AS j, cov FROM cov0 WHERE i <> j
 ),
-mm AS (
+mm AS MATERIALIZED (
   SELECT {mm_cols}
   FROM covf
 ),
-it AS (
-  SELECT 0 AS k, {base_v}
-  UNION ALL
-  SELECT k + 1,
-         {step_v}
-  FROM it, mm WHERE k < {_PCA_ITERS}
-),
-fin AS (SELECT * FROM it WHERE k = {_PCA_ITERS}),
-flip AS (
-  SELECT CASE WHEN v1 < 0 THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s, *
-  FROM fin
-),
-fl AS (SELECT {flip_v} FROM flip),
-un AS (SELECT *, sqrt({norm_expr}) AS nrm FROM fl),
-uv AS (SELECT {unit_v} FROM un)
+{_iter_block_sql("mm", "", "u")}
 """
 
 
@@ -497,6 +506,79 @@ pr AS (
 SELECT vec_id, {res}
 FROM pr
 """
+
+
+def _pca2_oracle() -> str:
+    """emb_pca_top2's SQL twin: the shared top-component pipeline,
+    then Hotelling DEFLATION mirrored op for op — lambda1 as the
+    Rayleigh quotient u.(C u) (two left-associated folds), C2 = C -
+    lambda1 * u uT elementwise in the same multiply order — and a
+    second, independently recursive power iteration over the deflated
+    one-row matrix producing unit weights q1..qD."""
+    D = _COV_D
+    w_cols = ",\n         ".join(
+        " + ".join(f"mm.c{i}_{j} * uv.u{j}" for j in range(1, D + 1)) + f" AS w{i}"
+        for i in range(1, D + 1)
+    )
+    lam_expr = " + ".join(f"uv.u{i} * lamw.w{i}" for i in range(1, D + 1))
+    mm2_cols = ",\n         ".join(
+        f"mm.c{i}_{j} - lam.lam * uv.u{i} * uv.u{j} AS c{i}_{j}"
+        for i in range(1, D + 1)
+        for j in range(1, D + 1)
+    )
+    proj2 = " + ".join(f"emb[{i}] * q{i}" for i in range(1, D + 1))
+    return f"""{_pca_cte_sql()},
+lamw AS (
+  SELECT {w_cols}
+  FROM mm, uv
+),
+lam AS MATERIALIZED (SELECT {lam_expr} AS lam FROM uv, lamw),
+mm2 AS MATERIALIZED (
+  SELECT {mm2_cols}
+  FROM mm, lam, uv
+),
+{_iter_block_sql("mm2", "2", "q")}
+SELECT vec_id, round({_pca_proj_sql()}, 6) AS pca1, round({proj2}, 6) AS pca2
+FROM vv, uv, uv2
+"""
+
+
+def _pca_top2(spark: SparkSession, sf_dir: str) -> tuple:
+    """Top two unit components by Hotelling deflation, every op
+    IEEE-ordered exactly like _pca2_oracle's generated SQL."""
+    D = _COV_D
+    C = _collect_cov(spark, sf_dir)
+    u1 = _pca_iterate(C)
+    w = _matvec(C, u1)
+    lam = u1[0] * w[0]
+    for k in range(1, D):
+        lam = lam + u1[k] * w[k]
+    C2 = [[C[i][j] - lam * u1[i] * u1[j] for j in range(D)] for i in range(D)]
+    return u1, _pca_iterate(C2)
+
+
+@register("emb_pca_top2", oracle=_pca2_oracle())
+def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component PCA projection (vec_id, pca1, pca2) — the 2-D
+    semantic map behind embedding-space visualization and stratified
+    2-D sampling grids. Component 2 comes from Hotelling deflation:
+    lambda1 = u.(C u) (Rayleigh), C2 = C - lambda1 * u uT, then the
+    same normalized power iteration on C2 — all CONTROL-PLANE on the
+    collected 8x8 covariance, with the projections one map-only scan
+    against 16 broadcast literal weights.
+
+    Exactness mirrors emb_pca_project: the oracle replays the
+    identical left-associated IEEE deflation + second iteration in
+    SQL, so both projections value-hash exactly; orthogonality of the
+    two components (u.q ~ 0) is asserted in pytest rather than by the
+    oracle (it is a property of the math, not of parity)."""
+    u1, u2 = _pca_top2(spark, sf_dir)
+    base = _emb_base(spark, sf_dir)
+    return base.select(
+        "vec_id",
+        F.round(_proj_col(u1), 6).alias("pca1"),
+        F.round(_proj_col(u2), 6).alias("pca2"),
+    )
 
 
 @register("emb_pca_project", oracle=_pca_oracle())
@@ -532,13 +614,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("vec_id", F.round(_proj_col(u), 6).alias("pca1"))
 
 
-def _pca_component(spark: SparkSession, sf_dir: str) -> list:
-    """The top-component unit weights (driver-side twin of the
-    oracles' `uv` CTE): 200 normalized power-iteration steps over the
-    collected 8x8 covariance, every op IEEE-ordered exactly like the
-    generated SQL (see emb_pca_project's docstring)."""
-    import math
-
+def _collect_cov(spark: SparkSession, sf_dir: str) -> list:
+    """The full symmetric 8x8 covariance as driver-side doubles."""
     D = _COV_D
     rows = emb_covariance(spark, sf_dir).collect()
     C = [[0.0] * D for _ in range(D)]
@@ -546,16 +623,33 @@ def _pca_component(spark: SparkSession, sf_dir: str) -> list:
         c = float(r.cov) if r.cov is not None else 0.0
         C[r.i - 1][r.j - 1] = c
         C[r.j - 1][r.i - 1] = c
+    return C
+
+
+def _matvec(C: list, v: list) -> list:
+    """Left-associated matvec — the oracles' c{i}1*v1 + ... fold."""
+    D = len(v)
+    w = []
+    for i in range(D):
+        acc = C[i][0] * v[0]
+        for j in range(1, D):
+            acc = acc + C[i][j] * v[j]
+        w.append(acc)
+    return w
+
+
+def _pca_iterate(C: list) -> list:
+    """Dominant unit eigenvector of C by the normalized power
+    iteration, every op IEEE-ordered exactly like the generated SQL
+    (see emb_pca_project's docstring); e1 on a zero matrix."""
+    import math
+
+    D = len(C)
     u = [1.0] + [0.0] * (D - 1)
     if any(x != 0.0 for row in C for x in row):
         v = list(u)
         for _ in range(_PCA_ITERS):
-            w = []
-            for i in range(D):
-                acc = C[i][0] * v[0]
-                for j in range(1, D):
-                    acc = acc + C[i][j] * v[j]
-                w.append(acc)
+            w = _matvec(C, v)
             # Per-step renormalization, mirroring the oracle's
             # (w_1*w_1 + ... + w_D*w_D) fold order exactly.
             sn = (w[0]) * (w[0])
@@ -573,6 +667,12 @@ def _pca_component(spark: SparkSession, sf_dir: str) -> list:
         nrm = math.sqrt(nrm)
         u = [x / nrm for x in f]
     return u
+
+
+def _pca_component(spark: SparkSession, sf_dir: str) -> list:
+    """The top-component unit weights (driver-side twin of the
+    oracles' `uv` CTE)."""
+    return _pca_iterate(_collect_cov(spark, sf_dir))
 
 
 def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -303,3 +303,23 @@ def test_abtt_residuals_orthogonal_to_component(spark):
     R = np.array([[getattr(r, f"r{k}") for k in range(1, _COV_D + 1)] for r in rows])
     dots = R @ u
     assert np.abs(dots).max() < 5e-6, np.abs(dots).max()  # round-6 quantization
+
+
+def test_pca_top2_components_match_eigh(spark):
+    """emb_pca_top2's two weight vectors must align with numpy's top
+    two eigenvectors of the same covariance and be mutually
+    orthogonal — deflation + 800 normalized power steps actually
+    converge on both near-degenerate gaps of this corpus."""
+    import numpy as np
+
+    from ripcurrent_spark.queries.ann import _collect_cov, _pca_top2
+
+    sf = SF001
+    u1, u2 = _pca_top2(spark, sf)
+    u1, u2 = np.array(u1), np.array(u2)
+    assert abs(u1 @ u2) < 1e-6
+    C = np.array(_collect_cov(spark, sf))
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1]
+    assert abs(abs(u1 @ evecs[:, order[0]]) - 1.0) < 1e-4
+    assert abs(abs(u2 @ evecs[:, order[1]]) - 1.0) < 1e-4
