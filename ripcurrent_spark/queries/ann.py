@@ -422,8 +422,16 @@ def _iter_block_sql(mat: str, tag: str, uprefix: str) -> str:
         for i in range(1, D + 1)
     }
     step_norm = " + ".join(f"({w_expr[k]}) * ({w_expr[k]})" for k in range(1, D + 1))
+    # norm = 0 keeps v unchanged — the SQL twin of the python fold's
+    # `if sn == 0.0: break` (once the matvec lands in the null space it
+    # stays there, so per-step identity == breaking out). Without the
+    # guard, 0/sqrt(0) is NULL in DuckDB and poisons every later step —
+    # a corpus whose first profiled dim is CONSTANT (cov(1, j) = 0 for
+    # all j, so C e1 = 0 at step 1) would hash-mismatch.
     step_v = ",\n         ".join(
-        f"({w_expr[i]}) / sqrt({step_norm}) AS v{i}" for i in range(1, D + 1)
+        f"CASE WHEN ({step_norm}) = 0 THEN v{i} "
+        f"ELSE ({w_expr[i]}) / sqrt({step_norm}) END AS v{i}"
+        for i in range(1, D + 1)
     )
     flip_v = ", ".join(f"v{i} * s AS f{i}" for i in range(1, D + 1))
     norm_expr = " + ".join(f"f{i} * f{i}" for i in range(1, D + 1))
@@ -603,12 +611,12 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven hash-equal in emb_covariance) — correctly rounded IEEE ops
     are bit-identical on both engines, so the projections value-hash
     exactly. The component's sign is fixed deterministically (first
-    unnormalized coordinate non-negative). Degenerate inputs (empty
-    corpus, all-NULL embeddings, a zero-variance-everywhere matrix)
-    short-circuit to the e1 weight vector instead of crashing —
-    output rows are empty or all-NULL there, so the weights never
-    reach a hash anyway."""
-    D = _COV_D
+    unnormalized coordinate non-negative). Degenerate inputs keep
+    parity too: a zero matrix (or a matvec landing in C's null space —
+    e.g. a CONSTANT first profiled dim, where C e1 = 0 at step 1)
+    freezes the iterate on both sides — python breaks out, the SQL
+    step's norm=0 CASE holds v — so both settle on the same weight
+    vector instead of the oracle NULL-poisoning on 0/sqrt(0)."""
     u = _pca_component(spark, sf_dir)
     base = _emb_base(spark, sf_dir)
     return base.select("vec_id", F.round(_proj_col(u), 6).alias("pca1"))

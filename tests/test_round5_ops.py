@@ -70,6 +70,10 @@ REWRITTEN = [
     "q_hist_equidepth",  # r5: sample-based bounds
     "q_mad_outliers",  # r5: sample-based medians
     "q_quantile_sketch_groups",  # r5: new
+    "emb_pca_project",  # r5: new (and _PCA_ITERS changed its values)
+    "emb_pca_top2",  # r5: new — deflation + second recursion
+    "emb_remove_dominant",  # r5: new
+    "emb_correlation",  # r5: new
 ]
 
 
@@ -323,3 +327,35 @@ def test_pca_top2_components_match_eigh(spark):
     order = np.argsort(evals)[::-1]
     assert abs(abs(u1 @ evecs[:, order[0]]) - 1.0) < 1e-4
     assert abs(abs(u2 @ evecs[:, order[1]]) - 1.0) < 1e-4
+
+
+def test_pca_family_parity_on_constant_dim_corpus(spark, tmp_path):
+    """A corpus whose first profiled dim is CONSTANT sends C*e1 to the
+    null space at step 1: the python fold breaks out, and the oracle's
+    norm=0 CASE must freeze v the same way (0/sqrt(0) would NULL-poison
+    every later SQL step) — full value parity on the degenerate
+    corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    emb = rng.uniform(-1, 1, (50, 64))
+    emb[:, 0] = 0.5
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in emb], pa.list_(pa.float64())
+            ),
+            "label": pa.array([1] * 50, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    qs = all_queries()
+    for name in ("emb_pca_project", "emb_pca_top2", "emb_remove_dominant"):
+        assert_parity(qs[name].spark(spark, str(tmp_path)), con.sql(qs[name].oracle), name)
