@@ -398,6 +398,62 @@ def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_cluster_doc_profile",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         emb AS cemb
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_KM_K})
+),{_km_iter_sql('v', 'c0', '1')},
+c1 AS (SELECT cluster, list(c_val ORDER BY dim) AS cemb FROM m1 GROUP BY cluster)
+,{_km_iter_sql('v', 'c1', '2')}
+SELECT a2.cluster, d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       round(CAST(SUM(CAST(d.n_chars AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_chars
+FROM a2 JOIN documents d ON a2.vec_id = d.doc_id
+GROUP BY a2.cluster, d.lang
+""",
+)
+def ann_cluster_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table corpus profile: k-means semantic cells (trained on
+    `embeddings`, vec_id == doc_id) joined back to `documents` and
+    profiled per (cluster, lang) — doc count, total and average
+    length. The curation report you run before fixing a training-data
+    domain mix: it shows which semantic cells a language dominates and
+    where the short-doc mass sits. Scale: assignment is a
+    broadcast-centroid map-only pass; the id equi-join shuffles both
+    sides on the key (co-partition / bucket by doc_id at 100 TB); the
+    profile is one partial-agg groupBy on (cluster, lang) — k x langs
+    output rows. Exactness: length moments accumulate in
+    DECIMAL(38,0) (order-independent) before one double division."""
+    from ripcurrent_spark.operators.clustering import kmeans_assignments
+
+    # Persist the cast vectors: the Lloyd build reads them four times
+    # (seed top-k, two assignment passes, the final assignment).
+    v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
+    a = kmeans_assignments(v, k=_KM_K, iters=2).select("vec_id", "cluster")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        a.join(d, a.vec_id == d.doc_id)
+        .groupBy("cluster", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
 _PCA_ITERS = 800  # fixed power-iteration count (deterministic, both engines;
 # the synthetic corpus is near-isotropic — adjacent eigenvalue ratios
 # run as low as ~1.02 at the SECOND gap, so convergence needs
