@@ -178,6 +178,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {SIM.unit_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS emb
+  FROM embeddings
+),
+qv AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+ex_scored AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qv.emb)+1), i -> qv.emb[i] * c.emb[i])) AS cos_raw
+  FROM qv JOIN v c ON qv.vec_id <> c.vec_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM ex_scored) WHERE rank <= 5
+),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 25 = 0),
+assign AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT v.vec_id, v.emb, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.emb)+1), i -> v.emb[i] * cent.cemb[i])) DESC,
+                      cent.cid) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+qa AS (SELECT * FROM assign WHERE vec_id % 100 = 0),
+ivf_scored AS (
+  SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qa.emb)+1), i -> qa.emb[i] * c.emb[i])) AS cos_raw
+  FROM qa JOIN assign c ON qa.cid = c.cid AND qa.vec_id <> c.vec_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM ivf_scored) WHERE rank <= 5
+)
+SELECT ex.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS recall_at_5
+FROM ex LEFT JOIN ivf
+  ON ex.query_id = ivf.query_id AND ex.neighbor_id = ivf.neighbor_id
+GROUP BY ex.query_id
+""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: per-query recall@5 of the IVF path
+    against the exact brute-force top-5 — the quality gate you run
+    before trusting an approximate index at scale (pairs with
+    ann_cluster_purity, which gates the quantizer itself). Reuses
+    both registered pipelines unchanged; the overlap is one
+    (query_id, neighbor_id) equi-join of two k-row-per-query frames
+    (tiny next to the searches), so the cost is the two searches —
+    each already corpus-linear. Zero-hit queries keep their row
+    (LEFT join, count of matched neighbors)."""
+    exact = ann_cosine_topk(spark, sf_dir).filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    joined = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
 _KM_K = 8
 _KM_D2 = (
     "round(list_sum(list_transform(range(1, len({v})+1), "

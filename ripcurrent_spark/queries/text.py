@@ -8,7 +8,13 @@ from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators import text as TX
-from ripcurrent_spark.operators.dedup import norm_text, norm_text_sql, tokens, tokens_sql
+from ripcurrent_spark.operators.dedup import (
+    ngrams_sql,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
 from ripcurrent_spark.queries import register
 
 _TOKS = tokens_sql("text")
@@ -119,6 +125,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm_text("text")).alias("content_md5"),
         TX.bag_fingerprint("text").alias("bag_fp"),
+    )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+WITH p AS (
+  SELECT unnest({ngrams_sql("text", 2, False)}) AS pair FROM documents
+),
+c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+SELECT string_split(pair, ' ')[1] AS left_tok,
+       string_split(pair, ' ')[2] AS right_tok,
+       n, rank
+FROM (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM c)
+WHERE rank <= 50
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge scan: count every ADJACENT token pair
+    (multiplicity, not distinct) across the corpus and rank the top
+    50 merge candidates — the statistics pass a byte-pair-encoding
+    vocabulary builder runs per merge round. Shape: one scan, a
+    linear explode (n_tokens-1 pairs per doc, shifted-copies zip —
+    see ngrams_of_tokens on why NOT element_at-in-lambda), partial-agg
+    groupBy on the pair, then a single-reducer top-k over the small
+    distinct-pair aggregate (same posture as q_top_terms)."""
+    from ripcurrent_spark.operators.dedup import ngrams_of_tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(tokens("text").alias("toks"))
+    pairs = t.select(
+        F.explode(ngrams_of_tokens(F.col("toks"), n=2, distinct=False)).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "pair"))
+    ).filter(F.col("rank") <= 50)
+    tok = F.split("pair", " ")
+    return ranked.select(
+        tok[0].alias("left_tok"), tok[1].alias("right_tok"), "n", "rank"
     )
 
 
