@@ -1060,3 +1060,94 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "q_event_debounce",
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM g
+WHERE gap_us IS NULL OR gap_us > 600000000
+""",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-burst suppression (debounce): drop any event that
+    follows another event of the same (user, event_type) by 10
+    minutes or less, keeping the first event of each burst — the
+    time-proximity dedup an event-stream curation pipeline runs
+    before counting anything. One window shuffle on the series key;
+    the gap compares in exact integer MICROSECONDS on both engines
+    (a whole-second diff would truncate fractional gaps on one side
+    of the 600 s boundary and not the other)."""
+    from ripcurrent_spark.functions.timeutil import epoch_expr
+
+    e = load(spark, sf_dir, "events")
+    ts_type = e.schema["ts"].dataType.simpleString()
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = epoch_expr(F.col("ts"), ts_type, "MICROSECOND")
+    gap = us - F.lag(us).over(w)
+    return (
+        e.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "q_activity_gaps",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour_idx FROM events
+),
+lagged AS (
+  SELECT user_id, hour_idx,
+         LAG(hour_idx) OVER (PARTITION BY user_id ORDER BY hour_idx) AS prev_idx
+  FROM h
+)
+SELECT user_id,
+       MIN(hour_idx) AS first_hour,
+       MAX(hour_idx) AS last_hour,
+       COUNT(*) AS n_active_hours,
+       MAX(hour_idx) - MIN(hour_idx) + 1 - COUNT(*) AS n_missing_hours,
+       coalesce(MAX(hour_idx - prev_idx - 1), 0) AS longest_gap_hours
+FROM lagged
+GROUP BY user_id
+""",
+)
+def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity profile: per user, the active-hour
+    count, total missing hours inside the activity span, and the
+    longest silent stretch. The classic calendar-densification
+    report computed WITHOUT densifying: distinct (user, hour) +
+    one lag window + integer arithmetic replace the users x span
+    generate-sequence anti-join (which at 100 TB materializes
+    users x hours rows only to throw most away). Hour buckets are
+    exact integer floor-divisions of epoch microseconds on both
+    engines."""
+    from ripcurrent_spark.functions.timeutil import epoch_expr
+
+    e = load(spark, sf_dir, "events")
+    ts_type = e.schema["ts"].dataType.simpleString()
+    us = epoch_expr(F.col("ts"), ts_type, "MICROSECOND")
+    h = e.select("user_id", us.alias("_us")).select(
+        "user_id", F.expr("_us div 3600000000").alias("hour_idx")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("hour_idx")
+    lagged = h.withColumn("prev_idx", F.lag("hour_idx").over(w))
+    return lagged.groupBy("user_id").agg(
+        F.min("hour_idx").alias("first_hour"),
+        F.max("hour_idx").alias("last_hour"),
+        F.count(F.lit(1)).alias("n_active_hours"),
+        (F.max("hour_idx") - F.min("hour_idx") + 1 - F.count(F.lit(1))).alias(
+            "n_missing_hours"
+        ),
+        F.coalesce(
+            F.max(F.col("hour_idx") - F.col("prev_idx") - 1), F.lit(0)
+        ).alias("longest_gap_hours"),
+    )
