@@ -1056,3 +1056,48 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_block, schema=out_schema)
         .select("vec_id", "cluster", "dup_of", "cosine")
     )
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5({DD.norm_text_sql('text')}) AS content_hash
+  FROM documents
+),
+old AS (
+  SELECT content_hash, MIN(doc_id) AS dup_of
+  FROM h WHERE doc_id % 10 <> 0 GROUP BY content_hash
+)
+SELECT n.doc_id, o.dup_of IS NOT NULL AS is_dup, o.dup_of
+FROM (SELECT * FROM h WHERE doc_id % 10 = 0) n
+LEFT JOIN old o ON n.content_hash = o.content_hash
+""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the corpus-growth shape: a NEW batch
+    (doc_id % 10 = 0 stands in for today's crawl) checked against the
+    EXISTING corpus's content-hash index (% 10 <> 0), flagging each
+    new doc as duplicate-of-existing (with the canonical existing id)
+    or novel. Production form of the batch twin to the streaming LSH
+    incremental dedup (streaming/dedup.py): the existing side
+    collapses to one hash-indexed row per distinct content BEFORE the
+    join, so per-batch cost is batch-linear plus one equi-join against
+    the index — at 100 TB the index is a bucketed table on
+    content_hash and the join is shuffle-free. The modulo split is
+    hash-predicate-only (no RNG, both engines identical)."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.md5(DD.norm_text("text")).alias("content_hash")
+    )
+    old = (
+        h.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    new = h.filter(F.col("doc_id") % 10 == 0)
+    return new.join(old, "content_hash", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )

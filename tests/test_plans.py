@@ -354,3 +354,39 @@ def test_semdedup_capped_sharded(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_activity_gaps_no_explode_single_window(spark):
+    # The gaps/islands report must stay lag-arithmetic: no calendar
+    # densification (Generate/explode) and no cartesian anywhere.
+    plan = _plan(spark, "q_activity_gaps")
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_event_debounce_single_window_shuffle(spark):
+    # One hash-partitioned window on the series key; no join at all.
+    plan = _plan(spark, "q_event_debounce")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bpe_pairs_partial_agg_topk(spark):
+    # Pair counting must partial-aggregate map-side (two HashAggregate
+    # levels around the pair exchange) and never ship raw pairs into a
+    # single-partition window without the count shrink first.
+    plan = _plan(spark, "text_bpe_pair_counts")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    pre, _, post = plan.partition("hashpartitioning(pair")
+    assert "HashAggregate" in pre and "HashAggregate" in post
+
+
+def test_cluster_doc_profile_broadcast_assign_equi_join(spark):
+    # Centroid assignment stays a broadcast/vectorized pass and the
+    # docs join is an equi-join on the id, never a cartesian.
+    plan = _plan(spark, "ann_cluster_doc_profile")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
