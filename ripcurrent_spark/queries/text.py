@@ -380,3 +380,120 @@ def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bigrams"), 6
         ).alias("avg_logprob"),
     )
+
+
+_DIV_VOCAB = 50  # corpus-wide top terms the distributions are built on
+
+
+@register(
+    "text_source_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+tc AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM toks WHERE length(term) >= 1 GROUP BY source, term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, term) AS rk
+    FROM tc GROUP BY term
+  ) WHERE rk <= {_DIV_VOCAB}
+),
+grid AS (
+  SELECT s.source, v.term, coalesce(tc.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM tc) s
+  CROSS JOIN vocab v
+  LEFT JOIN tc ON tc.source = s.source AND tc.term = v.term
+),
+p AS (
+  SELECT source, term,
+         CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS pr
+  FROM grid
+),
+terms AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CASE WHEN a.pr + b.pr > 0
+              THEN round((a.pr - b.pr) * (a.pr - b.pr) / (a.pr + b.pr), 9)
+              ELSE 0 END AS t9
+  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+)
+SELECT src_a, src_b, COUNT(*) AS n_terms,
+       round(CAST(SUM(CAST(t9 AS DECIMAL(20,9))) AS DOUBLE), 6) AS chi2
+FROM terms GROUP BY src_a, src_b
+""",
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection: pairwise symmetric chi-square
+    divergence between per-source term distributions over the
+    corpus-wide top-50 vocabulary — the report that flags a
+    crawl source whose language shifted before it contaminates a
+    training mix. Shape: ONE corpus-linear token count per (source,
+    term); everything after operates on source x vocab rows (here
+    20 x 50) — the dense grid, the per-source normalization window,
+    and the pair join are all control-plane-sized, so at 100 TB the
+    cost is the token scan. Exactness: counts are exact integers,
+    every per-term value uses only IEEE +,-,*,/ in identical order
+    (no libm anywhere), each term is rounded to 9 decimals and
+    summed in DECIMAL(20,9) — order-independent, so the distributed
+    sum hash-matches the oracle bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens("text")).alias("term")).filter(
+        F.length("term") >= 1
+    )
+    tc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tc.groupBy("term")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("tot"), "term")))
+        .filter(F.col("rk") <= _DIV_VOCAB)
+        .select("term")
+    )
+    sources = tc.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(tc, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wsum = W.partitionBy("source")
+    p = grid.select(
+        "source",
+        "term",
+        (F.col("c").cast("double") / F.sum("c").over(wsum).cast("double")).alias(
+            "pr"
+        ),
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "term", F.col("pr").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), "term", F.col("pr").alias("pb")
+    )
+    terms = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("pa") + F.col("pb") > 0,
+                F.round(
+                    (F.col("pa") - F.col("pb"))
+                    * (F.col("pa") - F.col("pb"))
+                    / (F.col("pa") + F.col("pb")),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("t9"),
+        )
+    )
+    return terms.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.sum(F.col("t9").cast("decimal(20,9)")).cast("double"), 6
+        ).alias("chi2"),
+    )
