@@ -924,3 +924,73 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_incremental_agg_merge",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, batch form: a PRIOR
+    aggregate state (orders with o_orderkey % 10 <> 0 stand in for
+    yesterday's materialized view) merged with a NEW batch's partial
+    aggregate (% 10 = 0) — count/sum add, max folds — and the result
+    must equal the from-scratch aggregate, which IS the oracle. The
+    production shape for keeping a 100 TB rollup fresh: per refresh
+    you scan only the new batch plus the node-sized prior state (one
+    outer join on the group key), never the full history. COUNT/SUM
+    merge exactly in DECIMAL; MAX is idempotent under the fold; the
+    streaming twin (foreachBatch HLL/agg maintenance) lives in
+    streaming/aggregates.py."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend_dec"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    prior = _partial(o.filter(F.col("o_orderkey") % 10 != 0))
+    batch = _partial(o.filter(F.col("o_orderkey") % 10 == 0))
+    p = prior.select(
+        "o_custkey",
+        F.col("n_orders").alias("n_p"),
+        F.col("spend_dec").alias("s_p"),
+        F.col("last_order").alias("l_p"),
+    )
+    b = batch.select(
+        "o_custkey",
+        F.col("n_orders").alias("n_b"),
+        F.col("spend_dec").alias("s_b"),
+        F.col("last_order").alias("l_b"),
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    merged = p.join(b, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("n_p", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce(F.col("s_p"), zero) + F.coalesce(F.col("s_b"), zero)).alias(
+            "spend_dec"
+        ),
+        F.greatest(
+            F.coalesce(F.col("l_p"), F.col("l_b")),
+            F.coalesce(F.col("l_b"), F.col("l_p")),
+        ).alias("last_order"),
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.col("spend_dec").cast("double").alias("total_spend"),
+        "last_order",
+    )
