@@ -1101,3 +1101,92 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").isNotNull().alias("is_dup"),
         "dup_of",
     )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+j AS ({_JACCARD_VERIFY_SQL}),
+e AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_filter(range(1, {_MH_K} + 1),
+                                    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+               / {_MH_K}, 6) AS est_jaccard
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+              JOIN sigs sb ON sb.doc_id = c.id_b
+)
+SELECT j.id_a, j.id_b, e.est_jaccard, j.jaccard,
+       round(abs(e.est_jaccard - j.jaccard), 6) AS abs_err
+FROM j JOIN e ON j.id_a = e.id_a AND j.id_b = e.id_b
+""",
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash index: over every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching permutations / k) against the exact shingle Jaccard,
+    with the absolute error — the error envelope that tells you
+    whether k=12 permutations suffice before trusting the index at
+    scale (the same estimate-vs-exact pattern as q_hll_distinct_users
+    and ann_ivf_recall). Candidates stay band-bounded; the audit adds
+    two signature equi-joins over the pair frame and one exact verify
+    — all candidate-linear. Estimate, exact, and error use only IEEE
+    division/subtraction of exact integers, rounded identically on
+    both engines."""
+    g = _ngram_docs(spark, sf_dir).persist()
+    sigs = DD.minhash_sig_np(g, k=_MH_K).persist()
+    bk = sigs.select(
+        "doc_id",
+        F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey"),
+    )
+    cands = DD.candidate_pairs_by_key(bk, "doc_id", "bkey")
+    # ONE join chain: a second cands->verify chain would recompute the
+    # whole band explode + distinct-pair subtree (cands is not
+    # persisted — it's candidate-sized but its parents aren't).
+    sa = sigs.join(g, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("ngs").alias("ngs_a"),
+    )
+    sb = sigs.join(g, "doc_id").select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("ngs").alias("ngs_b"),
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    inter = F.size(F.array_intersect("ngs_a", "ngs_b"))
+    union = F.size("ngs_a") + F.size("ngs_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches.cast("double") / _MH_K, 6).alias("est_jaccard"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
