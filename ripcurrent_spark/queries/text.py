@@ -497,3 +497,51 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("t9").cast("decimal(20,9)")).cast("double"), 6
         ).alias("chi2"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+pred AS (
+  SELECT lang AS labeled_lang, {TX.predict_lang_sql(_HITS_SQL)} AS predicted_lang
+  FROM t
+),
+cm AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+  FROM pred GROUP BY labeled_lang, predicted_lang
+),
+tot AS (SELECT labeled_lang, SUM(n) AS row_n FROM cm GROUP BY labeled_lang)
+SELECT cm.labeled_lang, cm.predicted_lang, cm.n,
+       round(CAST(cm.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE), 6) AS row_share
+FROM cm JOIN tot ON cm.labeled_lang = tot.labeled_lang
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the stopword language ID: the
+    labeled-vs-predicted confusion matrix with per-label row shares
+    — the quality gate you read before trusting lang filters in a
+    curation mix (evaluation family: ann_ivf_recall,
+    dedup_minhash_estimate_error). One corpus scan for prediction,
+    then two langs x langs-sized aggregations; the share division is
+    exact-integer IEEE on both engines."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("lang").alias("labeled_lang"), tokens("text").alias("toks")
+    )
+    hits = {lang: TX.stopword_hits(F.col("toks"), lang) for lang in TX.LANGS}
+    pred = t.select(
+        "labeled_lang", TX.predict_lang(hits).alias("predicted_lang")
+    )
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("labeled_lang").agg(F.sum("n").alias("row_n"))
+    return cm.join(tot, "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+        ).alias("row_share"),
+    )
