@@ -1151,3 +1151,73 @@ def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("hour_idx") - F.col("prev_idx") - 1), F.lit(0)
         ).alias("longest_gap_hours"),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, n_orders,
+         CAST(spend AS DOUBLE) AS total_spend,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+         NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS m_score
+  FROM base
+)
+SELECT o_custkey, last_order, n_orders, total_spend,
+       r_score, f_score, m_score,
+       concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS segment
+FROM scored
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary quartile scores (NTILE(4) with fully deterministic
+    tie-breaks) composed into the classic 3-digit segment code. The
+    aggregate is one partial-agg groupBy; the three NTILEs run on the
+    customer-sized frame. NTILE is a global total order — fine for
+    node-sized frames, but at billions of customers swap the quartile
+    boundaries for the mergeable bottom-k quantile sketch
+    (q_bottomk_sample_quantiles' machinery) and bucket by comparison,
+    same downstream columns. DECIMAL spend makes the ordering and the
+    emitted total exact on both engines."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("spend"),
+    )
+    r_w = W.orderBy(F.desc("last_order"), "o_custkey")
+    f_w = W.orderBy(F.desc("n_orders"), "o_custkey")
+    m_w = W.orderBy(F.desc("spend"), "o_custkey")
+    scored = base.select(
+        "o_custkey",
+        "last_order",
+        "n_orders",
+        F.col("spend").cast("double").alias("total_spend"),
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
