@@ -994,3 +994,99 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spend_dec").cast("double").alias("total_spend"),
         "last_order",
     )
+
+
+_BASKET_TOP = 100  # hottest parts admitted to pair generation
+
+
+@register(
+    "q_basket_rules",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+hot AS (
+  SELECT l_partkey AS pk, COUNT(*) AS n_orders FROM li GROUP BY l_partkey
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n_orders DESC, pk) <= {_BASKET_TOP}
+),
+hli AS (
+  SELECT li.l_orderkey, li.l_partkey FROM li JOIN hot ON li.l_partkey = hot.pk
+),
+n_orders_total AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+  FROM hli a JOIN hli b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT p.part_a, p.part_b, p.pair_n,
+       ha.n_orders AS n_a, hb.n_orders AS n_b,
+       round(CAST(p.pair_n AS DOUBLE) / t.n, 6) AS support,
+       round(CAST(p.pair_n AS DOUBLE) / ha.n_orders, 6) AS confidence,
+       round(CAST(p.pair_n AS DOUBLE) * t.n
+             / (CAST(ha.n_orders AS DOUBLE) * hb.n_orders), 6) AS lift
+FROM pairs p
+JOIN hot ha ON p.part_a = ha.pk
+JOIN hot hb ON p.part_b = hb.pk
+CROSS JOIN n_orders_total t
+""",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    for co-purchased part pairs, restricted to the 100 hottest parts
+    BEFORE pair generation — the prune-then-pair discipline: the
+    quadratic step only ever sees a broadcast-bounded item set, so at
+    100 TB the cost is the distinct (order, part) scan plus a
+    broadcast semi-prune, never an all-pairs explosion. Statistics
+    are exact integer counts; support / confidence / lift are IEEE
+    divisions in identical order, rounded on both engines."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    hot = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("n_orders"), "pk"))
+        )
+        .filter(F.col("rk") <= _BASKET_TOP)
+        .drop("rk")
+    )
+    hli = li.join(
+        F.broadcast(hot.select("pk")), li.l_partkey == F.col("pk")
+    ).select("l_orderkey", "l_partkey")
+    total = li.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    a = hli.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = hli.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    ha = hot.select(F.col("pk").alias("part_a"), F.col("n_orders").alias("n_a"))
+    hb = hot.select(F.col("pk").alias("part_b"), F.col("n_orders").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ha), "part_a")
+        .join(F.broadcast(hb), "part_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pn = F.col("pair_n").cast("double")
+    return out.select(
+        "part_a",
+        "part_b",
+        "pair_n",
+        "n_a",
+        "n_b",
+        F.round(pn / F.col("n"), 6).alias("support"),
+        F.round(pn / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            pn * F.col("n") / (F.col("n_a").cast("double") * F.col("n_b")), 6
+        ).alias("lift"),
+    )
