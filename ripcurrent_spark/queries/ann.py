@@ -911,3 +911,70 @@ def emb_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cov") / (F.col("sd_a") * F.col("sd_b")), 6).alias("corr"),
         )
     )
+
+
+@register(
+    "emb_quantize_error",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+st AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s
+  FROM v
+),
+e AS (
+  SELECT vec_id, s,
+    CASE WHEN s = 0 THEN 0.0
+         ELSE list_sum(list_transform(emb,
+                x -> (x - round(x / s) * s) * (x - round(x / s) * s)))
+              / len(emb) END AS mse,
+    CASE WHEN s = 0 THEN 0.0
+         ELSE list_max(list_transform(emb,
+                x -> abs(x - round(x / s) * s))) END AS max_abs_err
+  FROM st
+)
+SELECT vec_id, round(s, 9) AS scale, round(mse, 9) AS mse,
+       round(max_abs_err, 9) AS max_abs_err
+FROM e
+""",
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization error audit: symmetric max-abs
+    scaling (scale = max|x| / 127), per-vector reconstruction MSE and
+    worst-element error — the report you read before shipping a 4x
+    smaller int8 ANN index. Map-only single scan, zero shuffle. The
+    scale is STAGED as its own projection before the error lambdas
+    reference it (an inlined fold-max would re-run per element — the
+    ngrams_of_tokens lesson); quantize/dequantize is round-half-up
+    (identical on both engines for all signs), the error fold is the
+    same left-to-right IEEE order as the oracle's list_sum, and the
+    max is order-independent."""
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    amax = F.aggregate(
+        F.transform("emb", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    st = v.select("vec_id", "emb", (amax / F.lit(127.0)).alias("s"))
+    s = F.col("s")
+    err = lambda x: x - F.round(x / s, 0) * s  # noqa: E731
+    mse = F.aggregate(
+        F.transform("emb", lambda x: err(x) * err(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("emb")
+    mxe = F.aggregate(
+        F.transform("emb", lambda x: F.abs(err(x))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    zero = F.lit(0.0)
+    return st.select(
+        "vec_id",
+        F.round(s, 9).alias("scale"),
+        F.round(F.when(s == 0, zero).otherwise(mse), 9).alias("mse"),
+        F.round(F.when(s == 0, zero).otherwise(mxe), 9).alias("max_abs_err"),
+    )
