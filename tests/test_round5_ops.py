@@ -359,3 +359,114 @@ def test_pca_family_parity_on_constant_dim_corpus(spark, tmp_path):
     qs = all_queries()
     for name in ("emb_pca_project", "emb_pca_top2", "emb_remove_dominant"):
         assert_parity(qs[name].spark(spark, str(tmp_path)), con.sql(qs[name].oracle), name)
+
+
+# --- Late-r5 query invariants (beyond oracle parity) -----------------
+
+from tests.conftest import SF_ORACLE as _SF
+
+
+def test_debounce_is_idempotent(spark):
+    """Debouncing the debounced stream is a no-op: every surviving
+    consecutive same-(user, type) gap is > 600 s by construction."""
+    from ripcurrent_spark.functions.timeutil import epoch_expr
+    from pyspark.sql import Window as W
+
+    q = all_queries()["q_event_debounce"]
+    kept = q.spark(spark, _SF)
+    ts_type = kept.schema["ts"].dataType.simpleString()
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = epoch_expr(F.col("ts"), ts_type, "MICROSECOND")
+    gap = us - F.lag(us).over(w)
+    redropped = kept.withColumn("gap_us", gap).filter(
+        F.col("gap_us").isNotNull() & (F.col("gap_us") <= 600_000_000)
+    )
+    assert redropped.count() == 0
+
+
+def test_activity_gaps_invariants(spark):
+    """Span arithmetic must close: active + missing == span, and the
+    longest single gap can't exceed the total missing hours."""
+    rows = all_queries()["q_activity_gaps"].spark(spark, _SF).collect()
+    assert rows
+    for r in rows:
+        span = r.last_hour - r.first_hour + 1
+        assert r.n_active_hours + r.n_missing_hours == span
+        assert 0 <= r.longest_gap_hours <= r.n_missing_hours
+
+
+def test_incremental_merge_equals_recompute_on_other_split(spark):
+    """The merge operator is split-agnostic: a % 3 split must also
+    reproduce the from-scratch aggregate (the registered query proves
+    % 10 via its oracle)."""
+    from ripcurrent_spark.io import load
+
+    o = load(spark, _SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("s"),
+            F.max("o_orderdate").alias("m"),
+        )
+
+    p = partial(o.filter(F.col("o_orderkey") % 3 != 0)).select(
+        "o_custkey", F.col("n").alias("n_p"), F.col("s").alias("s_p"), F.col("m").alias("m_p")
+    )
+    b = partial(o.filter(F.col("o_orderkey") % 3 == 0)).select(
+        "o_custkey", F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("m").alias("m_b")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    merged = p.join(b, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("n_p", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+        (F.coalesce(F.col("s_p"), zero) + F.coalesce(F.col("s_b"), zero)).alias("s"),
+        F.greatest(
+            F.coalesce(F.col("m_p"), F.col("m_b")),
+            F.coalesce(F.col("m_b"), F.col("m_p")),
+        ).alias("m"),
+    )
+    full = partial(o)
+    got = {r.o_custkey: (r.n, r.s, r.m) for r in merged.collect()}
+    want = {r.o_custkey: (r.n, r.s, r.m) for r in full.collect()}
+    assert got == want
+
+
+def test_quantize_error_bounded_by_half_scale(spark):
+    """Round-to-nearest reconstruction error is <= scale/2 per
+    element, so max_abs_err <= scale/2 (and mse <= (scale/2)^2)."""
+    rows = all_queries()["emb_quantize_error"].spark(spark, _SF).collect()
+    assert rows
+    for r in rows:
+        half = r.scale / 2 + 1e-9
+        assert 0 <= r.max_abs_err <= half
+        assert 0 <= r.mse <= half * half
+
+
+def test_rfm_scores_are_balanced_quartiles(spark):
+    """Every score lands in 1..4 and NTILE(4) bucket sizes differ by
+    at most one per dimension."""
+    rows = all_queries()["q_rfm_segments"].spark(spark, _SF).collect()
+    assert rows
+    from collections import Counter
+
+    for dim in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, dim) for r in rows)
+        assert set(c) <= {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_basket_rules_ratio_consistency(spark):
+    """support <= confidence (antecedent count <= total orders), and
+    lift == confidence / (n_b / N) within float tolerance."""
+    rows = all_queries()["q_basket_rules"].spark(spark, _SF).collect()
+    for r in rows:
+        assert r.support <= r.confidence + 1e-9
+        n_total = r.pair_n / r.support if r.support else None
+        if n_total:
+            # n_total is reconstructed from ROUNDED support, so the
+            # check is relative, not absolute.
+            expect_lift = r.confidence / (r.n_b / n_total)
+            assert abs(r.lift - expect_lift) < 1e-3 * max(expect_lift, 1.0)
