@@ -514,8 +514,8 @@ def ann_cluster_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (order-independent) before one double division."""
     from ripcurrent_spark.operators.clustering import kmeans_assignments
 
-    # Persist the cast vectors: the Lloyd build reads them four times
-    # (seed top-k, two assignment passes, the final assignment).
+    # Persist the cast vectors: the Lloyd build reads them three times
+    # (seed top-k, the rebuild's assignment pass, the final assignment).
     v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
     a = kmeans_assignments(v, k=_KM_K, iters=2).select("vec_id", "cluster")
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")

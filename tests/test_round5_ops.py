@@ -462,6 +462,7 @@ def test_basket_rules_ratio_consistency(spark):
     """support <= confidence (antecedent count <= total orders), and
     lift == confidence / (n_b / N) within float tolerance."""
     rows = all_queries()["q_basket_rules"].spark(spark, _SF).collect()
+    assert rows
     for r in rows:
         assert r.support <= r.confidence + 1e-9
         n_total = r.pair_n / r.support if r.support else None
