@@ -384,3 +384,68 @@ def mask_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("card"))
         .alias("card_masked"),
     )
+
+
+@register(
+    "mask_referential_integrity",
+    oracle=f"""
+WITH un AS (
+  SELECT n.n_name, COUNT(*) AS n_joined
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+mc AS (
+  SELECT {M.hash_md5_sql("CAST(c_custkey AS VARCHAR)")} AS ck, c_nationkey
+  FROM customer
+),
+mo AS (
+  SELECT {M.hash_md5_sql("CAST(o_custkey AS VARCHAR)")} AS ok FROM orders
+),
+mk AS (
+  SELECT n.n_name, COUNT(*) AS n_joined_masked
+  FROM mc JOIN mo ON mc.ck = mo.ok
+  JOIN nation n ON mc.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT un.n_name, un.n_joined, mk.n_joined_masked,
+       un.n_joined = mk.n_joined_masked AS intact
+FROM un JOIN mk ON un.n_name = mk.n_name
+""",
+)
+def mask_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity under key pseudonymization — the
+    property a masked replica must keep for downstream joins to keep
+    working (the reference masks each table independently; consistent
+    deterministic masking is what makes the masked tables still join).
+    Per nation: customer-orders join counts on the REAL key vs on the
+    md5-pseudonymized key on both sides — equal iff the mask is
+    deterministic and injective on the key domain. Shape: two
+    equi-joins with broadcast nation; the masked join shuffles on the
+    digest exactly like the real one shuffles on the key."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    un = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+    )
+    mc = c.select(
+        M.hash_md5(F.col("c_custkey").cast("string")).alias("ck"), "c_nationkey"
+    )
+    mo = o.select(M.hash_md5(F.col("o_custkey").cast("string")).alias("ok"))
+    mk = (
+        mc.join(mo, mc.ck == mo.ok)
+        .join(F.broadcast(n), mc.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("mk_name"))
+        .agg(F.count(F.lit(1)).alias("n_joined_masked"))
+    )
+    return un.join(mk, un.n_name == mk.mk_name).select(
+        "n_name",
+        "n_joined",
+        "n_joined_masked",
+        (F.col("n_joined") == F.col("n_joined_masked")).alias("intact"),
+    )
