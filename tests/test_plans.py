@@ -390,3 +390,35 @@ def test_cluster_doc_profile_broadcast_assign_equi_join(spark):
     plan = _plan(spark, "ann_cluster_doc_profile")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_source_divergence_grid_is_broadcast_only(spark):
+    # The ONLY row multiplication allowed is the control-plane-sized
+    # sources x vocab grid (broadcast nested loop); the corpus-linear
+    # token count must stay a partial-agg groupBy with no Python.
+    plan = _plan(spark, "text_source_divergence")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantize_error_zero_shuffle_no_python(spark):
+    # Map-only audit: no exchange (beyond the scan), no Python, and
+    # the staged scale column keeps codegen linear.
+    plan = _plan(spark, "emb_quantize_error")
+    assert "Python" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_referential_integrity_nation_broadcasts(spark):
+    plan = _plan(spark, "mask_referential_integrity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_basket_hot_parts_broadcast_before_pairs(spark):
+    # The hot-part prune must reach the pair join as a broadcast —
+    # the quadratic step never sees the unpruned corpus.
+    plan = _plan(spark, "q_basket_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
