@@ -953,3 +953,82 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 2).alias("hi"),
         )
     )
+
+
+_FUZZY_DECON_T = 0.5  # verified-Jaccard threshold for a fuzzy hit
+
+
+@register(
+    "text_fuzzy_decontaminate",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {ngrams_sql('text')} AS ngs FROM documents
+  WHERE len({ngrams_sql('text')}) > 0
+),
+sigs AS (
+  SELECT doc_id, [list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 1 + 2837402553) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 3 + 3536670024) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 5 + 736585028) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 7 + 1606292932) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 9 + 3519196190) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 11 + 3582427798) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 13 + 1579688343) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 15 + 1861520890) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 17 + 2772399529) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 19 + 285797819) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 21 + 926111565) % 4294967296)), list_min(list_transform(ngs, x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) * 23 + 3401503764) % 4294967296))] AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest([concat_ws(',', 'b0', CAST(sig[1] AS VARCHAR), CAST(sig[2] AS VARCHAR), CAST(sig[3] AS VARCHAR)), concat_ws(',', 'b1', CAST(sig[4] AS VARCHAR), CAST(sig[5] AS VARCHAR), CAST(sig[6] AS VARCHAR)), concat_ws(',', 'b2', CAST(sig[7] AS VARCHAR), CAST(sig[8] AS VARCHAR), CAST(sig[9] AS VARCHAR)), concat_ws(',', 'b3', CAST(sig[10] AS VARCHAR), CAST(sig[11] AS VARCHAR), CAST(sig[12] AS VARCHAR))]) AS bkey FROM sigs
+),
+bench AS (SELECT doc_id AS bench_id, bkey FROM bk WHERE doc_id % {_BENCH_MOD} = 0),
+probe AS (SELECT doc_id, bkey FROM bk WHERE doc_id % {_BENCH_MOD} <> 0),
+cand AS (
+  SELECT DISTINCT p.doc_id, b.bench_id
+  FROM probe p JOIN bench b ON p.bkey = b.bkey
+)
+SELECT * FROM (
+  SELECT c.doc_id, c.bench_id,
+         round(CAST(len(list_filter(ga.ngs, x -> list_contains(gb.ngs, x))) AS DOUBLE)
+               / (len(ga.ngs) + len(gb.ngs)
+                  - len(list_filter(ga.ngs, x -> list_contains(gb.ngs, x)))), 6) AS jaccard
+  FROM cand c JOIN g ga ON ga.doc_id = c.doc_id JOIN g gb ON gb.doc_id = c.bench_id
+) WHERE jaccard >= {_FUZZY_DECON_T}
+""",
+)
+def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: near-duplicates of the
+    held-out set (doc_id % 97 == 0) found via the MinHash+LSH band
+    index instead of exact shingle overlap — catches lightly edited
+    benchmark leaks the exact 5-gram check (text_decontaminate)
+    misses. The bench-side band index is tiny and BROADCASTS; corpus
+    band keys probe it (no corpus-corpus self-join), candidates are
+    verified by exact Jaccard >= 0.5 so precision is exact and only
+    recall rides the banding (the documented LSH tradeoff). Per-probe
+    cost is corpus-linear at any scale."""
+    from ripcurrent_spark.operators import dedup as DD
+
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", ngrams_of_tokens(F.col("toks")).alias("ngs"))
+        .filter(F.size("ngs") > 0)
+        .persist()
+    )
+    sigs = DD.minhash_sig_np(g)
+    bk = sigs.select(
+        "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), 4, 3)).alias("bkey")
+    )
+    bench = bk.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "bkey"
+    )
+    probe = bk.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    cand = (
+        probe.join(F.broadcast(bench), "bkey")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("_pid"), F.col("ngs").alias("ngs_a"))
+    gb = g.select(F.col("doc_id").alias("_bid"), F.col("ngs").alias("ngs_b"))
+    inter = F.size(F.array_intersect("ngs_a", "ngs_b"))
+    union = F.size("ngs_a") + F.size("ngs_b") - inter
+    return (
+        cand.join(ga, cand.doc_id == ga._pid)
+        .join(gb, cand.bench_id == gb._bid)
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _FUZZY_DECON_T)
+    )
