@@ -89,7 +89,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edge build: lineitem self-joined on l_orderkey (equi-join on the
     natural key — co-partitioned, fanout = lines per order), persisted
-    once. Rank state is NODE-sized — one (node, rank, outdeg) row per
+    once. The build IS the cost floor (sf1 cold: ~28 s of ~35 s is the
+    24M-pair distinct + persist; iterations are ~7 s): two measured
+    alternatives were REJECTED — collect_set-per-order + explode
+    (33.9 s, the same pair mass through a wider aggregate) and a
+    persisted (src, dst_set) adjacency feeding per-iteration explodes
+    (33.1 s end-to-end, no better). Rank state is NODE-sized — one
+    (node, rank, outdeg) row per
     part that ships — so each iteration BROADCASTS the state into the
     edge join: the persisted edge frame is never shuffled or sorted
     again, and the only per-iteration shuffle is the partial-aggregated
