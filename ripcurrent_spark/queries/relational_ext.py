@@ -1221,3 +1221,49 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+@register(
+    "q_unpivot_nation_stats",
+    oracle="""
+WITH wide AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+         round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, stat, value
+FROM wide
+UNPIVOT (value FOR stat IN (n_customers, total_acctbal, avg_acctbal))
+""",
+)
+def q_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse of q_pivot_returns: a wide
+    per-nation stats row becomes (nation, stat, value) long form, the
+    shape metric stores and chart layers ingest. Spark's unpivot is a
+    zero-shuffle Expand over the already-aggregated frame; every
+    measure passes through DECIMAL before one exact cast to the
+    shared DOUBLE value type (UNPIVOT requires one type, so the cast
+    discipline is part of the operator's contract)."""
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.round(
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "total_acctbal", "avg_acctbal"],
+        variableColumnName="stat",
+        valueColumnName="value",
+    )
