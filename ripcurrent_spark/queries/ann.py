@@ -978,3 +978,71 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(s == 0, zero).otherwise(mse), 9).alias("mse"),
         F.round(F.when(s == 0, zero).otherwise(mxe), 9).alias("max_abs_err"),
     )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, {SIM.unit_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS emb
+  FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         list_sum(list_transform(range(1, len(q.emb)+1), i -> q.emb[i] * c.emb[i])) AS cos_raw
+  FROM q JOIN v c ON q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT query_id, query_label, negative_id, negative_label, rank,
+       round(cos_raw, 6) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, negative_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 MOST SIMILAR vectors carrying a DIFFERENT
+    label — the negatives that actually teach a metric model, mined
+    exactly the way an embedding-training pipeline does it. Same
+    broadcast-queries x corpus-scan shape as ann_cosine_topk with the
+    label-mismatch predicate fused into the scoring pass (filtering
+    AFTER a label-blind top-k would under-fill the negative set when
+    near neighbors share the query's label). At scale the exact pass
+    swaps for the LSH/IVF candidate generators, same downstream."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 100 == 0)
+    # One vectorized pass per query label (10 here — a control-plane
+    # collect): queries of label L score ONLY the label != L corpus
+    # slice, so the mismatch predicate is a pushed-down scan filter
+    # and the scoring stays the Arrow-matmul path (an expression-tree
+    # crossJoin + HOF dot at 500 x 50k pairs is the exact interpreted
+    # shape the sf1 sweep already rejected for ann_cosine_topk).
+    labels = sorted(r[0] for r in q.select("label").distinct().collect())
+    parts = []
+    for lab in labels:
+        ql = q.filter(F.col("label") == lab)
+        cl = v.filter(F.col("label") != lab)
+        parts.append(
+            SIM.brute_force_topk_np(ql, cl, id_col="vec_id", emb_col="emb", k=5)
+            .withColumn("query_label", F.lit(lab).cast("int"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    neg_lab = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("negative_label"),
+    )
+    return out.join(F.broadcast(neg_lab), "neighbor_id").select(
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("negative_id"),
+        "negative_label",
+        "rank",
+        "cosine",
+    )
