@@ -157,6 +157,102 @@ def brute_force_topk_np(
     )
 
 
+def hard_negative_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    emb_col: str = "emb",
+    k: int = 5,
+) -> DataFrame:
+    """Label-mismatch top-k (hard-negative mining) in ONE corpus pass.
+
+    The query set (small by contract) is collected with ids AND labels
+    and closed over as a float64 matrix; the corpus streams through
+    mapInPandas in Arrow batches, each scored against ALL queries by a
+    single matmul. The label-mismatch predicate is a numpy mask per
+    (batch, query) — the corpus row's label travels WITH the score, so
+    no id->label join (and no corpus-sized broadcast) is ever needed,
+    and the plan is CONSTANT in label count: one scan, one map stage,
+    one final top-k window on query_id. Contrast the per-label-branch
+    shape (one filtered scan per distinct label, unioned): that plan
+    grows O(labels) and serializes job submission at thousands of
+    labels.
+
+    Returns an empty typed frame when the query slice is empty (no
+    rows -> no negatives, not an IndexError)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("query_label", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("negative_label", T.IntegerType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+    ranked_cols = [
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("negative_id"),
+        "negative_label",
+        "rank",
+        F.round("cos_raw", 6).alias("cosine"),
+    ]
+
+    qrows = queries.select(id_col, label_col, emb_col).collect()
+    if not qrows:
+        empty = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("query_label", T.IntegerType()),
+                T.StructField("negative_id", T.LongType()),
+                T.StructField("negative_label", T.IntegerType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], empty)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qlabs = np.array([r[1] for r in qrows], dtype=np.int64)
+    qm = unit_rows_np(np.array([r[2] for r in qrows], dtype=np.float64))
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            clabs = pdf[label_col].to_numpy(dtype=np.int64)
+            cm = unit_rows_np(np.array(list(pdf[emb_col]), dtype=np.float64))
+            scores = cm @ qm.T  # (batch, nq)
+            for j in range(len(qids)):
+                s = scores[:, j]
+                cand = np.nonzero((clabs != qlabs[j]) & (cids != qids[j]))[0]
+                if not len(cand):
+                    continue
+                top = cand[np.lexsort((cids[cand], -s[cand]))[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[j],
+                        "query_label": np.full(len(top), qlabs[j], dtype=np.int32),
+                        "neighbor_id": cids[top],
+                        "negative_label": clabs[top].astype(np.int32),
+                        "cos_raw": s[top],
+                    }
+                )
+
+    local = corpus.select(id_col, label_col, emb_col).mapInPandas(_score, schema=out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*ranked_cols)
+    )
+
+
 def lsh_weights(n_bits: int, dim: int, seed: str = "hp") -> list[list[float]]:
     """Deterministic +/-1 projection weights, computed DRIVER-SIDE:
     w_j[d] = sign(md5(f'{seed}{j}:{d}')) — the same portable hash the

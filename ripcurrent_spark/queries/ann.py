@@ -1008,41 +1008,24 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
     vector, the top-5 MOST SIMILAR vectors carrying a DIFFERENT
     label — the negatives that actually teach a metric model, mined
-    exactly the way an embedding-training pipeline does it. Same
-    broadcast-queries x corpus-scan shape as ann_cosine_topk with the
-    label-mismatch predicate fused into the scoring pass (filtering
+    exactly the way an embedding-training pipeline does it. The
+    label-mismatch predicate is fused into the scoring pass (filtering
     AFTER a label-blind top-k would under-fill the negative set when
-    near neighbors share the query's label). At scale the exact pass
-    swaps for the LSH/IVF candidate generators, same downstream."""
+    near neighbors share the query's label).
+
+    ONE corpus pass: the query ids+labels+matrix ship in the
+    mapInPandas closure (queries small by contract), each Arrow batch
+    is one matmul against all queries, and the corpus row's label
+    travels with the score — no id->label join, no corpus-sized
+    broadcast, plan size CONSTANT in label count (the previous
+    per-label-branch shape built one filtered scan per distinct label
+    and then broadcast the FULL corpus id->label map back — O(labels)
+    plan growth and a guaranteed broadcast OOM at billions of
+    vectors). Empty query slice returns an empty typed frame. At
+    scale the exact pass swaps for the LSH/IVF candidate generators,
+    same downstream."""
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") % 100 == 0)
-    # One vectorized pass per query label (10 here — a control-plane
-    # collect): queries of label L score ONLY the label != L corpus
-    # slice, so the mismatch predicate is a pushed-down scan filter
-    # and the scoring stays the Arrow-matmul path (an expression-tree
-    # crossJoin + HOF dot at 500 x 50k pairs is the exact interpreted
-    # shape the sf1 sweep already rejected for ann_cosine_topk).
-    labels = sorted(r[0] for r in q.select("label").distinct().collect())
-    parts = []
-    for lab in labels:
-        ql = q.filter(F.col("label") == lab)
-        cl = v.filter(F.col("label") != lab)
-        parts.append(
-            SIM.brute_force_topk_np(ql, cl, id_col="vec_id", emb_col="emb", k=5)
-            .withColumn("query_label", F.lit(lab).cast("int"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    neg_lab = v.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("negative_label"),
-    )
-    return out.join(F.broadcast(neg_lab), "neighbor_id").select(
-        "query_id",
-        "query_label",
-        F.col("neighbor_id").alias("negative_id"),
-        "negative_label",
-        "rank",
-        "cosine",
+    return SIM.hard_negative_topk_np(
+        q, v, id_col="vec_id", label_col="label", emb_col="emb", k=5
     )

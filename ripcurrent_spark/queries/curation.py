@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ripcurrent_spark.functions.hashing import h32_sql
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators.dedup import ngrams_of_tokens, ngrams_sql, tokens, tokens_sql
+from ripcurrent_spark.operators.hints import bcast
 from ripcurrent_spark.operators.sampling import hash_pct, hash_pct_sql
 from ripcurrent_spark.queries import register
 
@@ -754,7 +755,7 @@ def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_qty"),
     )
     fk_orders = o.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        bcast(c.select(F.col("c_custkey").alias("o_custkey"))),
         "o_custkey",
         "left_anti",
     ).agg(F.count("*").alias("viol"))

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
+from ripcurrent_spark.operators.hints import bcast
 from ripcurrent_spark.queries import register
 
 SCALE = 1_000_000_000_000  # fixed-point units per unit of rank mass
@@ -133,13 +134,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SCALE).cast("long").alias("rank"),
         "outdeg",
     )
+    prev = None
     for _ in range(N_ITER):
-        contrib = edges.join(F.broadcast(state), edges.src == state.node).select(
+        # Size-gated broadcasts: the rank state and contribution sums
+        # are node-sized, which is broadcastable up to ~hundreds of MB
+        # but NOT at billions of nodes — the gauge (the pruned
+        # two-column lineitem scan, a sound upper bound on node count)
+        # scales with SF, so past the gate both joins fall back to the
+        # documented shuffle-hash shape instead of a forced-broadcast
+        # OOM. Join-derived frames can't gauge themselves: the basic
+        # stats visitor multiplies child sizes.
+        contrib = edges.join(bcast(state, gauge=li), edges.src == state.node).select(
             "dst", F.expr("rank div outdeg").alias("c")
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         state = (
-            deg.join(F.broadcast(sums), deg.src == sums.dst, "left")
+            deg.join(bcast(sums, gauge=li), deg.src == sums.dst, "left")
             .select(
                 F.col("src").alias("node"),
                 (
@@ -159,6 +169,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # computed longs are identical either way).
             .persist()
         )
+        # Materialize this iteration's node-sized cache now (one tiny
+        # job) so the PREVIOUS iteration's cache can be released —
+        # without this, a long-lived session accumulates N_ITER cached
+        # node-sized frames per call (bench.py clears cache between
+        # queries; a library consumer does not).
+        state.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+    # The final state is materialized above, so the returned plan reads
+    # from its cache; the edge/degree caches are no longer needed (on
+    # cache eviction the lineage recomputes them — correct, just cold).
+    edges.unpersist()
+    deg.unpersist()
     return (
         state.select(
             F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"), "outdeg"

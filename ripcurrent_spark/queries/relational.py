@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ripcurrent_spark.functions.timeutil import epoch_expr
 from ripcurrent_spark.io import load
+from ripcurrent_spark.operators.hints import bcast
 from ripcurrent_spark.queries import register
 
 
@@ -128,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(8,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", "decimal(8,4)"))), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -174,10 +175,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(8,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", "decimal(8,4)"))), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ripcurrent_spark.functions.timeutil import epoch_seconds
 from ripcurrent_spark.io import load
+from ripcurrent_spark.operators.hints import bcast
 from ripcurrent_spark.queries import register
 
 
@@ -149,7 +150,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast("decimal(12,2)"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(p), l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.round(F.sum(promo), 2).cast("double")
@@ -193,8 +194,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        rev.join(bcast(mx), rev.total_revenue == mx.mx)
+        .join(bcast(s), rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -220,7 +221,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem")
     return (
-        F.broadcast(p)
+        bcast(p)
         .join(l, p.p_partkey == l.l_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -256,7 +257,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaves the stats per key unchanged while the heavy groupBy and
     # the stats join both run over ~1/6 of lineitem.
     lf = l.join(
-        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
+        bcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
     )
     stats = lf.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(_dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
@@ -304,7 +305,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(lagg, o.o_orderkey == lagg.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -335,7 +336,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicate (pushdown + join filter)."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(bcast(p), l.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
@@ -366,7 +367,7 @@ def q20_suppliers_of_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
     shippers = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        l.join(bcast(p), l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("tq"))
         .filter(F.col("tq") > 100)
@@ -404,7 +405,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(_dec("c_acctbal")).alias("ab")
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
+        c.crossJoin(bcast(avg_bal))
         .filter(_dec("c_acctbal") > F.col("ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -452,10 +453,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(bcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(bcast(cn), c.c_nationkey == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
@@ -487,8 +488,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -570,33 +571,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_sup = (
         s2.select(F.col("s_suppkey").alias("eu_skey"), F.col("s_nationkey").alias("eu_nkey"))
         .join(
-            F.broadcast(
+            bcast(
                 n2.select(F.col("n_nationkey").alias("eu_nk"), F.col("n_regionkey").alias("eu_rk"))
             ),
             F.col("eu_nkey") == F.col("eu_nk"),
         )
         .join(
-            F.broadcast(r2.select(F.col("r_regionkey").alias("eu_rgk"))),
+            bcast(r2.select(F.col("r_regionkey").alias("eu_rgk"))),
             F.col("eu_rk") == F.col("eu_rgk"),
         )
         .select("eu_skey")
     )
     lf = l.join(
-        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
-    ).join(F.broadcast(eu_sup), l.l_suppkey == F.col("eu_skey"), "left_semi")
+        bcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(bcast(eu_sup, gauge=s2), l.l_suppkey == F.col("eu_skey"), "left_semi")
     ps = lf.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(F.min(_dec("l_extendedprice")).alias("ps_supplycost"))
     eu = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        ps.join(bcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
     )
     best = eu.groupBy(F.col("ps_partkey").alias("bk")).agg(F.min("ps_supplycost").alias("mc"))
     return (
         eu.join(best, (eu.ps_partkey == best.bk) & (eu.ps_supplycost == best.mc))
-        .join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
+        .join(bcast(p), eu.ps_partkey == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
             F.col("ps_supplycost").cast("double").alias("supplycost"),
@@ -655,13 +656,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join: p_type keeps ~1/6 of lineitem, so the shuffle moves
         # ~1M rows instead of 6M at sf1 (Catalyst won't reorder inner
         # joins without CBO stats — the order here IS the plan).
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(bcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(bcast(r), F.col("cn_rkey") == r.r_regionkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -711,10 +712,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # onto lineitem BEFORE the l-o shuffle join so the shuffle
         # moves only matching lines (Catalyst won't reorder inner
         # joins without CBO stats).
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
@@ -748,14 +749,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     val = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        l.join(bcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
     )
     total = val.agg(F.sum("value").alias("tot"))
     return (
-        val.crossJoin(F.broadcast(total))
+        val.crossJoin(bcast(total))
         .filter(F.col("value") * 500 > F.col("tot"))
         .select("ps_partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.desc("value"), "ps_partkey")
@@ -811,7 +812,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_order, li.l_orderkey == per_order.k)
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1) & late)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(bcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1015,8 +1016,8 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     per_nation = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_rev()), 2).cast("decimal(18,2)").alias("revenue"))
     )
@@ -1251,7 +1252,7 @@ def q_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     wide = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        c.join(bcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_customers"),

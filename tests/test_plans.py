@@ -422,3 +422,43 @@ def test_basket_hot_parts_broadcast_before_pairs(spark):
     plan = _plan(spark, "q_basket_rules")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# Queries whose broadcasts all flow through the size gate
+# (ripcurrent_spark.operators.hints.bcast). A literal F.broadcast()
+# on customer/supplier/part — relations whose row count scales with
+# SF — is a guaranteed OOM at the 100 TB design point, because a hint
+# overrides AQE and the autoBroadcast threshold unconditionally.
+GATED = [
+    "q3_shipping_priority", "q5_local_supplier", "q2_min_cost_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_revenue", "q11_important_stock", "q14_promo_revenue",
+    "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_filter", "q20_suppliers_of_hot_parts",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "q_revenue_share", "q_unpivot_nation_stats", "q_constraint_checks",
+]
+
+
+@pytest.mark.parametrize("name", GATED)
+def test_gated_queries_still_broadcast_at_bench_scale(spark, name):
+    # At bench scale every gated dim passes the gate, so the plan is
+    # byte-for-byte the broadcast plan a literal hint would produce.
+    assert "BroadcastHashJoin" in _plan(spark, name)
+
+
+def test_no_unconditional_broadcast_survives_closed_gate(spark):
+    """Close the gate (0 bytes) and disable the autoBroadcast
+    threshold: if ANY BroadcastExchange remains, some relation carries
+    an unconditional hint — the exact 100 TB failure mode the gate
+    exists to prevent. This sweeps the whole gated set, so the pattern
+    cannot silently come back."""
+    spark.conf.set("spark.ripcurrent.broadcastGateBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in GATED:
+            assert "BroadcastExchange" not in _plan(spark, name), name
+    finally:
+        spark.conf.unset("spark.ripcurrent.broadcastGateBytes")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
