@@ -325,7 +325,13 @@ SELECT term, n, rank FROM (
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies, exact top-20: explode -> two-phase
     count (map-side partials shrink the shuffle to distinct terms) ->
-    single-reducer ranking of the (small) distinct-term aggregate."""
+    mergeable top-k. The term aggregate is VOCABULARY-sized (billions
+    of terms on a web corpus), so the top-20 is orderBy().limit() —
+    TakeOrderedAndProject, a per-partition partial top-k whose merge
+    sees only k rows per partition — never a row_number() window that
+    funnels the whole vocabulary through one task. Ranks are then
+    assigned over the 20 survivors (bounded input, no single-partition
+    exchange of an unbounded frame)."""
     d = load(spark, sf_dir, "documents")
     from ripcurrent_spark.operators.dedup import tokens
 
@@ -335,8 +341,9 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    topk = counts.orderBy(F.desc("n"), "term").limit(20)
     w = W.orderBy(F.desc("n"), "term")
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 @register(
@@ -1047,14 +1054,14 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # Mergeable exact top-100: TakeOrderedAndProject over the part
+    # aggregate (which scales with SF — ~20 B parts at sf100k), not a
+    # global row_number window that would sort every part in one task.
     hot = (
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("n_orders"), "pk"))
-        )
-        .filter(F.col("rk") <= _BASKET_TOP)
-        .drop("rk")
+        .orderBy(F.desc("n_orders"), "pk")
+        .limit(_BASKET_TOP)
     )
     hli = li.join(
         F.broadcast(hot.select("pk")), li.l_partkey == F.col("pk")

@@ -1181,32 +1181,46 @@ FROM scored
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer recency / frequency /
-    monetary quartile scores (NTILE(4) with fully deterministic
-    tie-breaks) composed into the classic 3-digit segment code. The
-    aggregate is one partial-agg groupBy; the three NTILEs run on the
-    customer-sized frame. NTILE is a global total order — fine for
-    node-sized frames, but at billions of customers swap the quartile
-    boundaries for the mergeable bottom-k quantile sketch
-    (q_bottomk_sample_quantiles' machinery) and bucket by comparison,
-    same downstream columns. DECIMAL spend makes the ordering and the
-    emitted total exact on both engines."""
+    monetary quartile scores (NTILE(4) semantics with fully
+    deterministic tie-breaks) composed into the classic 3-digit
+    segment code. The aggregate is one partial-agg groupBy; each score
+    is an EXACT NTILE computed scalably: the customer frame is 15 B
+    rows at sf100k, so instead of an unpartitioned ntile() window (one
+    task sorts every customer) each pass range-buckets by
+    deterministic sketch-sampled cuts, ranks within buckets in
+    parallel, and adds the bounded per-bucket offsets —
+    operators/ranking.exact_global_ranks; the tile then falls out of
+    integer arithmetic on (rank, total). Result is bit-identical to
+    the window form (the oracle runs real NTILEs). DECIMAL spend makes
+    the ordering and the emitted total exact on both engines."""
+    from ripcurrent_spark.operators.ranking import exact_global_ranks, ntile_expr
+
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).alias("spend"),
     )
-    r_w = W.orderBy(F.desc("last_order"), "o_custkey")
-    f_w = W.orderBy(F.desc("n_orders"), "o_custkey")
-    m_w = W.orderBy(F.desc("spend"), "o_custkey")
-    scored = base.select(
+    out = base
+    for keys, name in [
+        ([("last_order", True), ("o_custkey", False)], "r_score"),
+        ([("n_orders", True), ("o_custkey", False)], "f_score"),
+        ([("spend", True), ("o_custkey", False)], "m_score"),
+    ]:
+        out = exact_global_ranks(
+            out, keys, unique_col="o_custkey", out_col="_p", total_col="_n"
+        )
+        out = out.withColumn(
+            name, ntile_expr(F.col("_p"), F.col("_n"), 4)
+        ).drop("_p", "_n")
+    scored = out.select(
         "o_custkey",
         "last_order",
         "n_orders",
         F.col("spend").cast("double").alias("total_spend"),
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.select(
         "o_custkey",

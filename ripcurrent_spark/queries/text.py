@@ -149,8 +149,8 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary builder runs per merge round. Shape: one scan, a
     linear explode (n_tokens-1 pairs per doc, shifted-copies zip —
     see ngrams_of_tokens on why NOT element_at-in-lambda), partial-agg
-    groupBy on the pair, then a single-reducer top-k over the small
-    distinct-pair aggregate (same posture as q_top_terms)."""
+    groupBy on the pair, then a MERGEABLE top-k (TakeOrderedAndProject)
+    over the pair aggregate (same posture as q_top_terms)."""
     from ripcurrent_spark.operators.dedup import ngrams_of_tokens
 
     d = load(spark, sf_dir, "documents")
@@ -161,9 +161,13 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window as W
 
-    ranked = counts.withColumn(
+    # Pair vocabulary scales with the corpus — exact top-50 via
+    # TakeOrderedAndProject (mergeable partial top-k), ranks assigned
+    # over the 50 survivors only.
+    topk = counts.orderBy(F.desc("n"), "pair").limit(50)
+    ranked = topk.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("n"), "pair"))
-    ).filter(F.col("rank") <= 50)
+    )
     tok = F.split("pair", " ")
     return ranked.select(
         tok[0].alias("left_tok"), tok[1].alias("right_tok"), "n", "rank"
@@ -445,11 +449,13 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("term") >= 1
     )
     tc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    # Vocabulary-sized frame: mergeable top-k (TakeOrderedAndProject),
+    # never a single-task global row_number over every distinct term.
     vocab = (
         tc.groupBy("term")
         .agg(F.sum("c").alias("tot"))
-        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("tot"), "term")))
-        .filter(F.col("rk") <= _DIV_VOCAB)
+        .orderBy(F.desc("tot"), "term")
+        .limit(_DIV_VOCAB)
         .select("term")
     )
     sources = tc.select("source").distinct()

@@ -206,3 +206,65 @@ def test_salted_join_rejects_right_and_full(spark):
     # inner/left still work and equal the plain join
     got = salted_join(fact, dim, "k", "dk", "rid", n_salt=4, how="left").collect()
     assert [(r.k, r.name) for r in got] == [(1, "x")]
+
+
+# --- exact distributed ranking ----------------------------------------
+
+def _rank_fixture(spark):
+    # Skewed: one hot value (7) repeated 60x, plus a uniform tail and
+    # negative ids — ties MUST split across buckets via the unique
+    # tie-break.
+    rows = [(i, 7) for i in range(60)] + [(100 + i, i % 13) for i in range(40)]
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+def test_exact_global_ranks_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.ranking import exact_global_ranks
+
+    df = _rank_fixture(spark)
+    got = exact_global_ranks(
+        df, [("v", True), ("id", False)], unique_col="id",
+        out_col="rk", n_buckets=8, sample_k=32,
+    )
+    want = df.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("v"), "id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_exact_global_ranks_no_single_partition_exchange(spark):
+    from ripcurrent_spark.operators.ranking import exact_global_ranks
+
+    df = _rank_fixture(spark)
+    got = exact_global_ranks(
+        df, [("v", True), ("id", False)], unique_col="id",
+        out_col="rk", n_buckets=8, sample_k=32,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # The data-sized window is partitioned by bucket; the only global
+    # window runs over the <= n_buckets-row counts frame, whose input
+    # is an aggregate, never the data frame. Assert the data window is
+    # partitioned: every Sort above row_number carries _rk_bucket.
+    assert "row_number" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "row_number" in line:
+            assert "_rk_bucket" in line
+
+
+def test_ntile_expr_matches_window_all_sizes(spark):
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.ranking import exact_global_ranks, ntile_expr
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 100):
+        df = spark.createDataFrame([(i, i * 37 % n) for i in range(n)], "id long, v long")
+        got = exact_global_ranks(
+            df, [("v", True), ("id", False)], unique_col="id",
+            out_col="rk", n_buckets=4, sample_k=16, total_col="tot",
+        ).select("id", ntile_expr(F.col("rk"), F.col("tot"), 4).alias("t"))
+        want = df.select(
+            "id", F.ntile(4).over(W.orderBy(F.desc("v"), "id")).alias("t")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), n

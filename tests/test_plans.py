@@ -462,3 +462,71 @@ def test_no_unconditional_broadcast_survives_closed_gate(spark):
     finally:
         spark.conf.unset("spark.ripcurrent.broadcastGateBytes")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window nodes whose input goes through Exchange SinglePartition —
+    i.e. unpartitioned windows, which funnel their whole input frame
+    into ONE task. Walks each SinglePartition exchange's ancestor chain
+    (through Sort / WindowGroupLimit) to the owning node."""
+    import re
+
+    lines = plan.splitlines()
+    info = []
+    for s in lines:
+        m = re.search(r"[A-Za-z*]", s)
+        if m:
+            info.append((m.start(), s[m.start():].lstrip("*").lstrip("(0123456789) ")))
+        else:
+            info.append((0, ""))
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = info[i][0]
+        j = i - 1
+        while j >= 0:
+            d, txt = info[j]
+            if d < depth:
+                depth = d
+                if txt.startswith("Sort ") or txt.startswith("WindowGroupLimit"):
+                    j -= 1
+                    continue
+                if txt.startswith("Window"):
+                    hits.append(txt[:80])
+                break
+            j -= 1
+    return hits
+
+
+# Global windows are ONLY acceptable over frames bounded by
+# construction (constant or near-constant cardinality, independent of
+# data volume). Everything else must use mergeable top-k
+# (orderBy().limit() = TakeOrderedAndProject) or the range-bucketed
+# exact ranking in operators/ranking.py.
+BOUNDED_GLOBAL_WINDOWS = {
+    # percent-of-total + FIRST_VALUE over the NATION aggregate (25 rows
+    # at every SF)
+    "q_revenue_share",
+    # running sum over calendar DAYS — time-span-sized, not data-sized
+    "q_cumulative_users",
+    # share-of-total over the per-LANGUAGE counts frame (languages are
+    # a fixed small vocabulary)
+    "sample_domain_mix",
+    # offsets over the <= n_buckets-row (constant 64) bucket-counts
+    # frame inside operators/ranking.exact_global_ranks
+    "q_rfm_segments",
+}
+
+
+def test_no_global_window_over_unbounded_frame(spark):
+    """Registry-wide sweep: any unpartitioned window outside the
+    documented bounded set is the single-task-sort scale bug coming
+    back (the r5 verdict's What's-wrong #2) — fail loudly."""
+    offenders = {}
+    for name, q in sorted(all_queries().items()):
+        plan = q.spark(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        hits = _single_partition_windows(plan)
+        if hits and name not in BOUNDED_GLOBAL_WINDOWS:
+            offenders[name] = hits[0]
+    assert not offenders, offenders
