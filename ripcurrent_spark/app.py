@@ -380,9 +380,27 @@ def run_app(
             # op "c", Main.java:456-464); data columns keep source
             # positions with ALTERED_ names where a rule applied.
             out_cols = [c for c in masked.columns if c not in meta_cols]
+            # Raw-record emission (ADVICE r5): the reference's RECORD
+            # /OUTFILE target writes separator-delimited records
+            # verbatim, so the line is assembled explicitly
+            # (concat_ws over string-cast fields, NULL -> empty field)
+            # and written through the text sink — the CSV sink
+            # quotes/escapes a masked value containing the separator
+            # or quote char (even with quote="" it wraps in \\x00),
+            # diverging byte-for-byte. A payload value containing the
+            # separator is then ambiguous on re-parse; the reference
+            # target has the identical ambiguity, which is the point
+            # of byte parity.
+            line = F.concat_ws(
+                separator,
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in out_cols
+                ],
+            )
             q = (
                 masked.filter(F.col("op") == "c")
-                .select(*out_cols)
+                .select(line.alias("value"))
                 .writeStream.outputMode("append")
                 # Mode-scoped checkpoint (matches the queryName): the
                 # upsert mode's foreachBatch checkpoint already holds
@@ -396,9 +414,7 @@ def run_app(
                 # running record deployments from offset zero.
                 .option("checkpointLocation", str(Path(ckpt) / f"record-{plan.table}"))
                 .queryName(f"record-{plan.table}")
-                .format("csv")
-                .option("sep", separator)
-                .option("header", "false")
+                .format("text")
                 .option("path", str(Path(data_target) / f"{plan.table}{postfix}"))
                 .start()
             )

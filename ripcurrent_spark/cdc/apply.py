@@ -161,12 +161,21 @@ def read_changelog_asof(
         dirs = [str(root / d) for b in keep for d in dirmap[b]]
         if not dirs:
             raise ValueError(f"no changelog batches at or before cutoff {cutoff!r}")
-        return (
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", log_dir)
-            .parquet(*dirs)
-            .filter(F.col(ts_col) <= cutoff)
-        )
+        # Crash-window guard: _finish_log_compaction deletes folded
+        # batch dirs BEFORE folding the manifest, so a crash between
+        # the two leaves entries pointing at deleted dirs — the fast
+        # path would then fail mid-scan with path-not-found until
+        # compaction recovery runs. One cheap stat per kept dir (not a
+        # listing — the zero-rglob contract holds) detects the window;
+        # any missing dir falls back to the recursive-walk path below,
+        # which reads only what actually exists.
+        if all(Path(p).is_dir() for p in dirs):
+            return (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", log_dir)
+                .parquet(*dirs)
+                .filter(F.col(ts_col) <= cutoff)
+            )
     # ONE recursive walk builds {batch_id: [dirs]}; every later step
     # (manifest decisions, probe fallback, final listing) consumes the
     # map — a per-batch rglob would traverse the whole log tree O(B)

@@ -244,7 +244,12 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def drop_hot_keys(df: DataFrame, key_cols: Sequence[str], cap: int) -> DataFrame:
+def drop_hot_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    drop_null_keys: bool = True,
+) -> DataFrame:
     """Drop every row whose key combination occurs in MORE than ``cap``
     rows — the one document-frequency guard all candidate-generation
     paths share (shingle index, simhash bands). Anti-join against the
@@ -254,19 +259,36 @@ def drop_hot_keys(df: DataFrame, key_cols: Sequence[str], cap: int) -> DataFrame
     Oracle mirror: a COUNT(*) OVER key window / HAVING <= cap filter
     (strict > dropped, == cap kept).
 
-    NULL-key rows are dropped UP FRONT: a left_anti join can never
-    remove them (NULL never equi-matches), so without the filter a
-    hot NULL-key group would sail past the cap — diverging from the
-    window mirror above, which does cap NULL groups. NULL keys also
-    never produce candidate pairs downstream (the candidate equi-join
-    skips them), so dropping is both the safe and the cheap contract."""
-    keyed = df.na.drop(subset=list(key_cols))
+    NULL-key handling is a signature-level choice:
+
+    - ``drop_null_keys=True`` (default): NULL-key rows are dropped UP
+      FRONT — a plain left_anti can never remove them (NULL never
+      equi-matches), and NULL keys never produce candidate pairs
+      downstream (the candidate equi-join skips them), so dropping is
+      the cheap contract for the dedup callers, whose band/minhash
+      keys are non-null anyway. Note this diverges from the window
+      mirror for SUB-cap NULL groups (mirror keeps, this drops).
+    - ``drop_null_keys=False``: exact window-mirror semantics — NULL
+      groups are capped like any other via a null-safe (<=>)
+      anti-join, and sub-cap NULL groups are KEPT."""
     hot = (
-        keyed.groupBy(*key_cols)
+        df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > cap)
     )
-    return keyed.join(F.broadcast(hot.select(*key_cols)), list(key_cols), "left_anti")
+    if drop_null_keys:
+        keyed = df.na.drop(subset=list(key_cols))
+        return keyed.join(
+            F.broadcast(hot.select(*key_cols)), list(key_cols), "left_anti"
+        )
+    renamed = hot.select(
+        *[F.col(c).alias(f"_hot_{c}") for c in key_cols]
+    )
+    cond = None
+    for c in key_cols:
+        term = F.col(c).eqNullSafe(F.col(f"_hot_{c}"))
+        cond = term if cond is None else (cond & term)
+    return df.join(F.broadcast(renamed), cond, "left_anti")
 
 
 def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: int | None = None) -> DataFrame:

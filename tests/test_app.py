@@ -270,3 +270,37 @@ def test_run_app_rejects_file_trigger_key_for_kafka(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="maxOffsetsPerTrigger"):
         run_app(spark, cfg_path, once=True)
+
+
+def test_run_app_record_mode_writes_raw_unquoted_records(spark, tmp_path):
+    """ADVICE r5: the reference's RECORD /OUTFILE target writes raw
+    separator-delimited records — a masked value containing the
+    separator or a quote char must land verbatim, not CSV-quoted."""
+    (tmp_path / "events").mkdir()
+    ev = _event("cust", "c", 100, 9, "x@x.com", 'a,b "q"')
+    with open(tmp_path / "events" / "part-000.json", "w") as f:
+        f.write(json.dumps(ev) + "\n")
+    (tmp_path / "lib.rules").write_text(RULES_XML)
+    (tmp_path / "lib.dataclass").write_text(DATACLASS_XML)
+    cfg = tmp_path / "config.properties"
+    cfg.write_text(
+        textwrap.dedent("""\
+        sourcePath=events
+        targetPath=out
+        dataClassLibraryPath=lib.dataclass
+        rulesLibraryPath=lib.rules
+        targetNamePostfix=_masked
+        schemaChangeEventLog=schema_change_events.log
+        dataTarget=flat
+        dataTargetProcessType=record
+        dataTargetSeparator=,
+        """)
+    )
+    handle = run_app(spark, str(cfg), once=True)
+    assert all(not q.isActive for q in handle.queries)
+    lines = set()
+    for p in (tmp_path / "flat" / "cust_masked").glob("part-*"):
+        lines |= {ln for ln in p.read_text().splitlines() if ln}
+    # Byte parity with the reference: embedded separator and quotes
+    # emitted verbatim (the re-parse ambiguity is the reference's too).
+    assert lines == {'9,X@X.COM,a,b "q"'}

@@ -268,3 +268,20 @@ def test_ntile_expr_matches_window_all_sizes(spark):
             "id", F.ntile(4).over(W.orderBy(F.desc("v"), "id")).alias("t")
         )
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), n
+
+
+def test_drop_hot_keys_null_group_contract(spark):
+    # 3 NULL-key rows (sub-cap at cap=3, hot at cap=2), 4 'a' rows.
+    rows = [(i, None) for i in range(3)] + [(10 + i, "a") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    # Default: NULLs always dropped, 'a' dropped when over cap.
+    got = DD.drop_hot_keys(df, ["k"], cap=3)
+    assert {r.id for r in got.collect()} == set()  # nulls gone, 'a' (4>3) gone
+    got = DD.drop_hot_keys(df, ["k"], cap=4)
+    assert {r.id for r in got.collect()} == {10, 11, 12, 13}
+    # Window-mirror semantics: sub-cap NULL group KEPT...
+    got = DD.drop_hot_keys(df, ["k"], cap=3, drop_null_keys=False)
+    assert {r.id for r in got.collect()} == {0, 1, 2}
+    # ...and a hot NULL group capped like any other.
+    got = DD.drop_hot_keys(df, ["k"], cap=2, drop_null_keys=False)
+    assert {r.id for r in got.collect()} == set()

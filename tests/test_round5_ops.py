@@ -471,3 +471,22 @@ def test_basket_rules_ratio_consistency(spark):
             # check is relative, not absolute.
             expect_lift = r.confidence / (r.n_b / n_total)
             assert abs(r.lift - expect_lift) < 1e-3 * max(expect_lift, 1.0)
+
+
+def test_asof_falls_back_when_manifest_dir_deleted(spark, tmp_path):
+    """ADVICE r5 (medium): _finish_log_compaction deletes folded batch
+    dirs BEFORE folding the manifest — a crash in that window leaves
+    manifest entries pointing at deleted dirs. The fast path must
+    detect the missing dir (cheap stat, no listing) and fall back to
+    the walk, reading what exists, instead of dying path-not-found."""
+    import shutil
+
+    from ripcurrent_spark.cdc.apply import read_changelog_asof
+
+    log = tmp_path / "log"
+    _write_batches(spark, log, [(0, 100), (1, 200), (2, 300)])
+    # Simulate the crash window: batch 0's dir is gone, manifest not
+    # yet folded.
+    shutil.rmtree(log / "_batch_id=0")
+    asof = read_changelog_asof(spark, str(log), 210)
+    assert {r.v for r in asof.collect()} == {1}
