@@ -998,15 +998,14 @@ def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall rides the banding (the documented LSH tradeoff). Per-probe
     cost is corpus-linear at any scale."""
     from ripcurrent_spark.operators import dedup as DD
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
 
-    d = load(spark, sf_dir, "documents")
-    g = (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", ngrams_of_tokens(F.col("toks")).alias("ngs"))
-        .filter(F.size("ngs") > 0)
-        .persist()
-    )
-    sigs = DD.minhash_sig_np(g)
+    # Shingles + signatures from the materialized artifact (same
+    # n=3/k=12 lineage as the dedup chain — one stored signature
+    # column serves both; the from-scratch oracle below re-proves it).
+    st = minhash_signature_table(spark, sf_dir)
+    g = st.select("doc_id", "ngs")
+    sigs = st.select("doc_id", "sig")
     bk = sigs.select(
         "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), 4, 3)).alias("bkey")
     )

@@ -95,10 +95,14 @@ SELECT * FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_JACCARD_T}
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard >= 0.8. Inverted index
     with a document-frequency cap (hot shingles excluded from
-    candidate generation, never from verification)."""
-    # Persist: the shingle frame is referenced by the inverted index
-    # (twice: df-cap + join) and by both sides of verification.
-    g = _ngram_docs(spark, sf_dir).persist()
+    candidate generation, never from verification). Shingles come from
+    the materialized signature artifact (operators/sigstore) — the
+    parquet-backed frame serves the index's two references and both
+    verification sides with column-pruned scans, no recompute, no
+    persist barrier."""
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
+
+    g = minhash_signature_table(spark, sf_dir, k=_MH_K).select("doc_id", "ngs")
     ex = g.select("doc_id", F.explode("ngs").alias("ng"))
     cands = DD.candidate_pairs_by_key(ex, "doc_id", "ng", max_df=_MAX_DF)
     return _verified_jaccard(cands, g, _JACCARD_T)
@@ -128,18 +132,21 @@ SELECT * FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands x 3 rows) candidates, verified by
     true Jaccard >= 0.7. The band-bucket groupBy is the only shuffle;
-    bucket skew at scale is handled by the banding itself + AQE."""
-    # Persist the (tiny) signature frame: band-key building references
-    # `sig` once per band and verification re-reads `ngs`; without a
-    # barrier Catalyst's projection collapse would inline the full
-    # signature computation into every reference. (In a production
-    # pipeline signatures are a precomputed stored column.)
-    g = _ngram_docs(spark, sf_dir).persist()
-    # Signatures via the vectorized bit-identical path (one batched
-    # multiply+min instead of an interpreted lambda per
-    # (shingle, permutation) — the expression twin minhash_sig stays
-    # for the SQL mirror and the streaming index).
-    sigs = DD.minhash_sig_np(g, k=_MH_K).persist()
+    bucket skew at scale is handled by the banding itself + AQE.
+
+    Shingles AND signatures come from the materialized artifact
+    (operators/sigstore — signatures are a stored column in any real
+    pipeline, maintained incrementally by the streaming index): this
+    query and the five downstream chain members (cluster family,
+    estimate-error, fuzzy decontamination) each pay only their own
+    band-join/verify/propagation step, not a fresh ~14 s
+    tokenize->shingle->minhash pass. The from-scratch DuckDB oracle
+    value-checks the artifact on every driver round."""
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
+
+    st = minhash_signature_table(spark, sf_dir, k=_MH_K)
+    g = st.select("doc_id", "ngs")
+    sigs = st.select("doc_id", "sig")
     bk = sigs.select(
         "doc_id", F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey")
     )
@@ -1146,22 +1153,23 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     — all candidate-linear. Estimate, exact, and error use only IEEE
     division/subtraction of exact integers, rounded identically on
     both engines."""
-    g = _ngram_docs(spark, sf_dir).persist()
-    sigs = DD.minhash_sig_np(g, k=_MH_K).persist()
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
+
+    st = minhash_signature_table(spark, sf_dir, k=_MH_K)
+    sigs = st.select("doc_id", "sig")
     bk = sigs.select(
         "doc_id",
         F.explode(DD.lsh_band_keys(F.col("sig"), _MH_BANDS, _MH_ROWS)).alias("bkey"),
     )
     cands = DD.candidate_pairs_by_key(bk, "doc_id", "bkey")
-    # ONE join chain: a second cands->verify chain would recompute the
-    # whole band explode + distinct-pair subtree (cands is not
-    # persisted — it's candidate-sized but its parents aren't).
-    sa = sigs.join(g, "doc_id").select(
+    # The artifact carries ngs AND sig in one row, so each verify side
+    # is a single column-pruned parquet scan — no sig<->ngs join.
+    sa = st.select(
         F.col("doc_id").alias("id_a"),
         F.col("sig").alias("sig_a"),
         F.col("ngs").alias("ngs_a"),
     )
-    sb = sigs.join(g, "doc_id").select(
+    sb = st.select(
         F.col("doc_id").alias("id_b"),
         F.col("sig").alias("sig_b"),
         F.col("ngs").alias("ngs_b"),

@@ -285,3 +285,34 @@ def test_drop_hot_keys_null_group_contract(spark):
     # ...and a hot NULL group capped like any other.
     got = DD.drop_hot_keys(df, ["k"], cap=2, drop_null_keys=False)
     assert {r.id for r in got.collect()} == set()
+
+
+def test_sigstore_builds_once_and_invalidates_on_mtime(spark, tmp_path, monkeypatch):
+    import os
+    import shutil
+
+    from ripcurrent_spark.operators import sigstore
+
+    # Point the cache at a temp root and build against sf0.001 data.
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    sf = "/root/testdata/sf0.001"
+    first = sigstore.minhash_signature_table(spark, sf)
+    n = first.count()
+    assert n > 0 and set(first.columns) == {"doc_id", "ngs", "sig"}
+    # Second call must be a pure read: poison the compute path.
+    import ripcurrent_spark.operators.dedup as DD
+
+    def boom(*a, **k):
+        raise AssertionError("recompute on a fresh artifact")
+
+    monkeypatch.setattr(DD, "minhash_sig_np", boom)
+    again = sigstore.minhash_signature_table(spark, sf)
+    assert again.count() == n
+    # A different source path/mtime invalidates the digest -> a
+    # rebuild is attempted, which the poisoned compute path proves.
+    src = tmp_path / "sf"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "documents.parquet")
+    os.utime(src / "documents.parquet")
+    with pytest.raises(AssertionError, match="recompute"):
+        sigstore.minhash_signature_table(spark, str(src))
