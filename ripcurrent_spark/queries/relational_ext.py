@@ -1282,3 +1282,60 @@ def q_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="stat",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_spend_percentiles",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(spend AS DOUBLE) AS total_spend, rnk,
+       round(pct, 6) AS pct_rank, decile
+FROM (
+  SELECT o_custkey, spend,
+         ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk,
+         PERCENT_RANK() OVER (ORDER BY spend DESC, o_custkey) AS pct,
+         NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM base
+)
+""",
+)
+def q_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend leaderboard: exact global rank,
+    PERCENT_RANK, and spend decile for every customer — the classic
+    'where does this account sit' analytics product. The oracle runs
+    real unpartitioned window functions; the Spark side computes the
+    IDENTICAL numbers through operators/ranking.exact_global_ranks
+    (deterministic sketch-sampled range buckets, parallel per-bucket
+    ranks, bounded offsets — no single-task sort of a 15 B-customer
+    frame at sf100k). With the unique tie-break, PERCENT_RANK
+    degenerates to (rank-1)/(n-1) — one IEEE division, rounded the
+    same on both engines — and NTILE(10) is integer arithmetic on
+    (rank, total) (operators/ranking.ntile_expr)."""
+    from ripcurrent_spark.operators.ranking import exact_global_ranks, ntile_expr
+
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    ranked = exact_global_ranks(
+        base,
+        [("spend", True), ("o_custkey", False)],
+        unique_col="o_custkey",
+        out_col="rnk",
+        total_col="_n",
+    )
+    n1 = (F.col("_n") - 1).cast("double")
+    return ranked.select(
+        "o_custkey",
+        F.col("spend").cast("double").alias("total_spend"),
+        "rnk",
+        F.round(
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rnk") - 1).cast("double") / n1
+            ),
+            6,
+        ).alias("pct_rank"),
+        ntile_expr(F.col("rnk"), F.col("_n"), 10).alias("decile"),
+    )

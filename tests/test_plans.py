@@ -516,6 +516,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     # offsets over the <= n_buckets-row (constant 64) bucket-counts
     # frame inside operators/ranking.exact_global_ranks
     "q_rfm_segments",
+    "q_spend_percentiles",
 }
 
 
