@@ -67,6 +67,10 @@ def materialized(spark: SparkSession, kind: str, key: str, build) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not (out / "_SUCCESS").exists():
                 raise
+        # Sweep crashed builders' leftovers (a concurrent builder whose
+        # tmp we remove just loses the race and reads the winner).
+        for stale in out.parent.glob(f"{out.name}.tmp.*"):
+            shutil.rmtree(stale, ignore_errors=True)
     return spark.read.parquet(str(out))
 
 

@@ -1251,3 +1251,94 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+_AP_T_NUM, _AP_T_DEN = 9, 10  # exact Jaccard threshold 9/10 = 0.9
+
+
+@register(
+    "dedup_allpairs_exact",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+ex AS (SELECT doc_id, unnest(ngs) AS ng FROM g),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.ng = b.ng AND a.doc_id < b.doc_id
+)
+SELECT * FROM ({_JACCARD_VERIFY_SQL})
+WHERE jaccard >= {_AP_T_NUM / _AP_T_DEN}
+""",
+)
+def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity join at Jaccard >= 0.9 via prefix +
+    positional filtering (the AllPairs/PPJoin family) — the
+    guaranteed-recall counterpart to the LSH and df-capped paths:
+    those trade recall for bounded work; this keeps every qualifying
+    pair and prunes by THEOREM. Shingles are ordered rarest-first by
+    global document frequency; if J(x,y) >= t the two
+    (|x| - ceil(t|x|) + 1)-prefixes must intersect (all common tokens
+    outside x's prefix would fit in ceil(t|x|)-1 slots, contradicting
+    |x∩y| >= t|x| — and a common token in prefix(x) that precedes
+    last(prefix(y)) is in prefix(y) by smallest-first construction).
+    Candidates therefore come from a PREFIX x PREFIX equi-join — the
+    rarest shingles with the smallest postings — with two exact
+    integer pruning filters fused in: the length filter
+    (t|x| <= |y| <= |x|/t) and the positional filter (for the
+    globally-smallest matched token, at ranks i in x / j in y, no
+    common token precedes it, so |x∩y| <= 1 + min(|x|-i, |y|-j),
+    which must reach alpha = ceil(t/(1+t) * (|x|+|y|))). Survivors
+    verify by exact Jaccard. MEASURED at sf1 (50k docs, 3.14M
+    shingles): probe-ALL x prefix at t=0.8 generated 65.6M candidates
+    (143 s end-to-end); prefix x prefix + length was 28.8M; t=0.9
+    with the positional filter is 2.6M -> 21 s end-to-end. The oracle is the
+    brute-force truth (every shingle-sharing pair, verified), so the
+    driver re-proves exactness on real data every round. All
+    thresholds are exact integer arithmetic (a float 0.9 multiply
+    misrounds ceil at some sizes). Shingles come from the
+    materialized signature artifact."""
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
+
+    tn, td = _AP_T_NUM, _AP_T_DEN
+    st = minhash_signature_table(spark, sf_dir, k=_MH_K)
+    g = st.select("doc_id", "ngs")
+    ex = g.select("doc_id", F.explode("ngs").alias("ng"))
+    dfreq = ex.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        ex.join(dfreq, "ng")
+        .withColumn(
+            "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "ng"))
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    plen = F.col("_sz") - F.expr(f"({tn} * _sz + {td - 1}) div {td}") + 1
+    pref = ranked.filter(F.col("_r") <= plen).select("doc_id", "ng", "_r", "_sz")
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), "ng",
+        F.col("_r").alias("_ia"), F.col("_sz").alias("_sza"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), "ng",
+        F.col("_r").alias("_jb"), F.col("_sz").alias("_szb"),
+    )
+    m = a.join(b, "ng").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (tn * F.col("_sza") <= td * F.col("_szb"))
+        & (tn * F.col("_szb") <= td * F.col("_sza"))
+    )
+    cand = (
+        m.groupBy("id_a", "id_b")
+        .agg(
+            F.min("_ia").alias("_ia"), F.min("_jb").alias("_jb"),
+            F.first("_sza").alias("_sza"), F.first("_szb").alias("_szb"),
+        )
+        .filter(
+            1 + F.least(F.col("_sza") - F.col("_ia"), F.col("_szb") - F.col("_jb"))
+            >= F.expr(f"({tn} * (_sza + _szb) + {tn + td - 1}) div {tn + td}")
+        )
+        .select("id_a", "id_b")
+    )
+    return _verified_jaccard(cand, g, tn / td)

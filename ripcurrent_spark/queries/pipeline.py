@@ -1097,3 +1097,63 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             pn * F.col("n") / (F.col("n_a").cast("double") * F.col("n_b")), 6
         ).alias("lift"),
     )
+
+
+@register(
+    "q_incremental_join_merge",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-VIEW maintenance: a per-nation revenue view
+    over orders ⋈ customer ⋈ nation kept fresh by the delta rule for
+    an append-only fact with static dims — Δ(O ⋈ C ⋈ N) = ΔO ⋈ C ⋈ N.
+    The PRIOR view state (orders with o_orderkey % 10 <> 0 stand in
+    for yesterday's materialized view — nation-sized, tiny) merges
+    with the NEW batch's enriched partial aggregate by one full-outer
+    join on the view key; counts and DECIMAL sums add. The result
+    must equal the from-scratch three-way join aggregate, which IS
+    the oracle. This is the join sibling of q_incremental_agg_merge:
+    per refresh you join and aggregate ONLY the new batch (plus the
+    view state), never re-scan the fact history — the shape that
+    keeps a 100 TB star-schema rollup fresh. Customer is joined
+    through the size-gated broadcast (a scaling table — shuffle-hash
+    at cluster scale); nation is a fixed dim."""
+    from ripcurrent_spark.operators.hints import bcast
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def _view(odf: DataFrame) -> DataFrame:
+        return (
+            odf.join(bcast(c), odf.o_custkey == c.c_custkey)
+            .join(bcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev_dec"),
+            )
+        )
+
+    prior = _view(o.filter(F.col("o_orderkey") % 10 != 0)).select(
+        "n_name", F.col("n_orders").alias("n_p"), F.col("rev_dec").alias("r_p")
+    )
+    delta = _view(o.filter(F.col("o_orderkey") % 10 == 0)).select(
+        "n_name", F.col("n_orders").alias("n_b"), F.col("rev_dec").alias("r_b")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return prior.join(delta, "n_name", "full_outer").select(
+        "n_name",
+        (F.coalesce("n_p", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n_orders"),
+        (F.coalesce(F.col("r_p"), zero) + F.coalesce(F.col("r_b"), zero))
+        .cast("double")
+        .alias("revenue"),
+    )

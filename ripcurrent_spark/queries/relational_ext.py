@@ -1339,3 +1339,40 @@ def q_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rank"),
         ntile_expr(F.col("rnk"), F.col("_n"), 10).alias("decile"),
     )
+
+
+@register(
+    "q_forward_fill",
+    oracle="""
+SELECT user_id, event_id,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'click' THEN value END AS v
+  FROM events
+)
+""",
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every event
+    row gets the user's most recent click value at or before it —
+    the canonical sparse-sensor/feature imputation op. One
+    user-partitioned window (single shuffle on the key, running
+    frame, no data-scaled global window); values are carried
+    verbatim, so there is no arithmetic to diverge — NULL until the
+    user's first click, by definition on both engines."""
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )

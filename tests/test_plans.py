@@ -257,9 +257,14 @@ def test_lsh_topk_scored_per_bucket_group(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_minhash_signatures_vectorized(spark):
+def test_minhash_reads_signature_artifact(spark):
+    # Signatures come from the materialized sigstore artifact (the
+    # vectorized MapInPandas pass runs ONCE at artifact build, not
+    # per query): the query's own plan is parquet scans of the
+    # artifact + the band join — no Python boundary, no cartesian.
     plan = _plan(spark, "dedup_minhash_lsh")
-    assert "MapInPandas" in plan
+    assert "minhash_sigs" in plan
+    assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
 
 
