@@ -1196,10 +1196,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ripcurrent_spark.operators.ranking import exact_global_ranks, ntile_expr
 
     o = load(spark, sf_dir, "orders")
-    base = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).alias("spend"),
+    # Persist + materialize the customer aggregate: each of the three
+    # ranking passes reads it several times (boundary sample, local
+    # ranks, bucket counts) — CHAINING the passes over unpersisted
+    # lineage re-derived pass 1's plan inside pass 3's sample collect
+    # and blew sf1 from ~1 s of work to 22 s. One node-level-bounded
+    # cached frame per call (the q_hour_day_rollup pattern; bench and
+    # the sweep clear cache between queries).
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("spend"),
+        )
+        .persist()
     )
     out = base
     for keys, name in [
@@ -1207,12 +1218,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ([("n_orders", True), ("o_custkey", False)], "f_score"),
         ([("spend", True), ("o_custkey", False)], "m_score"),
     ]:
-        out = exact_global_ranks(
-            out, keys, unique_col="o_custkey", out_col="_p", total_col="_n"
+        score = exact_global_ranks(
+            base, keys, unique_col="o_custkey", out_col="_p", total_col="_n"
+        ).select(
+            "o_custkey", ntile_expr(F.col("_p"), F.col("_n"), 4).alias(name)
         )
-        out = out.withColumn(
-            name, ntile_expr(F.col("_p"), F.col("_n"), 4)
-        ).drop("_p", "_n")
+        out = out.join(score, "o_custkey")
     scored = out.select(
         "o_custkey",
         "last_order",
