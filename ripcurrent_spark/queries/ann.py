@@ -265,7 +265,7 @@ _KM_D2 = (
 )
 
 
-def _km_iter_sql(vsrc: str, csrc: str, tag: str) -> str:
+def _km_iter_sql(vsrc: str, csrc: str, tag: str, ndims: int = 64) -> str:
     """One unrolled Lloyd round: assign to nearest centroid (rounded
     distance, cluster tie-break), then per-(cluster, dim) exact
     DECIMAL(38,12) mean — the SQL twin of operators/clustering.py."""
@@ -282,7 +282,7 @@ m{tag} AS (
   SELECT cluster, CAST(i AS BIGINT) AS dim,
          CAST(SUM(CAST(emb[i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c_val,
          COUNT(*) AS n
-  FROM a{tag} CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+  FROM a{tag} CROSS JOIN (SELECT unnest(range(1, {ndims + 1})) AS i) dims
   GROUP BY cluster, i
 )"""
 
@@ -1028,4 +1028,104 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") % 100 == 0)
     return SIM.hard_negative_topk_np(
         q, v, id_col="vec_id", label_col="label", emb_col="emb", k=5
+    )
+
+
+_PQ_K, _PQ_SUB = 8, 32  # codebook size per subspace; subspace width
+
+
+def _pq_oracle() -> str:
+    def d2raw(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+        )
+
+    def final_assign(tag: str, vsrc: str, csrc: str) -> str:
+        raw = d2raw("v.emb", "c.cemb")
+        return f"""
+f{tag} AS (
+  SELECT vec_id, cluster AS code{tag}, d2 AS d{tag} FROM (
+    SELECT v.vec_id, c.cluster, {raw} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({raw}, 6), c.cluster) AS rnk
+    FROM {vsrc} v CROSS JOIN {csrc} c) WHERE rnk = 1
+)"""
+
+    parts = [
+        """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+v_0 AS (SELECT vec_id, list_slice(emb, 1, 32) AS emb FROM v),
+v_1 AS (SELECT vec_id, list_slice(emb, 33, 64) AS emb FROM v)"""
+    ]
+    for s in (0, 1):
+        parts.append(
+            f"""
+c0_{s} AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         emb AS cemb
+  FROM (SELECT * FROM v_{s} ORDER BY vec_id LIMIT {_PQ_K})
+),{_km_iter_sql(f'v_{s}', f'c0_{s}', f'pq{s}', ndims=_PQ_SUB)},
+c1_{s} AS (
+  SELECT cluster, list(c_val ORDER BY dim) AS cemb FROM mpq{s} GROUP BY cluster
+),{final_assign(str(s), f'v_{s}', f'c1_{s}')}"""
+        )
+    body = ",".join(p.strip() for p in parts)
+    return f"""
+WITH {body}
+SELECT f0.vec_id, code0, code1, round(d0 + d1, 6) AS recon_err
+FROM f0 JOIN f1 ON f0.vec_id = f1.vec_id
+"""
+
+
+@register("ann_pq_distortion", oracle=_pq_oracle())
+def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization audit: train an 8-entry codebook per
+    32-dim subspace (two Lloyd rounds each — the same deterministic
+    k-means contract as ann_kmeans_centroids: DECIMAL centroid means,
+    rounded-distance argmin with cluster tie-break, lowest-id seeds),
+    code every vector as its (code0, code1) pair, and emit the exact
+    per-vector reconstruction error — the distortion report that
+    decides whether an 8x-compressed PQ index is usable before
+    deploying it. Per subspace the corpus streams once through the
+    Arrow-batch assigner (codebook in the closure); the error is the
+    left-to-right squared-distance fold against the 8-row codebook
+    joined back broadcast (bounded by k, never data-scaled). The
+    oracle unrolls both subspace trainings as CTEs, so codes AND
+    errors are value-checked end-to-end."""
+    from ripcurrent_spark.operators.clustering import (
+        _dist2,
+        _init_centroids,
+        _rebuild,
+        assign_np,
+        centroid_stats,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
+    parts = []
+    for m, off in enumerate((1, _PQ_SUB + 1)):
+        sub = v.select("vec_id", F.slice("emb", off, _PQ_SUB).alias("emb"))
+        cents = _rebuild(
+            centroid_stats(assign_np(sub, _init_centroids(sub, _PQ_K)))
+        ).persist()
+        a = assign_np(sub, cents)
+        parts.append(
+            a.join(F.broadcast(cents), "cluster").select(
+                "vec_id",
+                F.col("cluster").alias(f"code{m}"),
+                _dist2(F.col("emb"), F.col("cemb")).alias(f"_d{m}"),
+            )
+        )
+    return (
+        parts[0]
+        .join(parts[1], "vec_id")
+        .select(
+            "vec_id",
+            "code0",
+            "code1",
+            F.round(F.col("_d0") + F.col("_d1"), 6).alias("recon_err"),
+        )
     )

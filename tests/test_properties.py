@@ -205,3 +205,38 @@ def test_merge_sequences_match_naive_model(spark, seq):
         assert got == model
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+# --- exact distributed ranking laws -----------------------------------
+
+rank_rows = st.lists(
+    st.tuples(st.integers(-50, 50)),  # heavy ties by design
+    min_size=1,
+    max_size=60,
+)
+RANK_SET = settings(max_examples=10, deadline=None)
+
+
+@given(rank_rows)
+@RANK_SET.__call__
+def test_exact_global_ranks_law(spark, vals):
+    """exact_global_ranks == unpartitioned row_number() for ANY data,
+    including all-equal values (ties split only by the unique id) and
+    degenerate sample/bucket counts."""
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.ranking import exact_global_ranks, ntile_expr
+
+    rows = [(i, v[0]) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = exact_global_ranks(
+        df, [("v", True), ("id", False)], unique_col="id",
+        out_col="rk", n_buckets=5, sample_k=7, total_col="tot",
+    ).select("id", "rk", ntile_expr(F.col("rk"), F.col("tot"), 3).alias("t"))
+    w = W.orderBy(F.desc("v"), "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.ntile(3).over(w).alias("t"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
