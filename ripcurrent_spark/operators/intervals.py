@@ -60,3 +60,40 @@ def range_join_backward(
         .drop(F.col("r.__b"))
         .drop(F.col(f"r.{key}"))
     )
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_sec: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same `key` and
+    ``|right_ts - left_ts| <= window`` (inclusive both ends) — the
+    symmetric sibling of :func:`range_join_backward` for
+    nearest-in-time matching. The right side explodes to its own
+    bucket and both neighbors (fanout exactly 3; bucket width =
+    window, so every in-range partner lands in one of the three); the
+    join stays a plain equi-join on (key, bucket). Column names must
+    be disjoint apart from `key`."""
+    lb = F.floor(epoch_seconds(left, left_ts) / window_sec)
+    rb = F.floor(epoch_seconds(right, right_ts) / window_sec)
+    l = left.withColumn("__b", lb)
+    r = right.withColumn("__b", F.explode(F.array(rb - 1, rb, rb + 1)))
+    w = F.expr(f"INTERVAL {window_sec} SECONDS")
+    return (
+        l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("l.__b") == F.col("r.__b"))
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - w)
+            & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + w),
+            "inner",
+        )
+        .drop(F.col("l.__b"))
+        .drop(F.col("r.__b"))
+        .drop(F.col(f"r.{key}"))
+    )

@@ -1157,3 +1157,63 @@ def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+WITH cand AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         date_diff('second', c.ts, p.ts) AS gap_s,
+         abs(date_diff('second', c.ts, p.ts)) AS ag,
+         CAST(floor(epoch(c.ts)) AS BIGINT) AS c_ep
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id
+   AND p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts + INTERVAL 30 MINUTE
+)
+SELECT purchase_id, click_id, gap_s FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                               ORDER BY ag, c_ep, click_id) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (pandas merge_asof
+    direction='nearest' semantics): each purchase matches its CLOSEST
+    click within +/-30 min, ties to the earlier click — sensor
+    fusion / attribution when causality can run either way. The
+    symmetric bucketed range join (fanout-3 equi-join on
+    (user, time-bucket), operators/intervals.range_join_within) bounds
+    candidates; the per-purchase winner is ONE aggregate — the
+    deterministic lexicographic min of (|gap|, click time, click id)
+    as a struct — so no per-purchase window, and the whole query is
+    two shuffles (candidate join, winner groupBy). Gaps are exact
+    integer seconds on both engines."""
+    from ripcurrent_spark.operators.intervals import range_join_within
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    pairs = range_join_within(
+        p, c, key="user_id", left_ts="p_ts", right_ts="c_ts", window_sec=1800
+    )
+    gap = epoch_seconds(pairs, "p_ts") - epoch_seconds(pairs, "c_ts")
+    cand = pairs.select(
+        "purchase_id",
+        "click_id",
+        gap.alias("gap_s"),
+        F.abs(gap).alias("_ag"),
+        epoch_seconds(pairs, "c_ts").alias("_cep"),
+    )
+    best = cand.groupBy("purchase_id").agg(
+        F.min(F.struct("_ag", "_cep", "click_id", "gap_s")).alias("_w")
+    )
+    return best.select(
+        "purchase_id", F.col("_w.click_id").alias("click_id"), F.col("_w.gap_s").alias("gap_s")
+    )

@@ -1414,3 +1414,56 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "q_pareto_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE d.o_orderdate > o.o_orderdate AND d.o_totalprice > o.o_totalprice
+)
+""",
+)
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders over (order date, total
+    price) under strict dominance: an order survives unless some
+    LATER order also paid strictly MORE — the multi-criteria
+    shortlist shape (newest x biggest, cheapest x closest, ...).
+
+    Spark-first decomposition instead of the quadratic NOT-EXISTS
+    self-join the oracle runs: dominance only depends on the MAX
+    price per distinct date, so one partial-agg groupBy shrinks the
+    fact table to the DATE-level frame (calendar-sized — bounded by
+    the time span, not the data volume, the same boundedness class
+    as q_cumulative_users), a running max over dates-descending
+    (EXCLUSIVE frame, so same-date orders never dominate each other)
+    gives the best strictly-later price, and one broadcast join back
+    filters the fact scan: price > that running max, with NULL (no
+    later date) meaning undominated. Two scans + one bounded window
+    + one broadcast join — no pairwise comparison anywhere."""
+    o = load(spark, sf_dir, "orders")
+    per_date = o.groupBy("o_orderdate").agg(
+        F.max(_dec("o_totalprice")).alias("_mx")
+    )
+    w = (
+        W.orderBy(F.desc("o_orderdate"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    later_best = per_date.select(
+        "o_orderdate", F.max("_mx").over(w).alias("_later_mx")
+    )
+    return (
+        o.join(F.broadcast(later_best), "o_orderdate")
+        .filter(
+            F.col("_later_mx").isNull()
+            | (_dec("o_totalprice") > F.col("_later_mx"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )

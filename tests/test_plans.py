@@ -515,6 +515,9 @@ BOUNDED_GLOBAL_WINDOWS = {
     "q_revenue_share",
     # running sum over calendar DAYS — time-span-sized, not data-sized
     "q_cumulative_users",
+    # running max over the per-DATE aggregate — same calendar-sized
+    # boundedness class
+    "q_pareto_orders",
     # share-of-total over the per-LANGUAGE counts frame (languages are
     # a fixed small vocabulary)
     "sample_domain_mix",
@@ -536,3 +539,11 @@ def test_no_global_window_over_unbounded_frame(spark):
         if hits and name not in BOUNDED_GLOBAL_WINDOWS:
             offenders[name] = hits[0]
     assert not offenders, offenders
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    # Spark 4 pushes rank<=k into WindowGroupLimit (partial + final):
+    # each task retains only k rows per group BEFORE the shuffle/sort,
+    # so per-group top-k never materializes whole groups. Pin it.
+    plan = _plan(spark, "q_top3_orders_per_cust")
+    assert "WindowGroupLimit" in plan
