@@ -1033,3 +1033,143 @@ def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _FUZZY_DECON_T)
     )
+
+
+_BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737, 4: 0.096910013,
+    5: 0.079181246, 6: 0.06694679, 7: 0.057991947, 8: 0.051152522,
+    9: 0.045757491,
+}
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM c),
+e AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}
+  ) AS e(digit, benford_pct)
+)
+SELECT c.digit, c.n_orders,
+       round(CAST(c.n_orders AS DOUBLE) / t.total, 6) AS obs_pct,
+       e.benford_pct,
+       round(abs(CAST(c.n_orders AS DOUBLE) / t.total - e.benford_pct), 6)
+         AS abs_dev
+FROM c JOIN e ON c.digit = e.digit CROSS JOIN t
+ORDER BY c.digit
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen: compare the observed leading-digit
+    distribution against log10(1 + 1/d). One scan + one 9-group
+    partial-agg groupBy; the total comes back as a broadcast 1-row
+    aggregate and the expected frequencies are shared PYTHON-computed
+    literals, so no engine evaluates log10 at query time (libm parity
+    hazard). The leading digit is extracted through an exact
+    bigint->string cast on both engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    t = c.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    e = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit int, benford_pct double"
+    )
+    obs = F.col("n_orders").cast("double") / F.col("total")
+    return (
+        c.join(F.broadcast(e), "digit")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(obs, 6).alias("obs_pct"),
+            "benford_pct",
+            F.round(F.abs(obs - F.col("benford_pct")), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "q_ab_test_lift",
+    oracle=f"""
+WITH armed AS (
+  SELECT {h32_sql("CAST(o_orderkey AS VARCHAR)", seed="ab")} % 2 AS arm,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS x
+  FROM orders
+),
+s AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(CAST(x AS DECIMAL(19,2)) * x) AS sxx
+  FROM armed GROUP BY arm
+),
+a AS (SELECT * FROM s WHERE arm = 0),
+b AS (SELECT * FROM s WHERE arm = 1)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(CAST(a.sx AS DOUBLE) / a.n, 6) AS mean_a,
+       round(CAST(b.sx AS DOUBLE) / b.n, 6) AS mean_b,
+       round((CAST(b.sx AS DOUBLE) / b.n - CAST(a.sx AS DOUBLE) / a.n)
+             / (CAST(a.sx AS DOUBLE) / a.n), 6) AS lift,
+       round((CAST(b.sx AS DOUBLE) / b.n - CAST(a.sx AS DOUBLE) / a.n)
+             / sqrt(
+                 (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * (CAST(a.sx AS DOUBLE) / a.n)) / (a.n - 1) / a.n
+               + (CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * (CAST(b.sx AS DOUBLE) / b.n)) / (b.n - 1) / b.n
+             ), 6) AS z
+FROM a CROSS JOIN b
+""",
+)
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: orders split 50/50 by the
+    portable hash (no RNG — assignment is reproducible and
+    oracle-mirrored), per-arm mean order value, relative lift, and a
+    Welch-style z statistic. Moments accumulate EXACTLY in DECIMAL
+    (sum and sum-of-squares; the squared term is widened first so the
+    product can't trigger Spark's silent scale-shrink), and every
+    floating step afterward is IEEE +,-,*,/,sqrt in an identical
+    order on both engines — all correctly rounded, so even the z
+    statistic hash-matches. One scan, one 2-group partial aggregate,
+    control-plane-sized everything after."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(12,2)")
+    armed = o.select(
+        (h32(F.col("o_orderkey").cast("string"), seed="ab") % 2).alias("arm"),
+        x.alias("x"),
+    )
+    s = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("x")).alias("sxx"),
+    )
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    sxa, sxb = F.col("sx_a").cast("double"), F.col("sx_b").cast("double")
+    ma = sxa / F.col("n_a")
+    mb = sxb / F.col("n_b")
+    va_n = (F.col("sxx_a").cast("double") - sxa * ma) / (F.col("n_a") - 1) / F.col("n_a")
+    vb_n = (F.col("sxx_b").cast("double") - sxb * mb) / (F.col("n_b") - 1) / F.col("n_b")
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((mb - ma) / ma, 6).alias("lift"),
+        F.round((mb - ma) / F.sqrt(va_n + vb_n), 6).alias("z"),
+    )

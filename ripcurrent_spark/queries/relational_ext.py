@@ -1467,3 +1467,62 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
     )
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend) AS DOUBLE) AS total_spend,
+       round(
+         (2.0 * CAST(SUM(CAST(i AS DECIMAL(12,0)) * spend) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(spend) AS DOUBLE))
+         - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+FROM r
+""",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the
+    concentration statistic behind 'whale' analyses (and data-mix
+    balance checks). Needs every customer's exact ascending rank, so
+    it rides operators/ranking.exact_global_ranks (range-bucketed,
+    no single-task sort of the customer frame); the rank-weighted
+    spend sum accumulates EXACTLY in DECIMAL (rank cast to
+    DECIMAL(12,0) first — a raw bigint * decimal multiply would
+    trigger Spark's silent scale-shrink), and the closed-form
+    G = 2*sum(i*x)/(n*sum(x)) - (n+1)/n evaluates in IEEE ops in
+    identical order on both engines."""
+    from ripcurrent_spark.operators.ranking import exact_global_ranks
+
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    r = exact_global_ranks(
+        base,
+        [("spend", False), ("o_custkey", False)],
+        unique_col="o_custkey",
+        out_col="i",
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("spend").alias("s"),
+        F.sum(F.col("i").cast("decimal(12,0)") * F.col("spend")).alias("ws"),
+    )
+    n = F.col("n")
+    sd = F.col("s").cast("double")
+    return agg.select(
+        n.alias("n_customers"),
+        sd.alias("total_spend"),
+        F.round(
+            (2.0 * F.col("ws").cast("double")) / (n * sd) - (n + 1.0) / n, 9
+        ).alias("gini"),
+    )
