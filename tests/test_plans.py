@@ -522,9 +522,11 @@ BOUNDED_GLOBAL_WINDOWS = {
     # a fixed small vocabulary)
     "sample_domain_mix",
     # offsets over the <= n_buckets-row (constant 64) bucket-counts
-    # frame inside operators/ranking.exact_global_ranks
+    # frame inside operators/ranking.exact_global_ranks — every
+    # consumer of that operator lands here
     "q_rfm_segments",
     "q_spend_percentiles",
+    "q_gini_revenue",
 }
 
 
