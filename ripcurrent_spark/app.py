@@ -66,6 +66,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ripcurrent_spark.cdc.envelope import parse_envelope
 from ripcurrent_spark.classify.library import (
@@ -380,6 +381,25 @@ def run_app(
             # op "c", Main.java:456-464); data columns keep source
             # positions with ALTERED_ names where a rule applied.
             out_cols = [c for c in masked.columns if c not in meta_cols]
+            # Byte-layout pin (ADVICE r6): every payload column is
+            # decoded as STRING by construction (the plan above passes
+            # (c, "string") for all columns), so the cast below never
+            # touches Spark's internal timestamp/date/binary rendering
+            # — which differs byte-wise from any explicit format and
+            # would silently change the flat-file layout. Fail fast if
+            # that contract ever breaks instead of committing an
+            # unpinned rendering to the target.
+            non_string = [
+                f.name
+                for f in masked.schema.fields
+                if f.name in out_cols and not isinstance(f.dataType, T.StringType)
+            ]
+            if non_string:
+                raise ValueError(
+                    "record-mode sink requires string payload columns "
+                    f"(got non-string {non_string}); format them explicitly "
+                    "(date_format/hex) upstream to pin the byte layout"
+                )
             # Raw-record emission (ADVICE r5): the reference's RECORD
             # /OUTFILE target writes separator-delimited records
             # verbatim, so the line is assembled explicitly

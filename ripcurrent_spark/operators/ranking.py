@@ -61,23 +61,47 @@ def _asc_equiv(expr: Column, dtype: T.DataType, desc: bool) -> Column:
     requested order — so a multi-key comparison collapses to ONE
     struct comparison per cut instead of a lexicographic CASE chain
     (63 cuts of chained compares overflow janino's 64 KB method limit
-    and silently drop the whole stage out of codegen)."""
+    and silently drop the whole stage out of codegen).
+
+    Descending keys invert by NEGATION, which has two edge cases the
+    naive ``-v`` gets wrong (ADVICE r6): integer ``MIN_VALUE`` wraps
+    under non-ANSI negation (``-Long.MIN_VALUE == Long.MIN_VALUE``),
+    so integral keys are WIDENED first (int→long, long→decimal(20,0)
+    — both lossless, order-preserving, and never at their own MIN);
+    and float/double NaN does not invert (``-NaN`` is still NaN,
+    which Spark sorts GREATEST in both the original and the negated
+    struct), so descending float/double keys are REJECTED rather
+    than silently mis-ranked. Ascending float/double keys are fine —
+    no negation, and the bucket indicator ``skey > cut`` is monotone
+    under Spark's NaN-greatest total order. Decimal negation never
+    overflows (decimal ranges are symmetric)."""
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        v = F.unix_micros(expr.cast("timestamp"))
+        v, wide = F.unix_micros(expr.cast("timestamp")), "decimal(20,0)"
     elif isinstance(dtype, T.DateType):
-        v = F.unix_date(expr)
-    elif isinstance(
-        dtype,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-         T.FloatType, T.DoubleType, T.DecimalType),
-    ):
-        v = expr
+        v, wide = F.unix_date(expr), "long"
+    elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+        if desc:
+            raise ValueError(
+                "exact_global_ranks: descending float/double keys are not "
+                "supported — NaN does not invert under negation (Spark sorts "
+                "NaN greatest in both directions of the negated struct). "
+                "Rank ascending, or pre-map to an integral/decimal key."
+            )
+        return expr
+    elif isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        v, wide = expr, "long"
+    elif isinstance(dtype, T.LongType):
+        v, wide = expr, "decimal(20,0)"
+    elif isinstance(dtype, T.DecimalType):
+        v, wide = expr, None
     else:
         raise ValueError(
             f"exact_global_ranks: unsupported key type {dtype.simpleString()} "
             "(orderable-invertible types only: numeric, decimal, date, timestamp)"
         )
-    return (-v) if desc else v
+    if not desc:
+        return v
+    return -(v.cast(wide)) if wide else (-v)
 
 
 def _sort_struct(df: DataFrame, keys: Sequence[tuple[str, bool]]) -> Column:
@@ -175,6 +199,129 @@ def exact_global_ranks(
     if total_col is not None:
         out = out.withColumn(total_col, F.col(_TOT))
     return out.drop(_BKT, _LR, _OFF, _TOT)
+
+
+def exact_global_ranks_multi(
+    df: DataFrame,
+    specs: Sequence[tuple[Sequence[tuple[str, bool]], str]],
+    unique_col: str,
+    n_buckets: int = 64,
+    sample_k: int = 4096,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global row_numbers under SEVERAL key orders over the SAME
+    frame in one fused pass — ``specs`` is [(keys, out_col), ...] with
+    each ``keys`` as in :func:`exact_global_ranks`.
+
+    The single-order operator pays one boundary-sample collect, one
+    bucket-count aggregation, and one broadcast offsets join PER
+    ORDER; a consumer ranking the same frame three ways (RFM is the
+    canonical case) triples all of it and then joins three scored
+    frames back on the key — three fact-fact shuffles (r6 measured
+    the total at 12.6 s on a frame whose work is ~1 s). Fused form:
+
+    1. ONE sample collect projects the union of all key columns; each
+       spec's cuts are sorted from that one sample driver-side.
+    2. All bucket columns land in one map-side projection.
+    3. Bucket counts for every spec come from cache-warm control-plane
+       collects (≤ n_buckets rows each), and the per-bucket offsets are
+       embedded as LITERAL arrays indexed by the bucket column — no
+       offsets join at all, and rank columns attach IN PLACE, so the
+       three score joins disappear entirely.
+    4. The input is persisted only around the control-plane collects
+       and unpersisted before returning (the r6 ADVICE cache-leak
+       class) — the returned plan re-derives the input lineage exactly
+       once at action time.
+
+    The rank columns are bit-identical to chained single-order calls
+    (same cuts-from-hash-sample determinism, same bucket indicator,
+    same window)."""
+    names = [out for _, out in specs]
+    clash = ({_BKT, _LR, _OFF, _TOT} | set(names)) & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has internal column(s) {sorted(clash)}")
+
+    import functools
+
+    all_keys: list[str] = []
+    for keys, _ in specs:
+        for c, _d in keys:
+            if c not in all_keys:
+                all_keys.append(c)
+
+    df = df.persist()
+    try:
+        sample = (
+            df.select(
+                h32(F.col(unique_col).cast("string"), seed="rkb").alias("_rk_pri"),
+                *all_keys,
+            )
+            .orderBy("_rk_pri", *all_keys)
+            .limit(sample_k)
+            .collect()
+        )
+        col_pos = {c: i for i, c in enumerate(all_keys)}
+
+        bucket_cols = []
+        for si, (keys, _) in enumerate(specs):
+            idx = [col_pos[c] for c, _d in keys]
+
+            def _cmp(a, b, keys=keys, idx=idx) -> int:
+                for j, (_, desc) in enumerate(keys):
+                    av, bv = a[idx[j]], b[idx[j]]
+                    if av == bv:
+                        continue
+                    lt = av < bv
+                    return (1 if lt else -1) if desc else (-1 if lt else 1)
+                return 0
+
+            srt = sorted([tuple(r)[1:] for r in sample], key=functools.cmp_to_key(_cmp))
+            cuts: list[tuple] = []
+            for j in range(1, n_buckets):
+                if not srt:
+                    break
+                cut_row = srt[min(len(srt) - 1, (j * len(srt)) // n_buckets)]
+                cut = tuple(cut_row[k] for k in idx)
+                if not cuts or cut != cuts[-1]:
+                    cuts.append(cut)
+            skey = _sort_struct(df, keys)
+            bucket = F.lit(0)
+            for cut in cuts:
+                bucket = bucket + (skey > _cut_struct(df, keys, cut)).cast("int")
+            bucket_cols.append(bucket.alias(f"{_BKT}{si}"))
+
+        bucketed = df.select("*", *bucket_cols)
+
+        # Control-plane: ≤ n_buckets rows per spec off the warm cache.
+        total = 0
+        offsets: list[list[int]] = []
+        for si in range(len(specs)):
+            cnt = {
+                r[0]: r[1]
+                for r in bucketed.groupBy(f"{_BKT}{si}")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            total = sum(cnt.values())
+            run, offs = 0, []
+            for b in range(max(cnt, default=-1) + 2):
+                offs.append(run)
+                run += cnt.get(b, 0)
+            offsets.append(offs)
+    finally:
+        df.unpersist()
+
+    out = bucketed
+    for si, ((keys, out_col), offs) in enumerate(zip(specs, offsets)):
+        bkt = F.col(f"{_BKT}{si}")
+        lr = F.row_number().over(
+            W.partitionBy(f"{_BKT}{si}").orderBy(*_order_cols(out, keys))
+        )
+        off = F.element_at(F.array(*[F.lit(o).cast("long") for o in offs]), bkt + 1)
+        out = out.withColumn(out_col, (off + lr).cast("long"))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
+    return out.drop(*[f"{_BKT}{si}" for si in range(len(specs))])
 
 
 def _floordiv(a: Column, b: Column) -> Column:

@@ -32,6 +32,7 @@ bench trick — the oracle recompute is what makes it honest.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 from pathlib import Path
@@ -39,7 +40,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VERSION = 1
+# v2: digest dirs carry a _RC_KEY sidecar recording the source
+# fingerprint, so gc_stranded() can prove staleness. Pre-v2 dirs never
+# match a v2 key and are GC'd as unreadable.
+_VERSION = 2
+_KEY_FILE = "_RC_KEY"
 
 
 def _cache_root() -> Path:
@@ -50,28 +55,100 @@ def _cache_root() -> Path:
     return Path(__file__).resolve().parents[2] / ".artifact_cache"
 
 
-def materialized(spark: SparkSession, kind: str, key: str, build) -> DataFrame:
+def materialized(
+    spark: SparkSession,
+    kind: str,
+    key: str,
+    build,
+    source: str | os.PathLike | None = None,
+    cleanup=None,
+) -> DataFrame:
     """Read the parquet artifact for (kind, key), building it once via
     ``build()`` (a zero-arg callable returning a DataFrame) if absent.
     Atomic landing: write to a pid-suffixed tmp dir, os.replace into
-    place; a lost race keeps the winner's copy."""
+    place; a lost race keeps the winner's copy.
+
+    ``source`` (the file the key fingerprints) is recorded in a
+    ``_RC_KEY`` sidecar inside the artifact so :func:`gc_stranded`
+    can later prove a digest stale — the cache key embeds
+    size/mtime_ns, so every regeneration of the source lands a NEW
+    digest and would strand the old one forever otherwise (ADVICE
+    r6). Siblings are NOT deleted eagerly on build: artifacts for
+    DIFFERENT sf dirs share a kind and are all live (tests at
+    sf0.001, the driver at sf0.01, the sweep at sf1) — staleness is
+    provable only against the recorded source fingerprint.
+    ``cleanup`` (zero-arg) runs after the build lands or fails — the
+    seam for unpersisting frames the build cached."""
     digest = hashlib.md5(key.encode()).hexdigest()[:16]
     out = _cache_root() / kind / digest
     if not (out / "_SUCCESS").exists():
-        art = build()
-        tmp = out.parent / f"{out.name}.tmp.{os.getpid()}"
-        art.write.mode("overwrite").parquet(str(tmp))
         try:
-            os.replace(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (out / "_SUCCESS").exists():
-                raise
+            art = build()
+            tmp = out.parent / f"{out.name}.tmp.{os.getpid()}"
+            art.write.mode("overwrite").parquet(str(tmp))
+            meta = {"key": key}
+            if source is not None:
+                try:
+                    st = os.stat(source)
+                    meta["source"] = str(Path(source).resolve())
+                    meta["size"] = st.st_size
+                    meta["mtime_ns"] = st.st_mtime_ns
+                except OSError:
+                    pass
+            (tmp / _KEY_FILE).write_text(json.dumps(meta))
+            try:
+                os.replace(tmp, out)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not (out / "_SUCCESS").exists():
+                    raise
+        finally:
+            if cleanup is not None:
+                cleanup()
         # Sweep crashed builders' leftovers (a concurrent builder whose
-        # tmp we remove just loses the race and reads the winner).
+        # tmp we remove just loses the race and reads the winner), then
+        # provably-stranded digests across the whole cache.
         for stale in out.parent.glob(f"{out.name}.tmp.*"):
             shutil.rmtree(stale, ignore_errors=True)
+        gc_stranded()
     return spark.read.parquet(str(out))
+
+
+def gc_stranded(root: Path | None = None) -> list[str]:
+    """Delete every digest dir whose recorded source fingerprint no
+    longer resolves — the source file is gone or its (size, mtime_ns)
+    changed, meaning a fresh digest has (or will have) superseded it.
+    Dirs without a readable ``_RC_KEY`` sidecar (pre-v2 layout or a
+    torn write) are stale by construction — the v2 key never maps to
+    them — and are removed too. Returns the removed paths. A few
+    ``stat`` calls per digest; safe to run opportunistically after
+    every cold build."""
+    root = root or _cache_root()
+    removed: list[str] = []
+    if not root.is_dir():
+        return removed
+    for kind_dir in root.iterdir():
+        if not kind_dir.is_dir():
+            continue
+        for d in kind_dir.iterdir():
+            if not d.is_dir() or ".tmp." in d.name:
+                continue  # in-flight builds are the replace path's business
+            stale = False
+            try:
+                meta = json.loads((d / _KEY_FILE).read_text())
+                src = meta.get("source")
+                if src is not None:
+                    st = os.stat(src)
+                    stale = (
+                        st.st_size != meta.get("size")
+                        or st.st_mtime_ns != meta.get("mtime_ns")
+                    )
+            except (OSError, ValueError):
+                stale = True
+            if stale:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(str(d))
+    return removed
 
 
 def _source_key(sf_dir: str, table: str, params: str) -> str:
@@ -91,6 +168,8 @@ def minhash_signature_table(
     from ripcurrent_spark.io import load
     from ripcurrent_spark.operators import dedup as DD
 
+    cached: list[DataFrame] = []
+
     def build() -> DataFrame:
         g = (
             load(spark, sf_dir, "documents")
@@ -99,10 +178,19 @@ def minhash_signature_table(
             .filter(F.size("ngs") > 0)
             .persist()
         )
+        cached.append(g)
         return g.join(DD.minhash_sig_np(g, k=k), "doc_id")
 
     return materialized(
-        spark, "minhash_sigs", _source_key(sf_dir, "documents", f"n{n}:k{k}"), build
+        spark,
+        "minhash_sigs",
+        _source_key(sf_dir, "documents", f"n{n}:k{k}"),
+        build,
+        source=Path(sf_dir) / "documents.parquet",
+        # The build persists g (used by both the shingle side and the
+        # signature aggregation); once the artifact lands the cached
+        # frame is dead weight in a long-lived session (ADVICE r6).
+        cleanup=lambda: [g.unpersist() for g in cached],
     )
 
 
@@ -140,5 +228,9 @@ def copurchase_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return materialized(
-        spark, "copurchase_edges", _source_key(sf_dir, "lineitem", "copurchase:v1"), build
+        spark,
+        "copurchase_edges",
+        _source_key(sf_dir, "lineitem", "copurchase:v1"),
+        build,
+        source=Path(sf_dir) / "lineitem.parquet",
     )

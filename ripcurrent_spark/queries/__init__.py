@@ -89,11 +89,68 @@ def correctness_rounds() -> dict[str, int]:
     return seen
 
 
+def query_source_hash(fn) -> str | None:
+    """md5 of the registered function's full source (decorators
+    included, so an ORACLE rewrite counts as a change too)."""
+    import hashlib
+    import inspect
+
+    try:
+        return hashlib.md5(inspect.getsource(fn).encode()).hexdigest()
+    except (OSError, TypeError):  # pragma: no cover - C callables etc.
+        return None
+
+
+def source_manifest() -> dict[str, dict]:
+    """QUERY_SOURCES.json at the repo root: query name -> {"hash",
+    "round"} recording the source hash THAT round's driver row
+    verified. Written by tools/update_source_manifest.py (bootstrap
+    from git history + a round-end refresh for the predicted window);
+    missing/unparsable -> empty (everything counts as changed-since-
+    verified, the conservative direction)."""
+    import json
+
+    p = Path(__file__).resolve().parents[2] / "QUERY_SOURCES.json"
+    try:
+        return json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
 def driver_check_order(names: Sequence[str]) -> list[str]:
-    """Stable sort: never-checked (round 0) first, then ascending
-    latest-checked round; registration order breaks ties."""
+    """Diff-aware rotation (VERDICT r6 #1). Sort key, ascending:
+
+    1. never driver-checked (no CORRECTNESS row in any round);
+    2. CHANGED since their latest row — the registered function's
+       current source hash differs from the hash the manifest
+       recorded for that verification (or the manifest has no
+       trustworthy entry) — oldest row first within the group;
+    3. unchanged, oldest row first.
+
+    Registration order breaks ties throughout (stable sort). The
+    pre-r7 rotation was (1) + (3) only, which let a rewritten query
+    coast on a green row that PRE-DATED the rewrite for several
+    rounds. Granularity note: the hash covers the query function
+    (decorators + oracle included), not helpers it calls — helper
+    rewrites are covered by the local sf0.01 parity tests
+    (tests/test_round*_ops.py) until the rotation reaches them."""
     seen = correctness_rounds()
-    return sorted(names, key=lambda n: seen.get(n, 0))
+    man = source_manifest()
+
+    def key(n: str) -> tuple[int, int]:
+        r = seen.get(n, 0)
+        if r == 0:
+            return (0, 0)
+        ent = man.get(n)
+        changed = True
+        # An entry "vouching" for a round newer than the latest actual
+        # row claims a verification that never happened (the predicted
+        # window missed) — distrust it.
+        if ent and ent.get("round", 1 << 30) <= r and n in REGISTRY:
+            changed = query_source_hash(REGISTRY[n].spark) != ent.get("hash")
+        return (1 if changed else 2, r)
+
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, Query]:

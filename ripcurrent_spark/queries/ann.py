@@ -1104,21 +1104,39 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stats,
     )
 
+    # Persist the corpus only around the eager training collects (each
+    # subspace's init + Lloyd round reads it fully); unpersisted before
+    # returning so a long-lived session keeps no cached frame (ADVICE
+    # r6) — the returned plan re-scans the embeddings parquet once per
+    # subspace at action time, against literal codebooks.
     v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
     parts = []
-    for m, off in enumerate((1, _PQ_SUB + 1)):
-        sub = v.select("vec_id", F.slice("emb", off, _PQ_SUB).alias("emb"))
-        cents = _rebuild(
-            centroid_stats(assign_np(sub, _init_centroids(sub, _PQ_K)))
-        ).persist()
-        a = assign_np(sub, cents)
-        parts.append(
-            a.join(F.broadcast(cents), "cluster").select(
-                "vec_id",
-                F.col("cluster").alias(f"code{m}"),
-                _dist2(F.col("emb"), F.col("cemb")).alias(f"_d{m}"),
+    try:
+        for m, off in enumerate((1, _PQ_SUB + 1)):
+            sub = v.select("vec_id", F.slice("emb", off, _PQ_SUB).alias("emb"))
+            # One eager collect runs the Lloyd round; the 8-row codebook
+            # becomes a literal frame (assign_np collects it anyway), so
+            # nothing downstream re-derives the training lineage.
+            crows = sorted(
+                _rebuild(
+                    centroid_stats(assign_np(sub, _init_centroids(sub, _PQ_K)))
+                ).collect(),
+                key=lambda r: r[0],
             )
-        )
+            cents = spark.createDataFrame(
+                [(int(r[0]), [float(x) for x in r[1]]) for r in crows],
+                "cluster long, cemb array<double>",
+            )
+            a = assign_np(sub, cents)
+            parts.append(
+                a.join(F.broadcast(cents), "cluster").select(
+                    "vec_id",
+                    F.col("cluster").alias(f"code{m}"),
+                    _dist2(F.col("emb"), F.col("cemb")).alias(f"_d{m}"),
+                )
+            )
+    finally:
+        v.unpersist()
     return (
         parts[0]
         .join(parts[1], "vec_id")

@@ -1213,61 +1213,48 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment code. The aggregate is one partial-agg groupBy; each score
     is an EXACT NTILE computed scalably: the customer frame is 15 B
     rows at sf100k, so instead of an unpartitioned ntile() window (one
-    task sorts every customer) each pass range-buckets by
-    deterministic sketch-sampled cuts, ranks within buckets in
-    parallel, and adds the bounded per-bucket offsets —
-    operators/ranking.exact_global_ranks; the tile then falls out of
-    integer arithmetic on (rank, total). Result is bit-identical to
-    the window form (the oracle runs real NTILEs). DECIMAL spend makes
-    the ordering and the emitted total exact on both engines."""
-    from ripcurrent_spark.operators.ranking import exact_global_ranks, ntile_expr
+    task sorts every customer) the three orders range-bucket by
+    deterministic sketch-sampled cuts, rank within buckets in
+    parallel, and add literal per-bucket offsets — all FUSED in
+    operators/ranking.exact_global_ranks_multi (r6 ran three separate
+    rank decompositions and joined three scored frames back on the
+    key: 3x the sample/counts jobs plus three fact-fact shuffles,
+    12.6 s at sf1 for ~1 s of work; the fused form pays one sample,
+    one cached scan, zero joins, and releases its cache before
+    returning). The tile falls out of integer arithmetic on
+    (rank, total); result is bit-identical to the window form (the
+    oracle runs real NTILEs). DECIMAL spend makes the ordering and
+    the emitted total exact on both engines."""
+    from ripcurrent_spark.operators.ranking import exact_global_ranks_multi, ntile_expr
 
     o = load(spark, sf_dir, "orders")
-    # Persist + materialize the customer aggregate: each of the three
-    # ranking passes reads it several times (boundary sample, local
-    # ranks, bucket counts) — CHAINING the passes over unpersisted
-    # lineage re-derived pass 1's plan inside pass 3's sample collect
-    # and blew sf1 from ~1 s of work to 22 s. One node-level-bounded
-    # cached frame per call (the q_hour_day_rollup pattern; bench and
-    # the sweep clear cache between queries).
-    base = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("spend"),
-        )
-        .persist()
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("spend"),
     )
-    out = base
-    for keys, name in [
-        ([("last_order", True), ("o_custkey", False)], "r_score"),
-        ([("n_orders", True), ("o_custkey", False)], "f_score"),
-        ([("spend", True), ("o_custkey", False)], "m_score"),
-    ]:
-        score = exact_global_ranks(
-            base, keys, unique_col="o_custkey", out_col="_p", total_col="_n"
-        ).select(
-            "o_custkey", ntile_expr(F.col("_p"), F.col("_n"), 4).alias(name)
-        )
-        out = out.join(score, "o_custkey")
-    scored = out.select(
+    ranked = exact_global_ranks_multi(
+        base,
+        [
+            ([("last_order", True), ("o_custkey", False)], "_pr"),
+            ([("n_orders", True), ("o_custkey", False)], "_pf"),
+            ([("spend", True), ("o_custkey", False)], "_pm"),
+        ],
+        unique_col="o_custkey",
+        total_col="_n",
+    )
+    n = F.col("_n")
+    scored = ranked.select(
         "o_custkey",
         "last_order",
         "n_orders",
         F.col("spend").cast("double").alias("total_spend"),
-        "r_score",
-        "f_score",
-        "m_score",
+        ntile_expr(F.col("_pr"), n, 4).alias("r_score"),
+        ntile_expr(F.col("_pf"), n, 4).alias("f_score"),
+        ntile_expr(F.col("_pm"), n, 4).alias("m_score"),
     )
     return scored.select(
-        "o_custkey",
-        "last_order",
-        "n_orders",
-        "total_spend",
-        "r_score",
-        "f_score",
-        "m_score",
+        "*",
         F.concat(
             F.col("r_score").cast("string"),
             F.col("f_score").cast("string"),
@@ -1441,9 +1428,12 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_cumulative_users), a running max over dates-descending
     (EXCLUSIVE frame, so same-date orders never dominate each other)
     gives the best strictly-later price, and one broadcast join back
-    filters the fact scan: price > that running max, with NULL (no
-    later date) meaning undominated. Two scans + one bounded window
-    + one broadcast join — no pairwise comparison anywhere."""
+    filters the fact scan: price >= that running max (dominance
+    requires a strictly GREATER later price, so an exact tie with
+    the best later price does NOT dominate — decimal(12,2) prices
+    make exact ties realistic), with NULL (no later date) meaning
+    undominated. Two scans + one bounded window + one broadcast join
+    — no pairwise comparison anywhere."""
     o = load(spark, sf_dir, "orders")
     per_date = o.groupBy("o_orderdate").agg(
         F.max(_dec("o_totalprice")).alias("_mx")
@@ -1459,7 +1449,7 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(later_best), "o_orderdate")
         .filter(
             F.col("_later_mx").isNull()
-            | (_dec("o_totalprice") > F.col("_later_mx"))
+            | (_dec("o_totalprice") >= F.col("_later_mx"))
         )
         .select(
             "o_orderkey",

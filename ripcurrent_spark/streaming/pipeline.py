@@ -277,19 +277,28 @@ def enrich_foreach_batch(
     parquet dimension either serves stale rows or fails with
     FILE_NOT_EXIST mid-stream (a transactional table format moves this
     problem into the format's snapshot layer). Re-reading per trigger
-    is the plain-parquet-correct pattern; the dim is broadcast by
-    default (the dimension-vs-fact asymmetry of the reference's lookup
-    targets).
+    is the plain-parquet-correct pattern.
+
+    The broadcast is SIZE-GATED, not forced (VERDICT r6): the
+    documented dimension here is the bucketed snapshot a CDC upsert
+    sink maintains — a relation that scales with the SOURCE TABLE,
+    not a fixed dim, so an unconditional ``F.broadcast`` is the same
+    100 TB time bomb `operators/hints` exists to defuse. Because the
+    dim is re-read inside every trigger, ``hints.bcast``'s Catalyst
+    size estimate is FRESH each trigger — a snapshot that grows past
+    the gate mid-stream stops being broadcast at the next trigger
+    without a restart. ``broadcast_dim=False`` remains as the
+    explicit opt-out (skips even the gated hint).
 
     `apply_fn(enriched_batch, batch_id)` receives the joined frame.
     """
-    from pyspark.sql import functions as F
+    from ripcurrent_spark.operators.hints import bcast
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         dim = spark.read.parquet(dim_path)
         if broadcast_dim:
-            dim = F.broadcast(dim)
+            dim = bcast(dim)
         apply_fn(batch.join(dim, on, how), batch_id)
 
     return _apply

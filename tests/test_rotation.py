@@ -64,11 +64,70 @@ def test_verdict_r2_sixteen_in_window():
     assert still_unchecked <= window
 
 
-def test_rotation_prefers_older_rounds():
+def _changed_since_verified() -> set[str]:
+    from ripcurrent_spark.queries import query_source_hash, source_manifest
+
+    reg, seen, man = all_queries(), correctness_rounds(), source_manifest()
+    out = set()
+    for n, q in reg.items():
+        r = seen.get(n, 0)
+        if r == 0:
+            continue
+        ent = man.get(n)
+        if (
+            not ent
+            or ent.get("round", 1 << 30) > r
+            or query_source_hash(q.spark) != ent.get("hash")
+        ):
+            out.add(n)
+    return out
+
+
+def test_rotation_is_diff_aware():
+    """VERDICT r6 #1: queries whose registered-function source changed
+    since their latest driver row jump the queue — never-checked
+    first, then ALL changed (oldest row first), then unchanged
+    (oldest row first)."""
     seen = correctness_rounds()
+    changed = _changed_since_verified()
     order = driver_check_order(list(all_queries()))
-    ranks = [seen.get(n, 0) for n in order]
-    assert ranks == sorted(ranks)  # non-decreasing: oldest-first
+
+    def group(n):
+        if seen.get(n, 0) == 0:
+            return 0
+        return 1 if n in changed else 2
+
+    keys = [(group(n), seen.get(n, 0)) for n in order]
+    assert keys == sorted(keys), "order violates (never, changed, unchanged)+round"
+
+
+def test_changed_queries_lead_the_window():
+    seen = correctness_rounds()
+    changed = _changed_since_verified()
+    never = {n for n in all_queries() if n not in seen}
+    window = set(list(all_queries())[:GATE_WINDOW])
+    overflow = (changed | never) - window
+    # Every changed/never query fits in the window as long as there is
+    # room; if they ever exceed the window the FRONT must still be all
+    # changed/never.
+    if overflow:
+        head = list(all_queries())[:GATE_WINDOW]
+        assert all(n in changed or n in never for n in head)
+    else:
+        assert (changed | never) <= window
+
+
+def test_manifest_covers_every_verified_query():
+    """The bootstrap resolved all 169 queries from git history; a
+    future round-end refresh must not drop coverage for queries with
+    driver rows (an uncovered query silently counts as changed every
+    round, pinning the rotation)."""
+    from ripcurrent_spark.queries import source_manifest
+
+    man = source_manifest()
+    seen = correctness_rounds()
+    uncovered = set(seen) - set(man)
+    assert not uncovered, f"verified queries missing manifest entries: {uncovered}"
 
 
 def test_order_is_complete_and_duplicate_free():
