@@ -55,6 +55,13 @@ def _cache_root() -> Path:
     return Path(__file__).resolve().parents[2] / ".artifact_cache"
 
 
+def artifact_dir(kind: str, key: str) -> Path:
+    """The digest dir (kind, key) lands in — exposed so the sf1 sweep
+    can evict exactly one artifact and time its cold build as a
+    first-class entry (VERDICT r6 #5)."""
+    return _cache_root() / kind / hashlib.md5(key.encode()).hexdigest()[:16]
+
+
 def materialized(
     spark: SparkSession,
     kind: str,
@@ -79,8 +86,7 @@ def materialized(
     provable only against the recorded source fingerprint.
     ``cleanup`` (zero-arg) runs after the build lands or fails — the
     seam for unpersisting frames the build cached."""
-    digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    out = _cache_root() / kind / digest
+    out = artifact_dir(kind, key)
     if not (out / "_SUCCESS").exists():
         try:
             art = build()
@@ -157,8 +163,11 @@ def _source_key(sf_dir: str, table: str, params: str) -> str:
     return f"v{_VERSION}:{src.resolve()}:{st.st_size}:{st.st_mtime_ns}:{params}"
 
 
+_MINHASH_N, _MINHASH_K = 3, 12
+
+
 def minhash_signature_table(
-    spark: SparkSession, sf_dir: str, n: int = 3, k: int = 12
+    spark: SparkSession, sf_dir: str, n: int = _MINHASH_N, k: int = _MINHASH_K
 ) -> DataFrame:
     """The (doc_id, ngs, sig) table for ``sf_dir``'s documents:
     distinct word-``n``-gram shingles plus the k-permutation MinHash
@@ -234,3 +243,26 @@ def copurchase_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         source=Path(sf_dir) / "lineitem.parquet",
     )
+
+
+# Named artifacts for the sweep's first-class build entries (VERDICT
+# r6 #5): the steady-state sweep reads warm artifacts, so the one-time
+# build cost must stay VISIBLE as its own measured entry instead of a
+# prose footnote. Each value = (reader that triggers a build when the
+# digest is absent, digest-dir resolver for cold-eviction).
+def named_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    return {
+        "artifact_minhash_sigs": (
+            lambda: minhash_signature_table(spark, sf_dir),
+            lambda: artifact_dir(
+                "minhash_sigs",
+                _source_key(sf_dir, "documents", f"n{_MINHASH_N}:k{_MINHASH_K}"),
+            ),
+        ),
+        "artifact_copurchase_edges": (
+            lambda: copurchase_edge_table(spark, sf_dir),
+            lambda: artifact_dir(
+                "copurchase_edges", _source_key(sf_dir, "lineitem", "copurchase:v1")
+            ),
+        ),
+    }

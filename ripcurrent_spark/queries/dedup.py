@@ -779,6 +779,120 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_remove_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DD.tokens_sql('text')} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN i < len(t) // {_SPAN_TOKENS}
+              THEN array_to_string(list_slice(t, i * {_SPAN_TOKENS} + 1,
+                                              i * {_SPAN_TOKENS} + {_SPAN_TOKENS}), ' ')
+              ELSE array_to_string(list_slice(t, i * {_SPAN_TOKENS} + 1, len(t)), ' ')
+         END AS chunk,
+         i < len(t) // {_SPAN_TOKENS} AS is_full
+  FROM toks, unnest(range(len(t) // {_SPAN_TOKENS} + 1)) AS u(i)
+),
+cnt AS (
+  SELECT md5(chunk) AS chash, count(DISTINCT doc_id) AS nd
+  FROM chunks WHERE is_full GROUP BY 1
+),
+flagged AS (
+  SELECT c.doc_id, c.pos, c.chunk,
+         c.is_full AND coalesce(n.nd, 0) >= {_SPAN_MIN_DOCS} AS removed
+  FROM chunks c LEFT JOIN cnt n ON c.is_full AND md5(c.chunk) = n.chash
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE pos >= 0) - 1 AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                FILTER (WHERE NOT removed AND chunk <> ''), '') AS cleaned_text
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style boilerplate CLEANER (VERDICT r6 #7):
+    dedup_common_spans only FLAGS over-frequent 10-token chunks; this
+    operator REWRITES each document with those chunks removed — the
+    pass a training pipeline actually runs before packing.
+
+    One scan of the corpus text: documents split into non-overlapping
+    10-token chunks PLUS the tail slice as a final pseudo-chunk (kept
+    unconditionally, so short docs and non-multiple-of-10 lengths
+    round-trip intact). The chunk frame is persisted — the frequency
+    aggregation and the reassembly join both read it, so text
+    tokenizes ONCE (the dedup_common_spans posture; bench and the
+    sweep clear cache per slot). A chunk seen in >= {_SPAN_MIN_DOCS}
+    distinct docs is dropped from every document containing it;
+    kept chunks reassemble in position order via a per-doc bounded
+    array_sort(collect_list(struct(pos, chunk))) — per-doc arrays are
+    bounded by the doc's own chunk count, never corpus-scaled. The
+    oracle reassembles with string_agg(... ORDER BY pos) and the
+    cleaned text value-hashes end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", DD.tokens("text").alias("t"))
+    n_full = F.floor(F.size("t") / _SPAN_TOKENS).cast("int")
+    chunk_of = F.when(
+        F.col("pos") < F.col("_nf"),
+        F.concat_ws(" ", F.slice("t", F.col("pos") * _SPAN_TOKENS + 1, _SPAN_TOKENS)),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.slice(
+                "t",
+                F.col("pos") * _SPAN_TOKENS + 1,
+                F.greatest(F.size("t") - F.col("pos") * _SPAN_TOKENS, F.lit(0)),
+            ),
+        )
+    )
+    chunks = (
+        t.select("doc_id", "t", n_full.alias("_nf"))
+        .select(
+            "doc_id",
+            "t",
+            "_nf",
+            F.explode(F.sequence(F.lit(0), F.col("_nf"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            chunk_of.alias("chunk"),
+            (F.col("pos") < F.col("_nf")).alias("is_full"),
+        )
+        .withColumn(
+            "chash", F.when(F.col("is_full"), F.md5("chunk"))
+        )
+        .persist()
+    )
+    cnt = (
+        chunks.filter("is_full")
+        .groupBy("chash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+    )
+    flagged = chunks.join(cnt, "chash", "left").withColumn(
+        "removed",
+        F.col("is_full") & (F.coalesce(F.col("nd"), F.lit(0)) >= _SPAN_MIN_DOCS),
+    )
+    kept_struct = F.when(~F.col("removed"), F.struct("pos", "chunk"))
+    return flagged.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_chunks"),
+        F.sum(F.col("removed").cast("int")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                lambda c: c != "",
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 # ------------------------------------------------------- keep-best dedup
 def _quality_sql() -> str:
     from ripcurrent_spark.operators import text as TX

@@ -543,6 +543,31 @@ def test_no_global_window_over_unbounded_frame(spark):
     assert not offenders, offenders
 
 
+def test_bpe_apply_single_mapinpandas_no_per_merge_nodes(spark):
+    """VERDICT r6 #6: the whole ordered merge table applies inside ONE
+    MapInPandas (merge list in the closure); per-merge expression
+    nodes would make the plan scale with vocabulary size (janino
+    blowup at real vocabularies)."""
+    from ripcurrent_spark.queries.text import _BPE_MERGES
+
+    plan = _plan(spark, "text_bpe_apply")
+    assert plan.count("MapInPandas") == 1
+    for a, b in _BPE_MERGES:
+        assert f"{a}_{b}" not in plan  # merges live in the closure, not the plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_remove_spans_single_text_scan(spark):
+    """VERDICT r6 #7: both the chunk-frequency side and the reassembly
+    side read the persisted chunk frame — corpus text tokenizes ONCE
+    (two InMemoryTableScan readers over one cached relation, not two
+    parquet scans of `text`)."""
+    plan = _plan(spark, "dedup_remove_spans")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
+
+
 def test_grouped_topk_uses_window_group_limit(spark):
     # Spark 4 pushes rank<=k into WindowGroupLimit (partial + final):
     # each task retains only k rows per group BEFORE the shuffle/sort,
