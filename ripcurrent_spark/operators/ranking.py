@@ -49,7 +49,7 @@ from pyspark.sql import types as T
 
 from ripcurrent_spark.functions.hashing import h32
 
-_BKT, _LR, _OFF, _TOT = "_rk_bucket", "_rk_local", "_rk_off", "_rk_total"
+_BKT, _LR, _OFF, _TOT, _SK = "_rk_bucket", "_rk_local", "_rk_off", "_rk_total", "_rk_sk"
 
 
 def _order_cols(df: DataFrame, keys: Sequence[tuple[str, bool]]) -> list[Column]:
@@ -126,6 +126,71 @@ def _cut_struct(df: DataFrame, keys: Sequence[tuple[str, bool]], cut) -> Column:
     )
 
 
+def _asc_sql_type(dtype: T.DataType, desc: bool) -> str:
+    """Spark SQL name of _asc_equiv's output type (literal CASTs in
+    the generated bucket SQL must match the materialized struct's
+    field types exactly, or the struct comparison fails analysis)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "DECIMAL(20,0)" if desc else "BIGINT"
+    if isinstance(dtype, T.DateType):
+        return "BIGINT" if desc else "INT"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "BIGINT" if desc else dtype.simpleString().upper()
+    if isinstance(dtype, T.LongType):
+        return "DECIMAL(20,0)" if desc else "BIGINT"
+    if isinstance(dtype, T.DecimalType):
+        return dtype.simpleString().upper().replace("DECIMAL", "DECIMAL")
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return dtype.simpleString().upper()
+    raise ValueError(f"unsupported key type {dtype.simpleString()}")
+
+
+def _asc_py_literal(val, dtype: T.DataType, desc: bool) -> str:
+    """Driver-side mirror of _asc_equiv on a COLLECTED value: the
+    ascending-equivalent literal as a string for the generated SQL."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        delta = val - _dt.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+        v = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    elif isinstance(dtype, T.DateType):
+        v = (val - _dt.date(1970, 1, 1)).days
+    elif isinstance(dtype, T.DecimalType):
+        v = _Dec(val)
+    elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return repr(float(val))  # asc only (desc rejected upstream)
+    else:
+        v = int(val)
+    return str(-v) if desc else str(v)
+
+
+def _bucket_sql(
+    df: DataFrame, keys: Sequence[tuple[str, bool]], cuts, sk_col: str
+) -> Column:
+    """The bucket index (#cuts strictly below the row's sort key) as
+    ONE generated-SQL expression against the materialized key-struct
+    column. Building it with per-cut Column operations costs a py4j
+    JVM round-trip per node — measured 7.3 s of pure DRIVER time for
+    3 x 63 cuts at sf1 (more than the Spark jobs themselves); a
+    single F.expr over a driver-built string is one call, and the
+    parsed plan (sum of struct comparisons vs literal named_structs)
+    is byte-identical to the Column form."""
+    if not cuts:
+        return F.lit(0)
+    terms = []
+    for cut in cuts:
+        fields = []
+        for i, ((name, desc), val) in enumerate(zip(keys, cut)):
+            dt = df.schema[name].dataType
+            lit = _asc_py_literal(val, dt, desc)
+            fields.append(f"'k{i}', CAST('{lit}' AS {_asc_sql_type(dt, desc)})")
+        terms.append(
+            f"CAST((`{sk_col}` > named_struct({', '.join(fields)})) AS INT)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
 def exact_global_ranks(
     df: DataFrame,
     keys: Sequence[tuple[str, bool]],
@@ -141,7 +206,7 @@ def exact_global_ranks(
     decomposition above instead of a single-task window. With
     ``total_col`` set, the grand total row count rides along (for
     NTILE arithmetic)."""
-    clash = {_BKT, _LR, _OFF, _TOT} & set(df.columns)
+    clash = {_BKT, _LR, _OFF, _TOT, _SK} & set(df.columns)
     if clash:
         raise ValueError(f"input already has internal column(s) {sorted(clash)}")
 
@@ -175,11 +240,14 @@ def exact_global_ranks(
         if not cuts or cut != cuts[-1]:
             cuts.append(cut)
 
-    skey = _sort_struct(df, keys)
-    bucket = F.lit(0)
-    for cut in cuts:
-        bucket = bucket + (skey > _cut_struct(df, keys, cut)).cast("int")
-    bucketed = df.withColumn(_BKT, bucket)
+    # Materialize the ascending-equivalent key struct ONCE per row and
+    # compare the materialized COLUMN against each cut literal: inlining
+    # the struct constructor into every comparison re-builds it per cut
+    # (63 struct allocations/row — measured 2.34 s vs 1.39 s cold at
+    # sf1 on the 150k customer aggregate; CollapseProject keeps the
+    # separate projection because the non-cheap expr is referenced >1x).
+    mat = df.select("*", _sort_struct(df, keys).alias(_SK))
+    bucketed = mat.select(*df.columns, _bucket_sql(df, keys, cuts, _SK).alias(_BKT))
 
     local = bucketed.withColumn(
         _LR, F.row_number().over(W.partitionBy(_BKT).orderBy(*_order_cols(df, keys)))
@@ -223,11 +291,11 @@ def exact_global_ranks_multi(
     1. ONE sample collect projects the union of all key columns; each
        spec's cuts are sorted from that one sample driver-side.
     2. All bucket columns land in one map-side projection.
-    3. Bucket counts for every spec come from cache-warm control-plane
-       collects (≤ n_buckets rows each), and the per-bucket offsets are
-       embedded as LITERAL arrays indexed by the bucket column — no
-       offsets join at all, and rank columns attach IN PLACE, so the
-       three score joins disappear entirely.
+    3. Bucket counts for EVERY spec come from one fused cache-warm
+       posexplode collect (≤ specs x n_buckets rows), and the
+       per-bucket offsets are embedded as LITERAL arrays indexed by
+       the bucket column — no offsets join at all, and rank columns
+       attach IN PLACE, so the three score joins disappear entirely.
     4. The input is persisted only around the control-plane collects
        and unpersisted before returning (the r6 ADVICE cache-leak
        class) — the returned plan re-derives the input lineage exactly
@@ -237,7 +305,9 @@ def exact_global_ranks_multi(
     (same cuts-from-hash-sample determinism, same bucket indicator,
     same window)."""
     names = [out for _, out in specs]
-    clash = ({_BKT, _LR, _OFF, _TOT} | set(names)) & set(df.columns)
+    clash = ({_BKT, _LR, _OFF, _TOT, _SK, "_rk_spec", "_rk_b"} | set(names)) & set(
+        df.columns
+    )
     if clash:
         raise ValueError(f"input already has internal column(s) {sorted(clash)}")
 
@@ -262,6 +332,18 @@ def exact_global_ranks_multi(
         )
         col_pos = {c: i for i, c in enumerate(all_keys)}
 
+        # Materialize every spec's ascending-equivalent key struct ONCE
+        # per row, then compare the materialized COLUMNS against the cut
+        # literals — inlining the struct constructor into each of the
+        # ~63 comparisons re-allocates it per cut (measured 2.34 s vs
+        # 1.39 s per count job at sf1; see exact_global_ranks).
+        mat = df.select(
+            "*",
+            *[
+                _sort_struct(df, keys).alias(f"{_SK}{si}")
+                for si, (keys, _) in enumerate(specs)
+            ],
+        )
         bucket_cols = []
         for si, (keys, _) in enumerate(specs):
             idx = [col_pos[c] for c, _d in keys]
@@ -284,29 +366,36 @@ def exact_global_ranks_multi(
                 cut = tuple(cut_row[k] for k in idx)
                 if not cuts or cut != cuts[-1]:
                     cuts.append(cut)
-            skey = _sort_struct(df, keys)
-            bucket = F.lit(0)
-            for cut in cuts:
-                bucket = bucket + (skey > _cut_struct(df, keys, cut)).cast("int")
-            bucket_cols.append(bucket.alias(f"{_BKT}{si}"))
+            bucket_cols.append(
+                _bucket_sql(df, keys, cuts, f"{_SK}{si}").alias(f"{_BKT}{si}")
+            )
 
-        bucketed = df.select("*", *bucket_cols)
+        bucketed = mat.select(*df.columns, *bucket_cols)
 
-        # Control-plane: ≤ n_buckets rows per spec off the warm cache.
-        total = 0
+        # Control-plane: ALL specs' bucket counts in ONE fused job
+        # (posexplode over the bucket columns) — three separate count
+        # jobs each pay their own codegen compile of a 63-cut
+        # projection (~2 s apiece at sf1); fused, the projection
+        # compiles once and the cache scans once.
+        cnt: dict[tuple[int, int], int] = {
+            (r[0], r[1]): r[2]
+            for r in bucketed.select(
+                F.posexplode(
+                    F.array(*[F.col(f"{_BKT}{si}") for si in range(len(specs))])
+                ).alias("_rk_spec", "_rk_b")
+            )
+            .groupBy("_rk_spec", "_rk_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(n for (si, _b), n in cnt.items() if si == 0)
         offsets: list[list[int]] = []
         for si in range(len(specs)):
-            cnt = {
-                r[0]: r[1]
-                for r in bucketed.groupBy(f"{_BKT}{si}")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            total = sum(cnt.values())
+            per = {b: n for (s, b), n in cnt.items() if s == si}
             run, offs = 0, []
-            for b in range(max(cnt, default=-1) + 2):
+            for b in range(max(per, default=-1) + 2):
                 offs.append(run)
-                run += cnt.get(b, 0)
+                run += per.get(b, 0)
             offsets.append(offs)
     finally:
         df.unpersist()
