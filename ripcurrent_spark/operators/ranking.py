@@ -139,7 +139,7 @@ def _asc_sql_type(dtype: T.DataType, desc: bool) -> str:
     if isinstance(dtype, T.LongType):
         return "DECIMAL(20,0)" if desc else "BIGINT"
     if isinstance(dtype, T.DecimalType):
-        return dtype.simpleString().upper().replace("DECIMAL", "DECIMAL")
+        return dtype.simpleString().upper()
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         return dtype.simpleString().upper()
     raise ValueError(f"unsupported key type {dtype.simpleString()}")

@@ -980,6 +980,72 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTLIER_K = 50
+
+
+@register(
+    "emb_outlier_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+m AS (
+  SELECT [{", ".join(
+      f"CAST(SUM(CAST(emb[{d}] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
+      for d in range(1, 65)
+  )}] AS mean
+  FROM v
+)
+SELECT vec_id, label,
+       round(list_sum(list_transform(range(1, 65),
+             i -> (emb[i] - mean[i]) * (emb[i] - mean[i]))), 6) AS dist2
+FROM v, m
+ORDER BY dist2 DESC, vec_id
+LIMIT {_OUTLIER_K}
+""",
+)
+def emb_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: the {_OUTLIER_K} vectors farthest
+    from the corpus centroid — the screen a curation pipeline runs for
+    mis-embedded / off-distribution documents before training on them.
+
+    Exactness: the centroid is computed from per-dim DECIMAL(38,12)
+    sums (order-independent) in ONE aggregate pass collected as
+    control-plane (a single 65-column row); float(decimal)/n in Python
+    is the same correctly-rounded double as DuckDB's
+    CAST(dec AS DOUBLE)/COUNT(*), so the literal mean embedded in the
+    distance expression is bit-identical to the oracle's. The
+    squared-distance fold is left-to-right per dimension (the proven
+    list_sum/aggregate IEEE pairing) and the rounded distance is both
+    the emitted value and the sort key, tie-broken by vec_id. Scale:
+    one agg scan + one map-only scan + TakeOrderedAndProject
+    (mergeable top-k) — no shuffle wider than the 50-row result."""
+    v = _vectors(spark, sf_dir)
+    dec = "decimal(38,12)"
+    row = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("emb")[d].cast(dec)).alias(f"s{d}") for d in range(64)],
+    ).collect()[0]
+    n = row["n"] or 1
+    mean = [float(row[f"s{d}"] or 0) / n for d in range(64)]
+    mlit = F.array(*[F.lit(m) for m in mean])
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("emb"), mlit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        v.select("vec_id", "label", d2.alias("dist2"))
+        .orderBy(F.desc("dist2"), "vec_id")
+        .limit(_OUTLIER_K)
+    )
+
+
 @register(
     "ann_hard_negatives",
     oracle=f"""

@@ -336,6 +336,108 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- vocabulary coverage
+# A trained tokenizer vocabulary (bounded artifact, like _BPE_MERGES):
+# ships as an expression literal / SQL IN-list. Words chosen to split
+# the synthetic corpus meaningfully — several present, several absent.
+_VOCAB = [
+    "the", "a", "data", "join", "merge", "sort", "scan", "table",
+    "row", "column", "batch", "stream", "spark", "query", "filter",
+    "key", "tensor", "gradient", "epoch", "adapter",
+]
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> list_contains([{", ".join(f"'{w}'" for w in _VOCAB)}], x)))
+         AS n_in_vocab,
+       round(1 - CAST(len(list_filter(toks,
+             x -> list_contains([{", ".join(f"'{w}'" for w in _VOCAB)}], x))) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS oov_rate
+FROM t
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate audit: what fraction of each
+    document's tokens a trained tokenizer vocabulary covers — the
+    pre-training check that a corpus and a tokenizer actually match
+    (high OOV = wrong language, wrong domain, or encoding damage).
+    The bounded vocabulary ships as an array literal (the
+    stopword_hits pattern); one map-only scan, no shuffle at any
+    scale. Counts are exact integers; the rate divides as IEEE
+    doubles in identical order on both engines."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    hits = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(vocab, x)))
+    n = F.size("toks")
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        hits.alias("n_in_vocab"),
+        F.round(
+            1 - hits.cast("double") / F.greatest(n, F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, unnest({ngrams_sql("text", 3, True)}) AS ng FROM documents
+),
+fst AS (SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_rate
+FROM g JOIN fst f ON g.ng = f.ng
+GROUP BY g.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    3-gram shingles that first appear in THIS doc (by doc_id order) —
+    the curriculum/memorization signal behind 'how much of this
+    document is new text vs corpus boilerplate'. Shape mirrors
+    dedup_common_spans: one explode of distinct shingles hashed to
+    fixed-width md5 keys, a partial-agg min(doc_id) per gram, one
+    equi-join back on the SAME persisted gram frame (text tokenizes
+    once; bench and the sweep clear cache per slot), then a per-doc
+    aggregate. At 100 TB the gram-frequency frame is Zipf-tiny
+    relative to the corpus and every step is partial-aggregable —
+    no window, no skew-prone key (md5 uniformizes)."""
+    from ripcurrent_spark.operators.dedup import ngrams_of_tokens
+
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(ngrams_of_tokens(F.col("toks"), n=3)).alias("ng"))
+        .select("doc_id", F.md5("ng").alias("gh"))
+        .persist()
+    )
+    fst = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(fst, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
 # RE2-and-Java-safe scrubbing patterns (no lookaround).
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _URL_RE = "https?://[^ ]+"
