@@ -406,20 +406,23 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY: the fraction of a doc's distinct
     3-gram shingles that first appear in THIS doc (by doc_id order) —
     the curriculum/memorization signal behind 'how much of this
-    document is new text vs corpus boilerplate'. Shape mirrors
-    dedup_common_spans: one explode of distinct shingles hashed to
-    fixed-width md5 keys, a partial-agg min(doc_id) per gram, one
-    equi-join back on the SAME persisted gram frame (text tokenizes
-    once; bench and the sweep clear cache per slot), then a per-doc
-    aggregate. At 100 TB the gram-frequency frame is Zipf-tiny
-    relative to the corpus and every step is partial-aggregable —
-    no window, no skew-prone key (md5 uniformizes)."""
-    from ripcurrent_spark.operators.dedup import ngrams_of_tokens
+    document is new text vs corpus boilerplate'. Reads the
+    distinct-3-gram column of the materialized MinHash signature
+    artifact (operators/sigstore — the same shingles the dedup chain
+    shares, computed once and stored; the from-scratch oracle
+    re-proves the artifact every round like every other consumer;
+    docs with <3 tokens have no shingles and drop out identically on
+    both sides), hashes grams to fixed-width md5 keys, takes a
+    partial-agg min(doc_id) per gram, joins back on the SAME
+    persisted gram frame, then one per-doc aggregate. At 100 TB the
+    gram-frequency frame is Zipf-tiny relative to the corpus and
+    every step is partial-aggregable — no window, no skew-prone key
+    (md5 uniformizes)."""
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
 
-    d = load(spark, sf_dir, "documents")
     g = (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", F.explode(ngrams_of_tokens(F.col("toks"), n=3)).alias("ng"))
+        minhash_signature_table(spark, sf_dir)
+        .select("doc_id", F.explode("ngs").alias("ng"))
         .select("doc_id", F.md5("ng").alias("gh"))
         .persist()
     )
