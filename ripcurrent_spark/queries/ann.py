@@ -313,11 +313,16 @@ def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/clustering.py."""
     from ripcurrent_spark.operators.clustering import kmeans_centroid_stats
 
-    # Persist the cast vectors: the Lloyd build reads them four times
-    # (seed top-k, two assignment passes, the stats pass); without the
-    # persist each read repeats the parquet scan + array cast.
+    # Persist the cast vectors only around the Lloyd build's eager
+    # collects (seed top-k + per-round centroid collects each read the
+    # corpus); released before returning (the r6 ADVICE cache-leak
+    # class) — the returned stats plan re-scans parquet once at action
+    # time against the already-trained literal centroids.
     v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
-    return kmeans_centroid_stats(v, k=_KM_K, iters=2)
+    try:
+        return kmeans_centroid_stats(v, k=_KM_K, iters=2)
+    finally:
+        v.unpersist()
 
 
 _COV_D = 8  # leading dims profiled (full 64x64 is the same plan, more rows)
@@ -514,10 +519,13 @@ def ann_cluster_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (order-independent) before one double division."""
     from ripcurrent_spark.operators.clustering import kmeans_assignments
 
-    # Persist the cast vectors: the Lloyd build reads them three times
-    # (seed top-k, the rebuild's assignment pass, the final assignment).
+    # Persist the cast vectors only around the Lloyd build's eager
+    # collects; released before returning (r6 ADVICE cache-leak class).
     v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
-    a = kmeans_assignments(v, k=_KM_K, iters=2).select("vec_id", "cluster")
+    try:
+        a = kmeans_assignments(v, k=_KM_K, iters=2).select("vec_id", "cluster")
+    finally:
+        v.unpersist()
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return (
         a.join(d, a.vec_id == d.doc_id)

@@ -166,6 +166,15 @@ def test_pq_distortion_leaves_no_cached_frames(spark):
     assert _n_cached(spark) == before
 
 
+@pytest.mark.parametrize("name", ["ann_kmeans_centroids", "ann_cluster_doc_profile"])
+def test_kmeans_family_leaves_no_cached_frames(spark, name):
+    """Same r6-ADVICE leak class as rfm/pq: the Lloyd build's eager
+    collects justify a persist, but it must release before returning."""
+    before = _n_cached(spark)
+    all_queries()[name].spark(spark, "/root/testdata/sf0.001").collect()
+    assert _n_cached(spark) == before
+
+
 # ------------------------------------------- degree-ordered triangle census
 
 
