@@ -523,8 +523,9 @@ BOUNDED_GLOBAL_WINDOWS = {
     "sample_domain_mix",
     # offsets over the <= n_buckets-row (constant 64) bucket-counts
     # frame inside operators/ranking.exact_global_ranks — every
-    # consumer of that operator lands here
-    "q_rfm_segments",
+    # consumer of the SINGLE-order operator lands here
+    # (q_rfm_segments left this list in r7: exact_global_ranks_multi
+    # embeds offsets as literals, so its plan has NO global window)
     "q_spend_percentiles",
     "q_gini_revenue",
 }

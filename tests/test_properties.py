@@ -240,3 +240,44 @@ def test_exact_global_ranks_law(spark, vals):
         F.ntile(3).over(w).alias("t"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+multi_rank_rows = st.lists(
+    st.tuples(st.integers(-20, 20), st.integers(0, 5)),  # two tie-heavy keys
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(multi_rank_rows)
+@RANK_SET.__call__
+def test_exact_global_ranks_multi_law(spark, vals):
+    """exact_global_ranks_multi == chained unpartitioned row_numbers
+    for ANY data under SEVERAL simultaneous key orders — including
+    all-ties, tiny frames, and degenerate sample/bucket counts. Pins
+    the r7 fused machinery end-to-end: one shared sample, generated-
+    SQL cut predicates, posexplode-fused counts, literal offsets."""
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.ranking import exact_global_ranks_multi
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = exact_global_ranks_multi(
+        df,
+        [
+            ([("a", True), ("id", False)], "ra"),
+            ([("b", False), ("a", True), ("id", False)], "rb"),
+        ],
+        unique_col="id",
+        n_buckets=4,
+        sample_k=6,
+        total_col="tot",
+    ).select("id", "ra", "rb", "tot")
+    want = df.select(
+        "id",
+        F.row_number().over(W.orderBy(F.desc("a"), "id")).alias("ra"),
+        F.row_number().over(W.orderBy("b", F.desc("a"), "id")).alias("rb"),
+        F.lit(len(rows)).cast("long").alias("tot"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
