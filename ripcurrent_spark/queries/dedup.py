@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators import dedup as DD
+from ripcurrent_spark.operators.sampling import split_label_sql
 from ripcurrent_spark.queries import register
 
 _NGS = DD.ngrams_sql("text")
@@ -327,6 +328,97 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+m AS (
+  SELECT d.doc_id,
+         COALESCE(comp.component, d.doc_id) AS canonical_id,
+         COALESCE(comp.component, d.doc_id) <> d.doc_id AS is_replaced
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+),
+s AS (
+  SELECT *, {split_label_sql('canonical_id')} AS split FROM m
+),
+leaky AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters FROM (
+    SELECT canonical_id FROM s GROUP BY canonical_id
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s.canonical_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN s.is_replaced THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped_docs,
+       l.n_leaky_clusters
+FROM s, leaky l
+GROUP BY s.split, l.n_leaky_clusters
+ORDER BY s.split
+""",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash-split by the near-dup
+    CANONICAL id instead of the document id, so a cluster of
+    near-duplicates can never straddle splits — the contamination
+    mode plain per-doc splitting silently allows (a train doc's
+    near-twin lands in test and inflates eval). Emits the per-split
+    audit (docs, clusters, docs re-pointed by dedup) plus the leak
+    check itself — n_leaky_clusters, the count of clusters spanning
+    more than one split, is 0 BY CONSTRUCTION and value-hashed so
+    the invariant is driver-proven, not asserted. Scale: rides the
+    artifact-backed canonical map (iterative min-label propagation
+    over LSH-verified edges); the split label is one map-side hash;
+    the leak check is one groupBy over the cluster-count frame."""
+    from ripcurrent_spark.operators.sampling import split_label
+
+    m = dedup_canonical_map(spark, sf_dir)
+    s = m.withColumn("split", split_label("canonical_id"))
+    leaky = (
+        s.groupBy("canonical_id")
+        .agg(F.count_distinct("split").alias("_ns"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("canonical_id").cast("long").alias("n_clusters"),
+        F.sum(F.col("is_replaced").cast("int")).cast("long").alias("n_deduped_docs"),
+    )
+    return per.crossJoin(F.broadcast(leaky)).orderBy("split")
 
 
 @register(
