@@ -218,6 +218,129 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_PEELS = 4
+
+
+def _kcore_oracle() -> str:
+    k_expr = (
+        "(3 * COUNT(*) + 4 * COUNT(DISTINCT src) - 1)"
+        " // greatest(4 * COUNT(DISTINCT src), 1)"
+    )
+    # Every level CTE is referenced 3x (next level's degree agg, next
+    # level's edge filter, the final stats union) — left to the
+    # optimizer's inlining that nests EXPONENTIALLY (the plain form
+    # ran 5 min at sf0.001 and did not finish in 10 at sf0.01).
+    # AS MATERIALIZED evaluates each level once, like the Spark side's
+    # per-iteration persist.
+    cte = [
+        """
+e0 AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+),
+kv AS (SELECT {k} AS k FROM e0)
+""".format(k=k_expr)
+    ]
+    for i in range(1, _KCORE_PEELS + 1):
+        p = i - 1
+        cte.append(
+            f"""
+d{i} AS (SELECT src, COUNT(*) AS c FROM e{p} GROUP BY src),
+s{i} AS (SELECT src FROM d{i}, kv WHERE c >= kv.k),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{p} e
+  JOIN s{i} a ON e.src = a.src
+  JOIN s{i} b ON e.dst = b.src
+)
+"""
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS iteration,"
+        f" CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,"
+        f" CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM e{i}"
+        for i in range(_KCORE_PEELS + 1)
+    )
+    body = ",".join(c.strip() for c in cte)
+    return f"WITH {body}\nSELECT * FROM ({levels}) ORDER BY iteration"
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peeling of the co-purchase graph: repeatedly
+    drop every node whose degree falls below K = ceil(3/4 x average
+    degree) and report the survivor curve (nodes, undirected edges)
+    per peel — the cohesion-decomposition pass a graph pipeline runs
+    to find the dense backbone (and the convergence curve tells you
+    where the fixpoint is: a flat tail means the K-core is reached,
+    as happens by peel 3 at sf0.001; at sf0.01 the cascade is still
+    shrinking at peel 4). K is RELATIVE to density because the
+    co-purchase graph's average degree grows with SF (a part ships in
+    more orders) — a fixed K peels nothing at one scale and
+    everything at another; the exact integer ceil is computed
+    control-plane from one aggregate and embedded identically in the
+    oracle's kv CTE.
+
+    Shape mirrors graph_pagerank's iteration discipline, with the
+    degree frame doing double duty: n_nodes(e_i) = rows of the degree
+    aggregate and 2 x n_edges(e_i) = its count sum, so each peel pays
+    exactly ONE edge-frame pass (the degree aggregate, which also
+    materializes the just-built edge cache) plus a node-sized
+    aggregate — no separate count_distinct job over edges. The keep
+    set joins back as a size-gated broadcast (node-sized; past the
+    gate AQE falls back to shuffle joins — still edge-linear); every
+    iteration's caches release as soon as the next materializes — no
+    unbounded lineage, no cache leak, no single-task step anywhere.
+    The emitted frame is the collected curve (iteration 0 = the base
+    graph); every count value-hashes against the unrolled
+    MATERIALIZED-CTE oracle (plain CTEs inline 3 references per level
+    and nest exponentially — measured >10 min at sf0.01 vs 0.7 s
+    materialized)."""
+    from ripcurrent_spark.operators.sigstore import copurchase_edge_table
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # The EDGE frames are never cached: under the broadcast gate every
+    # peel's filter is two map-side broadcast-hash joins, so level i's
+    # lineage is one artifact scan + 2i map joins — recomputing that
+    # chain per stats job costs far less than serializing a 24M-row
+    # edge cache per level (the cached form measured 56 s at sf1, this
+    # one ~17 s). Only the NODE-sized degree frames persist: each
+    # keep-set broadcast rebuilds from its degree cache in every later
+    # job, so they stay cached until the loop ends.
+    cur = copurchase_edge_table(spark, sf_dir)
+    stats: list[tuple[int, int, int]] = []
+    k = 0
+    degs: list[DataFrame] = []
+    try:
+        for i in range(_KCORE_PEELS + 1):
+            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_c")).persist()
+            degs.append(deg)
+            r = deg.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("_c").alias("m")
+            ).collect()[0]
+            n0, m2 = int(r["n"] or 0), int(r["m"] or 0)
+            stats.append((i, n0, m2 // 2))
+            if i == _KCORE_PEELS:
+                break
+            if i == 0:
+                k = (3 * m2 + 4 * n0 - 1) // max(4 * n0, 1)
+            keep = deg.filter(F.col("_c") >= k)
+            ka = bcast(keep.select(F.col("src").alias("u")), gauge=li)
+            kb = bcast(keep.select(F.col("src").alias("v")), gauge=li)
+            cur = (
+                cur.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                .join(ka, "u")
+                .join(kb, "v")
+                .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            )
+    finally:
+        for d in degs:
+            d.unpersist()
+    return spark.createDataFrame(
+        stats, "iteration int, n_nodes long, n_edges long"
+    ).orderBy("iteration")
+
+
 def orient_by_degree(edges: DataFrame, gauge: DataFrame | None = None) -> DataFrame:
     """Orient a SYMMETRIC (src, dst) edge frame by the total order
     (degree, id): keep u -> v iff (deg(u), u) < (deg(v), v).
