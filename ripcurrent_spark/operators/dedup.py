@@ -369,6 +369,12 @@ def connected_components(
             if stepped.filter(F.col("_chg")).limit(1).count() == 0:
                 break
     edges.unpersist()
+    # The returned plan reads the final label frame's cache (the loop
+    # materialized it); hand it to the caller-release seam instead of
+    # leaking one node-sized cache per call (VERDICT r7 #2).
+    from ripcurrent_spark.operators.cachereg import track
+
+    track(labels)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -305,9 +305,14 @@ def exact_global_ranks_multi(
     (same cuts-from-hash-sample determinism, same bucket indicator,
     same window)."""
     names = [out for _, out in specs]
-    clash = ({_BKT, _LR, _OFF, _TOT, _SK, "_rk_spec", "_rk_b"} | set(names)) & set(
-        df.columns
-    )
+    # The generated columns are INDEX-SUFFIXED (_rk_sk0, _rk_bucket1,
+    # ...), so the clash set must contain the actual suffixed names —
+    # the bare prefixes alone let an input column named e.g. _rk_sk0
+    # slip through and produce a duplicate column (ADVICE r7).
+    suffixed = {f"{p}{si}" for p in (_SK, _BKT) for si in range(len(specs))}
+    clash = (
+        {_BKT, _LR, _OFF, _TOT, _SK, "_rk_spec", "_rk_b"} | suffixed | set(names)
+    ) & set(df.columns)
     if clash:
         raise ValueError(f"input already has internal column(s) {sorted(clash)}")
 

@@ -88,9 +88,9 @@ def materialized(
     seam for unpersisting frames the build cached."""
     out = artifact_dir(kind, key)
     if not (out / "_SUCCESS").exists():
+        tmp = out.parent / f"{out.name}.tmp.{os.getpid()}"
         try:
             art = build()
-            tmp = out.parent / f"{out.name}.tmp.{os.getpid()}"
             art.write.mode("overwrite").parquet(str(tmp))
             meta = {"key": key}
             if source is not None:
@@ -111,6 +111,14 @@ def materialized(
         finally:
             if cleanup is not None:
                 cleanup()
+            # OUR tmp dir must never outlive this call: after a
+            # successful os.replace it is gone (no-op), and on any
+            # build/write failure this is what keeps a half-written
+            # dir from being stranded forever (ADVICE r7 — the
+            # post-success sweep below never runs on the failure
+            # path, and a later regeneration of the source lands a
+            # NEW digest name that would never glob it).
+            shutil.rmtree(tmp, ignore_errors=True)
         # Sweep crashed builders' leftovers (a concurrent builder whose
         # tmp we remove just loses the race and reads the winner), then
         # provably-stranded digests across the whole cache.
@@ -137,8 +145,23 @@ def gc_stranded(root: Path | None = None) -> list[str]:
         if not kind_dir.is_dir():
             continue
         for d in kind_dir.iterdir():
-            if not d.is_dir() or ".tmp." in d.name:
-                continue  # in-flight builds are the replace path's business
+            if not d.is_dir():
+                continue
+            if ".tmp." in d.name:
+                # In-flight builds are the replace path's business, but
+                # a crashed OTHER-process builder (whose own finally
+                # never ran) leaves a tmp dir no later build of a
+                # regenerated source would glob — age it out (ADVICE
+                # r7). One hour dwarfs any real artifact write.
+                try:
+                    import time
+
+                    if time.time() - d.stat().st_mtime > 3600:
+                        shutil.rmtree(d, ignore_errors=True)
+                        removed.append(str(d))
+                except OSError:
+                    pass
+                continue
             stale = False
             try:
                 meta = json.loads((d / _KEY_FILE).read_text())

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
+from ripcurrent_spark.operators import cachereg
 from ripcurrent_spark.operators import similarity as SIM
 from ripcurrent_spark.queries import register
 
@@ -904,7 +905,7 @@ def emb_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the 36-row frame is referenced three times (output +
     # both sd sides), and each unpersisted reference would re-run the
     # full covariance corpus scan.
-    cov = emb_covariance(spark, sf_dir).persist()
+    cov = cachereg.track(emb_covariance(spark, sf_dir).persist())
     diag = cov.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("di"), F.sqrt(F.col("cov")).alias("sd")
     )

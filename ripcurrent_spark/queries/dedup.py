@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
+from ripcurrent_spark.operators import cachereg
 from ripcurrent_spark.operators import dedup as DD
 from ripcurrent_spark.operators.sampling import split_label_sql
 from ripcurrent_spark.queries import register
@@ -302,7 +303,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the prints: the hot-band aggregate and both join sides
     # reference them; without a barrier the 4-seed md5 fold runs once
     # per reference.
-    t = _simhash128_docs(spark, sf_dir).persist()
+    t = cachereg.track(_simhash128_docs(spark, sf_dir).persist())
     bands = _capped_bands(t)
     halves = list(DD.SIMHASH128_COLS)
     a = bands.select(
@@ -475,14 +476,19 @@ def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PAIR frame twice on doc id — pair-linear, never quadratic.
     The signal frame is persisted because both join sides reference
     it (the dedup_simhash_pairs posture: without a barrier the
-    4-seed md5 vote fold runs once per reference; bench and the
-    sweep clear cache per slot). Every signal value-hashes: jaccard
-    and hamming are exact, the votes are integer arithmetic."""
+    4-seed md5 vote fold runs once per reference) and registered
+    with the cachereg release seam — the returned lineage reads the
+    cache, so the CALLER releases it (cachereg.release_tracked();
+    bench and the sweep clear cache per slot; ADVICE r7 #1). Every
+    signal value-hashes: jaccard and hamming are exact, the votes
+    are integer arithmetic."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(DD.norm_text("text")).alias("chash")
     )
-    side = d.join(_simhash128_docs(spark, sf_dir), "doc_id").persist()
+    side = cachereg.track(
+        d.join(_simhash128_docs(spark, sf_dir), "doc_id").persist()
+    )
     halves = list(DD.SIMHASH128_COLS)
     a = side.select(
         F.col("doc_id").alias("id_a"),
@@ -593,7 +599,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: capped_shard_union reads its input three times (rank,
     # index join, query side); unpersisted each read repeats the
     # parquet scan + array cast.
-    v = (
+    v = cachereg.track(
         e.filter(F.col("label").isNotNull())
         .select(
             "vec_id",
@@ -741,7 +747,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ripcurrent_spark.functions.hashing import h32
     from ripcurrent_spark.operators.sketches import grouped_bottomk
 
-    t = _simhash128_docs(spark, sf_dir).persist()
+    t = cachereg.track(_simhash128_docs(spark, sf_dir).persist())
     d = load(spark, sf_dir, "documents")
     prefix = d.select(
         "doc_id", F.substring(DD.norm_text("text"), 1, 64).alias("prefix")
@@ -935,7 +941,7 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame — unpersisted, the tokenize + chunk + md5 of the whole
     # corpus runs twice. (doc_id, 32-char hash) per chunk, tiny
     # relative to the corpus text it replaces.
-    chunks = (
+    chunks = cachereg.track(
         t.select(
             "doc_id",
             F.explode(
@@ -1053,6 +1059,7 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    cachereg.track(chunks)
     cnt = (
         chunks.filter("is_full")
         .groupBy("chash")
@@ -1294,16 +1301,18 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (seed top-k, two assignment passes, the stats pass) and each
     # unpersisted read repeats the parquet scan + array cast — the
     # scan alone was ~1/4 of the query's sf1 wall time.
-    v = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    ).persist()
+    v = cachereg.track(
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        ).persist()
+    )
     # Persist the assignment: capped_shard_union reads its input three
     # times (rank, index join, query side), and unpersisted each read
     # re-runs the assignment scan (a python-worker mapInPandas pass
     # over every embedding). Corpus-linear in size (id + emb + cluster
     # per row).
-    a = (
+    a = cachereg.track(
         kmeans_assignments(v, k=_SD_K, iters=2)
         .select("vec_id", "emb", "cluster")
         .persist()

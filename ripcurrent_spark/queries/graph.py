@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.io import load
+from ripcurrent_spark.operators import cachereg
 from ripcurrent_spark.operators.hints import bcast
 from ripcurrent_spark.queries import register
 
@@ -176,6 +177,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache eviction the lineage recomputes them — correct, just cold).
     edges.unpersist()
     deg.unpersist()
+    # The returned top-k plan reads the final state's cache; register
+    # it with the caller-release seam (VERDICT r7 #2).
+    cachereg.track(state)
     return (
         state.select(
             F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"), "outdeg"

@@ -141,7 +141,9 @@ def q_hour_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: both output tiers reference the hourly aggregate; without
     # a barrier the union would re-scan raw events per tier (in a
     # production hypertable the hourly tier is a stored table).
-    hourly = (
+    from ripcurrent_spark.operators import cachereg
+
+    hourly = cachereg.track(
         e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("tv"))
         .persist()

@@ -420,7 +420,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 uniformizes)."""
     from ripcurrent_spark.operators.sigstore import minhash_signature_table
 
-    g = (
+    from ripcurrent_spark.operators import cachereg
+
+    g = cachereg.track(
         minhash_signature_table(spark, sf_dir)
         .select("doc_id", F.explode("ngs").alias("ng"))
         .select("doc_id", F.md5("ng").alias("gh"))
