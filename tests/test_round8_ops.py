@@ -73,3 +73,144 @@ def test_multi_rank_rejects_suffixed_internal_clash(spark):
     )
     with pytest.raises(ValueError, match="_rk_sk0"):
         exact_global_ranks_multi(df, [([("v", False)], "r")], unique_col="id")
+
+
+# ------------------------- production-vocabulary tokenizer posture (r7 #1)
+
+
+def test_vocab_in_hits_inset_plan(spark):
+    """A 10k-entry vocabulary must fold to ONE hashed InSet probe —
+    no per-entry plan nodes (the old array_contains form was a linear
+    scan per token; chained OR / array_contains would put one node
+    per entry in the plan)."""
+    from ripcurrent_spark.operators.text import vocab_in_hits
+
+    vocab = [f"tok{i}" for i in range(10_000)]
+    df = spark.createDataFrame(
+        [(1, ["tok1", "zzz", "tok9999"])], "id long, toks array<string>"
+    )
+    out = df.select(vocab_in_hits("toks", vocab).alias("n"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("INSET") == 1, "vocabulary membership must be one InSet"
+    assert "array_contains" not in plan
+    assert [r["n"] for r in out.collect()] == [2]
+
+
+def test_vocab_coverage_query_uses_inset(spark):
+    from ripcurrent_spark.queries import all_queries
+
+    df = all_queries()["text_vocab_coverage"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "INSET" in plan and "array_contains" not in plan
+
+
+def test_bpe_empty_doc_zero_counts(spark):
+    """ADVICE r7: a document whose normalized text is empty must
+    report 0/0/0, not the phantom one-empty-token wrap."""
+    from ripcurrent_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "!!! ???"), (3, "batch batch sort merge")],
+        "doc_id long, text string",
+    )
+    merges = [("batch", "batch"), ("batch_batch", "batch"), ("sort", "merge")]
+    rows = {r["doc_id"]: r.asDict() for r in TX.apply_bpe(df, merges).collect()}
+    for k in (1, 2):
+        assert rows[k]["n_tokens_before"] == 0
+        assert rows[k]["n_tokens_after"] == 0
+        assert rows[k]["n_merges_applied"] == 0
+        assert rows[k]["bpe_text"] == ""
+    assert rows[3]["bpe_text"] == "batch_batch sort_merge"
+    assert rows[3]["n_merges_applied"] == 2
+
+
+def test_bpe_plan_independent_of_merge_table_size(spark):
+    """The merge table lives in the mapInPandas closure: a 10k-entry
+    table and a 3-entry table must build the IDENTICAL plan (one
+    MapInPandas node, no per-entry anything)."""
+    from ripcurrent_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    small = TX.apply_bpe(df, [("a", "b")])
+    big_merges = [(f"w{i}a", f"w{i}b") for i in range(10_000)]
+    big = TX.apply_bpe(df, big_merges, tokenizer=TX.bpe_ranked_merge(big_merges))
+    import re
+
+    def norm(df):  # expression IDs differ per plan; strip them
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    ps, pb = norm(small), norm(big)
+    assert ps.count("MapInPandas") == 1
+    assert ps == pb, "plan must not scale with the merge table"
+
+
+def test_bpe_engines_equivalent_on_corpus(spark):
+    """chained-replace (oracle default) and ranked-merge (production
+    engine) must admit identical outputs over the real corpus."""
+    from ripcurrent_spark.io import load
+    from ripcurrent_spark.operators import text as TX
+    from ripcurrent_spark.queries.text import _BPE_MERGES
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    merges = list(_BPE_MERGES)
+    a = {r["doc_id"]: tuple(r) for r in TX.apply_bpe(d, merges).collect()}
+    b = {
+        r["doc_id"]: tuple(r)
+        for r in TX.apply_bpe(
+            d, merges, tokenizer=TX.bpe_ranked_merge(merges)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bpe_engines_equivalence_law():
+    """Hypothesis law (pure pandas, no Spark): on any WELL-FORMED
+    merge table — operands are base tokens or outputs of earlier
+    rules, no duplicate outputs — the chained-replace and
+    ranked-merge engines produce identical wrapped strings."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ripcurrent_spark.operators.text import (
+        bpe_chained_replace,
+        bpe_ranked_merge,
+    )
+
+    base = ["a", "b", "c", "d", "e"]
+
+    @st.composite
+    def table_and_docs(draw):
+        avail = list(base)
+        merges, outputs = [], set()
+        for _ in range(draw(st.integers(0, 8))):
+            l = draw(st.sampled_from(avail))
+            r = draw(st.sampled_from(avail))
+            out = l + "_" + r
+            if (l, r) in merges or out in outputs:
+                continue
+            merges.append((l, r))
+            outputs.add(out)
+            avail.append(out)  # later rules may chain on this output
+        docs = draw(
+            st.lists(st.lists(st.sampled_from(base), max_size=12), max_size=6)
+        )
+        return merges, docs
+
+    @given(table_and_docs())
+    @settings(max_examples=150, deadline=None)
+    def law(td):
+        merges, docs = td
+        wrapped = pd.Series(
+            [
+                "\x02" + "\x03\x02".join(t) + "\x03" if t else ""
+                for t in docs
+            ]
+        )
+        a = bpe_chained_replace(merges)(wrapped)
+        b = bpe_ranked_merge(merges)(wrapped)
+        assert a.tolist() == b.tolist()
+
+    law()
