@@ -179,3 +179,147 @@ def resize_media(
             )
 
     return media.mapInPandas(_run, schema=RESIZED_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ph_a", T.LongType()),
+        T.StructField("ph_b", T.LongType()),
+    ]
+)
+
+
+_PH_SEEDS = ("pha", "phb")
+# Per-worker md5 memo keyed by distinct 4-gram. Character-4-gram space
+# is bounded on real text (a few million grams); cap defensively so a
+# binary-garbage corpus cannot grow it without bound.
+_PH_MEMO: dict[str, tuple[int, int]] = {}
+_PH_MEMO_CAP = 1 << 22
+
+
+def _phash_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic, LOCALITY-SENSITIVE stand-in for a real 64-bit
+    perceptual hash (pHash = DCT-of-grayscale sign bits): two seeded
+    32-bit frequency-weighted SimHashes (h32 seeds 'pha'/'phb', the
+    repo's portable md5 hash) over the CHARACTER 4-grams of the
+    payload's UTF-8 decode. Locality-sensitive is the point — a real
+    pHash puts visually-near images at small Hamming distance, so the
+    stub must put near-identical payloads there too or the banding /
+    Hamming-verify machinery downstream is never exercised by real
+    data (an md5-of-bytes stub fires only on byte-identical payloads:
+    zero pairs on the driver corpus). The construction is fully
+    SQL-checkable: the oracle rebuilds both halves with simhash_sql
+    over substr 4-grams. A real DCT hasher swaps in via the seam and
+    everything downstream is unchanged.
+
+    Vote fold is the numpy sign-matrix form (bit-exact with the
+    expression pipeline: integer +/-1 votes, bit set iff > 0), one
+    md5 per DISTINCT gram via a per-worker memo."""
+    import numpy as np
+
+    text = payload.decode("utf-8", errors="replace")
+    grams = [text[i : i + 4] for i in range(len(text) - 3)]
+    if not grams:
+        return 0, 0
+    if len(_PH_MEMO) > _PH_MEMO_CAP:
+        _PH_MEMO.clear()
+    arr = np.empty((len(grams), 2), dtype=np.uint64)
+    for j, g in enumerate(grams):
+        got = _PH_MEMO.get(g)
+        if got is None:
+            got = _PH_MEMO[g] = tuple(
+                int(hashlib.md5(f"{s}:{g}".encode()).hexdigest()[:8], 16)
+                for s in _PH_SEEDS
+            )
+        arr[j] = got
+    lanes = np.arange(32, dtype=np.uint64)
+    halves = []
+    for k in range(2):
+        signs = (((arr[:, k][:, None] >> lanes) & 1).astype(np.int64) * 2) - 1
+        votes = signs.sum(axis=0)
+        halves.append(int(((votes > 0).astype(np.uint64) << lanes).sum()))
+    return halves[0], halves[1]
+
+
+def phash_media(media: DataFrame, hasher=None) -> DataFrame:
+    """Per-media 64-bit perceptual hash as two 32-bit halves
+    (media_id, ph_a, ph_b) — halves, not one int64, so the SQL oracle
+    needs no unsigned gymnastics and band math stays 16-bit slices.
+    Arrow-batched mapInPandas (narrow, no shuffle); ``hasher`` is the
+    codec seam: any ``(payload: bytes) -> (int, int)`` callable (a
+    PIL/imagehash wrapper in production)."""
+    hash_fn = hasher or _phash_stub
+
+    def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            has, hbs = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                ph_a, ph_b = hash_fn(b)
+                has.append(ph_a)
+                hbs.append(ph_b)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ph_a": has, "ph_b": hbs}
+            )
+
+    return media.mapInPandas(_run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_df: int = 1000, ham_t: int = 3) -> DataFrame:
+    """Near-dup pairs from a (media_id, ph_a, ph_b) hash frame — the
+    128-bit-SimHash banding discipline applied to the 64-bit
+    perceptual hash: 4 bands x 16-bit slices (pigeonhole: Hamming <=
+    3 flips at most 3 bands, so one band must agree — guaranteed
+    recall at ham_t <= 3), hot band values dropped at ``max_df`` docs
+    via the shared drop_hot_keys anti-join (degenerate payloads —
+    blank frames, test cards — degrade to bounded recall, never
+    quadratic work), exact Hamming verify BEFORE the distinct so the
+    dedup shuffle carries only true near-dups. Hash frame is
+    node-scan-sized; the payload never reaches this function."""
+    from ripcurrent_spark.operators.dedup import drop_hot_keys
+
+    bands = hashes.select(
+        "media_id",
+        "ph_a",
+        "ph_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.shiftright("ph_a", 16).alias("bval")),
+                F.struct(F.lit(1).alias("b"), F.col("ph_a").bitwiseAND(65535).alias("bval")),
+                F.struct(F.lit(2).alias("b"), F.shiftright("ph_b", 16).alias("bval")),
+                F.struct(F.lit(3).alias("b"), F.col("ph_b").bitwiseAND(65535).alias("bval")),
+            )
+        ).alias("band"),
+    ).select(
+        "media_id", "ph_a", "ph_b", F.col("band.b").alias("b"), F.col("band.bval").alias("bval")
+    )
+    kept = drop_hot_keys(bands, ["b", "bval"], max_df)
+    a = kept.select(
+        F.col("media_id").alias("id_a"),
+        F.col("ph_a").alias("a_pa"),
+        F.col("ph_b").alias("a_pb"),
+        "b",
+        "bval",
+    )
+    b = kept.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ph_a").alias("b_pa"),
+        F.col("ph_b").alias("b_pb"),
+        "b",
+        "bval",
+    )
+    hamming = (
+        F.bit_count(F.col("a_pa").bitwiseXOR(F.col("b_pa")))
+        + F.bit_count(F.col("a_pb").bitwiseXOR(F.col("b_pb")))
+    ).cast("int")
+    return (
+        a.join(b, ["b", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= ham_t)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -214,3 +214,72 @@ def test_bpe_engines_equivalence_law():
         assert a.tolist() == b.tolist()
 
     law()
+
+
+# ------------------------------- perceptual-hash image dedup (r7 #3)
+
+
+def test_phash_planted_near_dup(spark):
+    """Injected hasher (the codec seam): two 'images' one bit apart
+    must pair at hamming 1; a far image must not pair. Exercises the
+    band join + Hamming verify with a REAL perceptual-hash geometry
+    (the default stub only sees text payloads)."""
+    from ripcurrent_spark.multimodal.columns import (
+        attach_media,
+        phash_media,
+        phash_near_dup_pairs,
+    )
+
+    planted = {
+        b"imgA": (0x12345678, 0x0ABCDEF0),
+        b"imgB": (0x12345679, 0x0ABCDEF0),  # 1 bit off imgA
+        b"imgC": (0x87654321, 0x7539BDF1),  # far from both
+    }
+
+    def hasher(payload: bytes) -> tuple[int, int]:
+        return planted[payload]
+
+    df = spark.createDataFrame(
+        [(1, "imgA"), (2, "imgB"), (3, "imgC")], "doc_id long, text string"
+    )
+    h = phash_media(attach_media(df, "doc_id", "text"), hasher=hasher)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(h).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+
+def test_phash_band_join_plan(spark):
+    """The candidate join must be an equi-join on the band key (never
+    a cartesian product), with the hot-band guard as a broadcast
+    anti-join — the SimHash family's plan shape."""
+    from ripcurrent_spark.queries import all_queries
+
+    df = all_queries()["mm_phash_dedup"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "bval" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    from ripcurrent_spark.operators import cachereg
+
+    cachereg.release_tracked()
+
+
+def test_phash_stub_locality():
+    """The stub must be locality-sensitive: one appended word moves a
+    long payload only a few bits; unrelated payloads sit near 32 of
+    64. (An md5-of-bytes stub fails the first property and never
+    exercises the 1..3-Hamming verify band on real data.)"""
+    from ripcurrent_spark.multimodal.columns import _phash_stub
+
+    base = ("key agg row scan slow fast table value part hash batch " * 8).strip()
+    a = _phash_stub(base.encode())
+    b = _phash_stub((base + " extra").encode())
+    ham = bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert ham <= 6, f"near payloads too far: {ham}"
+    c = _phash_stub(b"completely different payload with other words entirely")
+    ham_far = bin(a[0] ^ c[0]).count("1") + bin(a[1] ^ c[1]).count("1")
+    assert ham_far > 10, f"far payloads too close: {ham_far}"
+    assert _phash_stub(b"") == (0, 0)
+    assert _phash_stub(b"abc") == (0, 0)  # <4 chars: no grams
