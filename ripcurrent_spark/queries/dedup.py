@@ -422,10 +422,10 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(leaky)).orderBy("split")
 
 
-@register(
-    "dedup_consensus_pairs",
-    oracle=f"""
-WITH g AS (
+# CTE chain shared by the consensus gate and its corpus-materialization
+# consumer (dedup_apply_consensus): LSH candidates -> exact-Jaccard
+# verify -> per-doc signal frame -> 3-detector vote scoring.
+_CONSENSUS_CTES = f"""g AS (
   SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
 ),
 sigs AS (
@@ -446,17 +446,27 @@ t AS (
   SELECT doc_id, md5({DD.norm_text_sql('text')}) AS chash,
          {_SH128_COLS_SQL}
   FROM documents
-)
-SELECT v.id_a, v.id_b, v.jaccard,
-       (a.chash = b.chash) AS exact_dup,
-       CAST({_SH128_HAMMING_SQL} AS INT) AS simhash_hamming,
-       CAST((CASE WHEN a.chash = b.chash THEN 1 ELSE 0 END)
-          + (CASE WHEN v.jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
-          + (CASE WHEN {_SH128_HAMMING_SQL} <= 3 THEN 1 ELSE 0 END) AS INT) AS votes,
-       ((CASE WHEN a.chash = b.chash THEN 1 ELSE 0 END)
-          + (CASE WHEN v.jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
-          + (CASE WHEN {_SH128_HAMMING_SQL} <= 3 THEN 1 ELSE 0 END)) >= 2 AS consensus
-FROM v JOIN t a ON a.doc_id = v.id_a JOIN t b ON b.doc_id = v.id_b
+),
+cons AS (
+  SELECT v.id_a, v.id_b, v.jaccard,
+         (a.chash = b.chash) AS exact_dup,
+         CAST({_SH128_HAMMING_SQL} AS INT) AS simhash_hamming,
+         CAST((CASE WHEN a.chash = b.chash THEN 1 ELSE 0 END)
+            + (CASE WHEN v.jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
+            + (CASE WHEN {_SH128_HAMMING_SQL} <= 3 THEN 1 ELSE 0 END) AS INT) AS votes,
+         ((CASE WHEN a.chash = b.chash THEN 1 ELSE 0 END)
+            + (CASE WHEN v.jaccard >= {_JACCARD_T} THEN 1 ELSE 0 END)
+            + (CASE WHEN {_SH128_HAMMING_SQL} <= 3 THEN 1 ELSE 0 END)) >= 2 AS consensus
+  FROM v JOIN t a ON a.doc_id = v.id_a JOIN t b ON b.doc_id = v.id_b
+)"""
+
+
+@register(
+    "dedup_consensus_pairs",
+    oracle=f"""
+WITH {_CONSENSUS_CTES}
+SELECT id_a, id_b, jaccard, exact_dup, simhash_hamming, votes, consensus
+FROM cons
 """,
 )
 def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,6 +1208,123 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         keep.alias("keep_id"),
         (F.col("doc_id") == keep).alias("is_kept"),
+    )
+
+
+@register(
+    "dedup_apply_consensus",
+    oracle=f"""
+WITH RECURSIVE {_CONSENSUS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cons WHERE consensus
+  UNION SELECT id_b, id_a FROM cons WHERE consensus
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id, {{qsql}} AS quality_score
+  FROM (SELECT doc_id, text, {DD.tokens_sql('text')} AS toks FROM documents)
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS group_id,
+         q.quality_score
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.node
+  JOIN q ON d.doc_id = q.doc_id
+),
+final AS (
+  SELECT doc_id, group_id, quality_score,
+         first_value(doc_id) OVER (PARTITION BY group_id
+            ORDER BY quality_score DESC, doc_id) AS keep_id,
+         COUNT(*) OVER (PARTITION BY group_id) AS n_group
+  FROM scored
+)
+SELECT doc_id, group_id, quality_score, keep_id,
+       doc_id = keep_id AS is_kept,
+       CAST(n_group AS BIGINT) AS n_group,
+       CASE WHEN n_group = 1 THEN 'unique'
+            WHEN doc_id = keep_id THEN 'kept_best'
+            ELSE 'dropped_dup' END AS status
+FROM final
+""".replace("{qsql}", _quality_sql()),
+)
+def dedup_apply_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSE the dedup loop (VERDICT r7 #4): materialize the corpus a
+    training run actually reads, gated by the multi-signal consensus
+    verdicts. dedup_consensus_pairs DECIDES (2-of-3 detector vote),
+    this operator APPLIES: consensus edges -> connected components ->
+    highest-quality member kept per component -> per-doc provenance
+    row (doc_id, group, keep_id, is_kept, status in
+    unique/kept_best/dropped_dup). A downstream reader materializes
+    the clean corpus with one semi-join of `documents` against
+    `is_kept` — the provenance frame IS the delete manifest, so the
+    decision is auditable and reversible (the raw corpus is never
+    rewritten).
+
+    Composition, not new machinery: the gate's pair frame (pair-linear
+    vs node-sized signals), the iterative min-label propagation, the
+    single-scan quality scorer, and the keep_best window (first_value
+    over (group, quality DESC, id); group partitions are near-dup
+    clusters — tiny — and the corpus-wide singleton majority is
+    hash-spread by its own doc_id, so no skewed reducer at scale).
+    Differs from dedup_keep_best upstream: keep_best trusts ONE
+    detector (MinHash jaccard >= {_MH_VERIFY_T}); this gates deletion
+    on detector agreement, so single-detector false positives survive
+    as 'unique' rows instead of silently dropping documents."""
+    from pyspark.sql import Window
+
+    from ripcurrent_spark.operators import text as TX
+
+    pairs = (
+        dedup_consensus_pairs(spark, sf_dir)
+        .filter(F.col("consensus"))
+        .select("id_a", "id_b")
+    )
+    comp = DD.connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", DD.tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    en_hits = TX.stopword_hits(F.col("toks"), "en")
+    pr = TX.punct_ratio("text")
+    score = F.round(
+        0.4 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.3 * (1 - pr)
+        + 0.3 * (en_hits.cast("double") / F.greatest(n_tokens, F.lit(1))),
+        6,
+    )
+    q = t.select("doc_id", score.alias("quality_score"))
+
+    scored = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("quality_score"), "doc_id")
+    wg = Window.partitionBy("group_id")
+    keep = F.first("doc_id").over(w)
+    n_group = F.count(F.lit(1)).over(wg)
+    return scored.select(
+        "doc_id",
+        "group_id",
+        "quality_score",
+        keep.alias("keep_id"),
+        (F.col("doc_id") == keep).alias("is_kept"),
+        n_group.cast("long").alias("n_group"),
+        F.when(n_group == 1, F.lit("unique"))
+        .when(F.col("doc_id") == keep, F.lit("kept_best"))
+        .otherwise(F.lit("dropped_dup"))
+        .alias("status"),
     )
 
 

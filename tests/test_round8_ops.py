@@ -283,3 +283,52 @@ def test_phash_stub_locality():
     assert ham_far > 10, f"far payloads too close: {ham_far}"
     assert _phash_stub(b"") == (0, 0)
     assert _phash_stub(b"abc") == (0, 0)  # <4 chars: no grams
+
+
+# ------------------- consensus-gated corpus materialization (r7 #4)
+
+
+def test_apply_consensus_invariants(spark):
+    """The provenance frame must be a valid delete manifest: statuses
+    partition the corpus, every group keeps exactly one doc (the
+    highest-quality one), and no consensus pair survives with both
+    ends kept."""
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    reg = all_queries()
+    out = reg["dedup_apply_consensus"].spark(spark, sf).collect()
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, rows in by_group.items():
+        kept = [r for r in rows if r["is_kept"]]
+        assert len(kept) == 1, f"group {gid}: {len(kept)} kept"
+        best = max(rows, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+        for r in rows:
+            assert r["keep_id"] == kept[0]["doc_id"]
+            assert r["n_group"] == len(rows)
+            want = (
+                "unique"
+                if len(rows) == 1
+                else ("kept_best" if r["is_kept"] else "dropped_dup")
+            )
+            assert r["status"] == want
+
+    kept_ids = {r["doc_id"] for r in out if r["is_kept"]}
+    pairs = (
+        reg["dedup_consensus_pairs"].spark(spark, sf)
+        .filter("consensus")
+        .select("id_a", "id_b")
+        .collect()
+    )
+    assert pairs, "fixture has no consensus pairs — invariant test is vacuous"
+    both_kept = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if p["id_a"] in kept_ids and p["id_b"] in kept_ids
+    ]
+    assert not both_kept, f"consensus pairs with both ends kept: {both_kept}"
+    cachereg.release_tracked()
