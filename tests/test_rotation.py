@@ -137,3 +137,40 @@ def test_order_is_complete_and_duplicate_free():
     from ripcurrent_spark.queries import REGISTRY
 
     assert set(order) == set(REGISTRY)
+
+
+def test_manifest_rounds_derive_from_artifacts():
+    """VERDICT r7 #5: every manifest stamp must be backed by an ACTUAL
+    green driver row — (name, round) pairs are a subset of the round's
+    committed CORRECTNESS artifact keys. The pre-r8 predict-the-window
+    mode could stamp rows that never happened; the --from-artifact
+    derivation cannot."""
+    import json
+    from pathlib import Path
+
+    from ripcurrent_spark.queries import source_manifest
+
+    root = Path(__file__).resolve().parents[1]
+    man = source_manifest()
+    arts: dict[int, dict] = {}
+    bad = []
+    for name, ent in man.items():
+        rnd = ent["round"]
+        if rnd not in arts:
+            p = root / f"CORRECTNESS_r{rnd:02d}.json"
+            arts[rnd] = json.loads(p.read_text()) if p.exists() else {}
+        row = arts[rnd].get(name)
+        if row is None:
+            bad.append((name, rnd))
+            continue
+        if row.get("err") == "no_oracle":  # rows-only row, by design
+            if row.get("spark_rows") is None:
+                bad.append((name, rnd))
+            continue
+        if row.get("err"):
+            bad.append((name, rnd))
+            continue
+        checks = [v for k, v in row.items() if k.endswith("_match") and v is not None]
+        if not (checks and all(checks)):
+            bad.append((name, rnd))
+    assert not bad, f"manifest stamps without a green driver row: {bad}"

@@ -10,16 +10,17 @@ that pre-dates the rewrite).
 
 Two modes:
 
-- default (round-end): predict the upcoming round's gate window (the
-  first GATE_WINDOW names of the current diff-aware order) and stamp
-  those entries with the CURRENT source hash and round = latest
-  recorded round + 1. Run this as the LAST commit of a round — the
-  driver verifies exactly that commit, so the recorded hashes are
-  precisely what the new rows vouch for. Entries outside the window
-  keep their previous hashes. If the driver's actual sample diverges
-  from the prediction, driver_check_order distrusts any entry whose
-  recorded round never produced a row (round > latest actual row) —
-  self-correcting in the conservative direction.
+- default (--from-artifact, VERDICT r7 #5): derive stamps from the
+  COMMITTED CORRECTNESS_r{N}.json — for every GREEN row in the latest
+  (or --round N) artifact, record the query's source hash AS OF the
+  commit the driver actually verified (the artifact commit's parent,
+  via git) with round = N. Run at the START of a round, after the
+  driver lands the previous round's artifact. This replaces the
+  pre-r8 predict-the-window mode, which stamped hashes for rows that
+  did not exist yet (commit ba7c9b0): a mid-round registry change
+  desynced prediction from reality, while a derivation cannot — the
+  manifest's (name, round) pairs are provably a subset of the
+  artifact's green keys (pinned by tests/test_rotation.py).
 
 - --bootstrap: reconstruct historical entries from git. Round N's
   driver verified the PARENT of the "round N: verdict/..." artifact
@@ -130,29 +131,71 @@ def bootstrap() -> None:
         print("  (treated as changed-since-verified):", ", ".join(sorted(missing)))
 
 
-def round_end() -> None:
-    from ripcurrent_spark.queries import (
-        GATE_WINDOW,
-        all_queries,
-        correctness_rounds,
-        query_source_hash,
-    )
+def _green_rows(artifact: Path) -> list[str]:
+    """Names whose row in the artifact is green: no error, and every
+    *_match field that is present is true (no_oracle rows carry only
+    rows_match)."""
+    rows = json.loads(artifact.read_text())
+    out = []
+    for name, r in rows.items():
+        if not isinstance(r, dict):
+            continue
+        if r.get("err") == "no_oracle":
+            # rows-only check, by design (queries with no oracle_sql
+            # entry): the driver still ran the query — a valid row.
+            if r.get("spark_rows") is not None:
+                out.append(name)
+            continue
+        if r.get("err"):
+            continue
+        checks = [
+            v for k, v in r.items() if k.endswith("_match") and v is not None
+        ]
+        if checks and all(checks):
+            out.append(name)
+    return out
 
-    reg = all_queries()  # already in diff-aware driver_check_order
-    next_round = max(correctness_rounds().values(), default=0) + 1
-    window = list(reg)[:GATE_WINDOW]
-    manifest = {}
-    if MANIFEST.exists():
-        manifest = json.loads(MANIFEST.read_text())
-    for name in window:
-        manifest[name] = {"hash": query_source_hash(reg[name].spark), "round": next_round}
+
+def from_artifact(rnd: int | None = None) -> None:
+    arts = {
+        int(m.group(1)): p
+        for p in ROOT.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.stem))
+    }
+    if rnd is None:
+        rnd = max(arts)
+    commit = verified_commit_for_round(rnd)
+    if commit is None:
+        raise SystemExit(
+            f"no 'round {rnd}: ...' artifact commit found — run after the "
+            "driver's round commit lands"
+        )
+    hashes = _sources_at_commit(commit)
+    green = _green_rows(arts[rnd])
+    manifest = json.loads(MANIFEST.read_text()) if MANIFEST.exists() else {}
+    stamped, missing = 0, []
+    for name in green:
+        if name in hashes:
+            manifest[name] = {"hash": hashes[name], "round": rnd}
+            stamped += 1
+        else:
+            # Green row for a query not locatable at the verified
+            # commit (renamed file, moved decorator): drop any stale
+            # entry so driver_check_order treats it as changed.
+            manifest.pop(name, None)
+            missing.append(name)
     MANIFEST.write_text(json.dumps(dict(sorted(manifest.items())), indent=1) + "\n")
-    print(f"round-end: stamped {len(window)} window entries for round {next_round}")
-    print("window:", ", ".join(window))
+    print(
+        f"from-artifact: stamped {stamped} green round-{rnd} rows from "
+        f"{arts[rnd].name} at verified commit {commit[:12]}"
+    )
+    if missing:
+        print("  unresolvable (left as changed):", ", ".join(sorted(missing)))
 
 
 if __name__ == "__main__":
     if "--bootstrap" in sys.argv:
         bootstrap()
     else:
-        round_end()
+        args = [a for a in sys.argv[1:] if a not in ("--from-artifact",)]
+        from_artifact(int(args[args.index("--round") + 1]) if "--round" in args else None)
