@@ -180,3 +180,51 @@ def test_dedup_state_compaction_bounds_partitions(spark, tmp_path):
     }[4] == (False, None)
     n_rows = spark.read.parquet(index).count()
     assert n_rows == spark.read.parquet(index).dropDuplicates(["doc_id", "bkey"]).count()
+
+
+def test_streaming_prints_match_batch_and_replay(spark, tmp_path):
+    """r7 verdict #8: the index must maintain each admitted doc's
+    128-bit SimHash print — equal to the batch fold of the same text
+    — and a replayed batch must leave the prints unchanged, so the
+    consensus gate can run on an incrementally-admitted corpus."""
+    from ripcurrent_spark.operators import dedup as DD
+    from ripcurrent_spark.streaming.dedup import index_prints
+
+    src = tmp_path / "docs"
+    index = tmp_path / "index"
+    decisions = tmp_path / "decisions"
+    t0 = time.time()
+    _write_batch(src, "b0.json", [(1, A), (2, B)], t0)
+    _write_batch(src, "b1.json", [(3, A_NEAR), (4, C)], t0 + 2)
+    q = _start(spark, src, tmp_path, index, decisions)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        r["doc_id"]: (r["sh_a"], r["sh_b"], r["sh_c"], r["sh_d"])
+        for r in index_prints(spark, index).collect()
+    }
+    # Only admitted docs carry prints (3 is a dup of 1).
+    assert set(streamed) == {1, 2, 4}
+
+    docs = spark.createDataFrame(
+        [(1, A), (2, B), (4, C)], "doc_id long, text string"
+    )
+    batch_prints = {
+        r["doc_id"]: (r["sh_a"], r["sh_b"], r["sh_c"], r["sh_d"])
+        for r in DD.simhash128_np(
+            docs.select("doc_id", DD.tokens("text").alias("toks"))
+        ).collect()
+    }
+    assert streamed == batch_prints, "streamed prints != batch fold"
+
+    # Manual replay of batch 1 (at-least-once): prints unchanged.
+    from ripcurrent_spark.streaming.dedup import streaming_dedup_foreach_batch
+
+    fn = streaming_dedup_foreach_batch(str(index), str(decisions))
+    fn(spark.createDataFrame([(3, A_NEAR), (4, C)], "doc_id long, text string"), 1)
+    replayed = {
+        r["doc_id"]: (r["sh_a"], r["sh_b"], r["sh_c"], r["sh_d"])
+        for r in index_prints(spark, index).collect()
+    }
+    assert replayed == streamed, "replay changed the prints"
