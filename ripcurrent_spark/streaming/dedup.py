@@ -118,6 +118,15 @@ def in_batch_candidates(bk: DataFrame, max_peers_per_band: int = 32) -> DataFram
     return cold_pairs.unionByName(hot_pairs)
 
 
+def _print_hamming(a_prefix: str, b_prefix: str) -> F.Column:
+    return sum(
+        F.bit_count(
+            F.col(f"{a_prefix}{c}").bitwiseXOR(F.col(f"{b_prefix}{c}"))
+        )
+        for c in DD.SIMHASH128_COLS
+    )
+
+
 def streaming_dedup_foreach_batch(
     index_dir: str,
     decisions_dir: str,
@@ -127,10 +136,20 @@ def streaming_dedup_foreach_batch(
     bands: int = 4,
     rows: int = 3,
     max_peers_per_band: int = 32,
+    simhash_max_hamming: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch fn for a (doc_id, text) stream: write per-doc
     admit/duplicate decisions and grow the band-key index with the
-    admitted docs."""
+    admitted docs.
+
+    ``simhash_max_hamming``: when set, a duplicate verdict requires
+    detector AGREEMENT — estimated Jaccard >= ``threshold`` AND
+    128-bit SimHash print Hamming <= the bound — the streaming twin of
+    the batch consensus gate's discipline (a single detector's false
+    positives would otherwise silently drop documents at ingest, where
+    nothing downstream re-checks them). Uses the prints the index
+    already maintains; requires an index whose partitions all carry
+    print columns (see CHANGES.md round 8 for pre-r8 indexes)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -159,6 +178,10 @@ def streaming_dedup_foreach_batch(
                     F.col("doc_id").alias("idx_doc_id"),
                     F.col("sig").alias("idx_sig"),
                     "bkey",
+                    *[
+                        F.col(c).alias(f"idx_{c}")
+                        for c in (DD.SIMHASH128_COLS if simhash_max_hamming is not None else ())
+                    ],
                 )
             )
             matches = (
@@ -166,8 +189,13 @@ def streaming_dedup_foreach_batch(
                 .filter(F.col("idx_doc_id") != F.col("doc_id"))
                 .withColumn("est_j", _sig_agreement(F.col("sig"), F.col("idx_sig")))
                 .filter(F.col("est_j") >= threshold)
-                .groupBy("doc_id")
-                .agg(F.min("idx_doc_id").alias("dup_of"))
+            )
+            if simhash_max_hamming is not None:
+                matches = matches.filter(
+                    _print_hamming("", "idx_") <= simhash_max_hamming
+                )
+            matches = matches.groupBy("doc_id").agg(
+                F.min("idx_doc_id").alias("dup_of")
             )
 
         # In-batch duplicates: band-key join against batch peers with
@@ -177,9 +205,21 @@ def streaming_dedup_foreach_batch(
             in_batch_candidates(bk, max_peers_per_band)
             .withColumn("est_j", _sig_agreement(F.col("sig"), F.col("peer_sig")))
             .filter(F.col("est_j") >= threshold)
-            .groupBy("doc_id")
-            .agg(F.min("peer_id").alias("dup_of_peer"))
         )
+        if simhash_max_hamming is not None:
+            pr = bk.select("doc_id", *DD.SIMHASH128_COLS).distinct()
+            peers = (
+                peers.join(pr, "doc_id")
+                .join(
+                    pr.select(
+                        F.col("doc_id").alias("peer_id"),
+                        *[F.col(c).alias(f"peer_{c}") for c in DD.SIMHASH128_COLS],
+                    ),
+                    "peer_id",
+                )
+                .filter(_print_hamming("", "peer_") <= simhash_max_hamming)
+            )
+        peers = peers.groupBy("doc_id").agg(F.min("peer_id").alias("dup_of_peer"))
 
         decisions = (
             batch.select("doc_id").distinct()

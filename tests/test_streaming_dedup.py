@@ -228,3 +228,41 @@ def test_streaming_prints_match_batch_and_replay(spark, tmp_path):
         for r in index_prints(spark, index).collect()
     }
     assert replayed == streamed, "replay changed the prints"
+
+
+def test_streaming_consensus_gate(spark, tmp_path):
+    """With simhash_max_hamming set, a duplicate verdict needs BOTH
+    detectors: A_NEAR estimates Jaccard >= 0.7 against indexed A but
+    its print sits at Hamming 4 (fixture sanity-checked), so a <=3
+    gate admits it — while a byte-identical replayed doc (Hamming 0)
+    is still flagged. The ungated path keeps flagging A_NEAR (the
+    existing across-batches test)."""
+    from ripcurrent_spark.operators import dedup as DD
+
+    # Fixture sanity: the near pair really straddles the gate.
+    docs = spark.createDataFrame(
+        [(1, A), (3, A_NEAR)], "doc_id long, text string"
+    )
+    pr = {
+        r["doc_id"]: [r[c] for c in DD.SIMHASH128_COLS]
+        for r in DD.simhash128_np(
+            docs.select("doc_id", DD.tokens("text").alias("toks"))
+        ).collect()
+    }
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(pr[1], pr[3]))
+    assert ham == 4, f"fixture drifted: hamming {ham}"
+
+    index = tmp_path / "index"
+    decisions = tmp_path / "decisions"
+    fn = streaming_dedup_foreach_batch(
+        str(index), str(decisions), simhash_max_hamming=3
+    )
+    fn(spark.createDataFrame([(1, A), (2, B)], "doc_id long, text string"), 0)
+    fn(spark.createDataFrame([(3, A_NEAR), (4, A)], "doc_id long, text string"), 1)
+
+    dec = {
+        r.doc_id: (r.is_duplicate, r.dup_of)
+        for r in spark.read.parquet(str(decisions)).collect()
+    }
+    assert dec[3] == (False, None), "hamming-4 near-dup must not pass a <=3 gate"
+    assert dec[4] == (True, 1), "byte-identical doc (hamming 0) must still match"
