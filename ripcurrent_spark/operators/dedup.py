@@ -404,9 +404,6 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
     one (tokens x 32) sign matrix per (doc, seed) and a memoized md5
     per DISTINCT token (Zipf makes the memo hit rate high on any real
     corpus)."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -421,96 +418,137 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
         # md5 memo keyed by DISTINCT token, carried across batches of
         # one partition (Zipf makes the hit rate high on any corpus).
         memo: dict[str, tuple[int, ...]] = {}
-        lanes = np.arange(32, dtype=np.uint64)
-
-        def th(tok: str) -> tuple[int, ...]:
-            got = memo.get(tok)
-            if got is None:
-                got = memo[tok] = tuple(
-                    int(hashlib.md5(f"{s}:{tok}".encode()).hexdigest()[:8], 16)
-                    for s in seeds
-                )
-            return got
-
-        # Bound the fold's working set: the sign matrix is
-        # (slice_tokens x 32) int64 per seed, so cap slice_tokens —
-        # an Arrow batch of 10k long docs (1000+ tokens each) would
-        # otherwise materialize multi-GB intermediates per worker,
-        # where the replaced per-doc fold peaked at one doc's matrix.
-        chunk_tokens = 1 << 20
-
         for pdf in batches:
-            # Whole-batch fold: factorize every token of the batch,
-            # md5 once per batch-distinct token, gather, then a
-            # (slice_tokens x 32) sign matrix per seed reduced per doc
-            # with np.add.reduceat over doc offsets. Bit-exact with
-            # the per-doc expression fold: votes are int64 integers
-            # (associative addition, one correct answer); int64 BEFORE
-            # the +/-1 mapping because in uint64, 0*2-1 wraps to
-            # 2^64-1 and every vote goes positive. NULL token arrays
-            # (NULL text upstream) fold like empty docs.
             tok_lists = [
                 list(t) if t is not None else [] for t in pdf[toks_col]
             ]
-            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-            flat = [t for ts in tok_lists for t in ts]
             ids = list(pdf[id_col])
-            if not flat:
-                yield pd.DataFrame(
-                    {"doc_id": ids, **{c: [0] * len(ids) for c in cols}}
-                )
-                continue
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-            # (U, S); the reshape keeps S columns even when U == 0 — an
-            # all-None batch factorizes to EMPTY uniques, and a bare
-            # np.array([]) would be 1-D and crash the vstack below.
-            per_seed = np.array(
-                [th(t) for t in uniques], dtype=np.uint64
-            ).reshape(-1, len(cols))
-            if (codes < 0).any():
-                # factorize codes a None ELEMENT as -1 (excluded from
-                # uniques); without this row it would gather the LAST
-                # unique's hash via wrap-around. th(None) hashes the
-                # same "<seed>:None" string the per-doc path fed md5.
-                per_seed = np.vstack(
-                    [per_seed, np.array(th(None), dtype=np.uint64)]
-                )
-                codes = np.where(codes < 0, len(per_seed) - 1, codes)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            nonempty = lens > 0
-            ne_idx = np.nonzero(nonempty)[0]
-            ne_starts = offsets[nonempty]
-            ne_lens = lens[nonempty]
-            # Slice DOC ranges so each slice's token count stays under
-            # the cap (a single giant doc forms its own slice).
-            slices: list[tuple[int, int]] = []  # [lo, hi) over ne_idx
-            lo = 0
-            while lo < len(ne_idx):
-                hi, tok = lo, 0
-                while hi < len(ne_idx) and (tok == 0 or tok + ne_lens[hi] <= chunk_tokens):
-                    tok += ne_lens[hi]
-                    hi += 1
-                slices.append((lo, hi))
-                lo = hi
-            out: dict[str, list[int]] = {}
-            for i, c in enumerate(cols):
-                hs_all = per_seed[:, i][codes]  # (total,)
-                col_out = np.zeros(len(ids), dtype=np.uint64)
-                for lo, hi in slices:
-                    t0 = ne_starts[lo]
-                    t1 = ne_starts[hi - 1] + ne_lens[hi - 1]
-                    signs = (
-                        ((hs_all[t0:t1, None] >> lanes) & 1).astype(np.int64) * 2
-                    ) - 1
-                    votes = np.add.reduceat(signs, ne_starts[lo:hi] - t0, axis=0)
-                    prints = ((votes > 0).astype(np.uint64) << lanes).sum(axis=1)
-                    col_out[ne_idx[lo:hi]] = prints
-                out[c] = [int(v) for v in col_out]
-            yield pd.DataFrame({"doc_id": ids, **out})
+            prints = simhash_np_batch_fold(tok_lists, seeds, memo)
+            yield pd.DataFrame(
+                {"doc_id": ids, **dict(zip(cols, prints))}
+            )
 
     return toks_df.select(
         F.col(id_col).alias("doc_id"), F.col(toks_col).alias(toks_col)
     ).mapInPandas(_fp, schema=out_schema)
+
+
+def simhash_np_batch_fold(
+    tok_lists: list[list],
+    seeds: Sequence[str],
+    memo: dict | None = None,
+    chunk_tokens: int = 1 << 20,
+) -> list[list[int]]:
+    """Vectorized multi-seed 32-bit SimHash fold over ONE batch of
+    token lists: factorize every token, md5 once per batch-distinct
+    token (through ``memo``, carried across batches by the caller for
+    cross-batch hit rate), gather, then a (slice_tokens x 32) sign
+    matrix per seed reduced per doc with np.add.reduceat over doc
+    offsets. Returns one print list per seed, aligned with
+    ``tok_lists``; empty lists fold to print 0.
+
+    Bit-exact with the per-doc expression fold (token_hashes ->
+    simhash_votes -> simhash_from_votes): votes are int64 integers
+    (associative addition, one correct answer); int64 BEFORE the +/-1
+    mapping because in uint64, 0*2-1 wraps to 2^64-1 and every vote
+    goes positive. ``chunk_tokens`` bounds the working set — the sign
+    matrix is (slice_tokens x 32) int64 per seed, so an Arrow batch of
+    10k long docs would otherwise materialize multi-GB intermediates
+    per worker (a single giant doc forms its own slice).
+
+    Shared kernel: the 128-bit document print (simhash128_np, 4 seeds
+    over word tokens) and the 64-bit perceptual-hash stub
+    (multimodal/columns.phash_media, 2 seeds over char 4-grams) are
+    the same fold at different granularity."""
+    import hashlib
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    if memo is None:
+        memo = {}
+    n_seeds = len(seeds)
+    lanes = np.arange(32, dtype=np.uint64)
+
+    def th(tok) -> tuple[int, ...]:
+        got = memo.get(tok)
+        if got is None:
+            got = memo[tok] = tuple(
+                int(hashlib.md5(f"{s}:{tok}".encode()).hexdigest()[:8], 16)
+                for s in seeds
+            )
+        return got
+
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [t for ts in tok_lists for t in ts]
+    n_docs = len(tok_lists)
+    if not flat:
+        return [[0] * n_docs for _ in range(n_seeds)]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # (U, S); the reshape keeps S columns even when U == 0 — an
+    # all-None batch factorizes to EMPTY uniques, and a bare
+    # np.array([]) would be 1-D and crash the vstack below.
+    per_seed = np.array(
+        [th(t) for t in uniques], dtype=np.uint64
+    ).reshape(-1, n_seeds)
+    if (codes < 0).any():
+        # factorize codes a None ELEMENT as -1 (excluded from
+        # uniques); without this row it would gather the LAST
+        # unique's hash via wrap-around. th(None) hashes the same
+        # "<seed>:None" string the per-doc path fed md5.
+        per_seed = np.vstack([per_seed, np.array(th(None), dtype=np.uint64)])
+        codes = np.where(codes < 0, len(per_seed) - 1, codes)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nonempty = lens > 0
+    ne_idx = np.nonzero(nonempty)[0]
+    ne_starts = offsets[nonempty]
+    ne_lens = lens[nonempty]
+    # Slice DOC ranges so each slice's token count stays under the cap.
+    slices: list[tuple[int, int]] = []  # [lo, hi) over ne_idx
+    lo = 0
+    while lo < len(ne_idx):
+        hi, tok = lo, 0
+        while hi < len(ne_idx) and (tok == 0 or tok + ne_lens[hi] <= chunk_tokens):
+            tok += ne_lens[hi]
+            hi += 1
+        slices.append((lo, hi))
+        lo = hi
+    out: list[list[int]] = []
+    little = sys.byteorder == "little"
+    for i in range(n_seeds):
+        hs_all = per_seed[:, i][codes].astype(np.uint32)  # (total,)
+        col_out = np.zeros(n_docs, dtype=np.uint64)
+        for lo, hi in slices:
+            t0 = ne_starts[lo]
+            t1 = ne_starts[hi - 1] + ne_lens[hi - 1]
+            # Bit matrix via unpackbits (little-endian uint32 bytes ->
+            # column b IS hash bit b), then votes from the identity
+            # sum(+/-1 over bits) = 2*popcount_sum - n_tokens: exact
+            # integers, bit-identical to the sign-matrix fold, but one
+            # uint8 unpack instead of a uint64 broadcast shift chain —
+            # the shift fold measured 2.9 s per 1M tokens on this VM
+            # vs 0.7 s for the unpack (4x on the whole kernel).
+            if little:
+                bits = np.unpackbits(
+                    hs_all[t0:t1].view(np.uint8).reshape(-1, 4),
+                    axis=1,
+                    bitorder="little",
+                )
+            else:  # pragma: no cover - big-endian fallback
+                bits = ((hs_all[t0:t1, None] >> lanes.astype(np.uint32)) & 1).astype(
+                    np.uint8
+                )
+            # dtype= on the ufunc accumulates in int64 straight from
+            # the uint8 bit matrix — no widened copy of the matrix.
+            bitsum = np.add.reduceat(
+                bits, ne_starts[lo:hi] - t0, axis=0, dtype=np.int64
+            )
+            votes = 2 * bitsum - ne_lens[lo:hi, None]
+            prints = ((votes > 0).astype(np.uint64) << lanes).sum(axis=1)
+            col_out[ne_idx[lo:hi]] = prints
+        out.append([int(v) for v in col_out])
+    return out
 
 
 def minhash_sig_np(g_df: DataFrame, id_col: str = "doc_id", ngs_col: str = "ngs", k: int = 12, prefix: str = "mh") -> DataFrame:

@@ -332,3 +332,24 @@ def test_apply_consensus_invariants(spark):
     ]
     assert not both_kept, f"consensus pairs with both ends kept: {both_kept}"
     cachereg.release_tracked()
+
+
+def test_phash_batch_fold_matches_stub():
+    """The batch-vectorized default path and the per-payload stub are
+    the same math — pinned on empty/short/real payloads."""
+    from ripcurrent_spark.multimodal.columns import _PH_SEEDS, _phash_stub
+    from ripcurrent_spark.operators.dedup import simhash_np_batch_fold
+
+    payloads = [
+        b"",
+        b"abc",
+        b"the quick brown fox jumps over the lazy dog",
+        ("key agg row scan slow fast table value part " * 6).encode(),
+    ]
+    grams = [
+        [p.decode()[i : i + 4] for i in range(len(p.decode()) - 3)]
+        for p in payloads
+    ]
+    pa, pb = simhash_np_batch_fold(grams, _PH_SEEDS)
+    for i, p in enumerate(payloads):
+        assert (pa[i], pb[i]) == _phash_stub(p)
