@@ -419,6 +419,8 @@ def simhash128_np(toks_df: DataFrame, id_col: str = "doc_id", toks_col: str = "t
         # one partition (Zipf makes the hit rate high on any corpus).
         memo: dict[str, tuple[int, ...]] = {}
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty-batch columns default float64 -> Arrow cast error
             tok_lists = [
                 list(t) if t is not None else [] for t in pdf[toks_col]
             ]
@@ -584,6 +586,8 @@ def minhash_sig_np(g_df: DataFrame, id_col: str = "doc_id", ngs_col: str = "ngs"
             return got
 
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty-batch list columns default float64 -> Arrow cast error
             ids, sigs = [], []
             for doc_id, ngs in zip(pdf[id_col], pdf[ngs_col]):
                 hs = np.array(
@@ -600,3 +604,75 @@ def minhash_sig_np(g_df: DataFrame, id_col: str = "doc_id", ngs_col: str = "ngs"
     return g_df.select(
         F.col(id_col).alias("doc_id"), F.col(ngs_col).alias(ngs_col)
     ).mapInPandas(_sigs, schema=out_schema)
+
+
+def minhash_table_np(
+    toks_df: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    n: int = 3,
+    k: int = 12,
+    prefix: str = "mh",
+) -> DataFrame:
+    """(doc_id, ngs, sig) in ONE python pass — the fused build behind
+    the sigstore MinHash artifact. The previous build materialized the
+    shingle arrays through the interpreted HOF chain (arrays_zip +
+    transform + array_distinct evaluate per-gram on the interpreted
+    path; persisting the result measured 9.4 s at sf1 while the
+    signature fold itself was 0.7 s), persisted them, and joined the
+    signatures back. Here each doc's grams are first-occurrence
+    distinct ' '.joins (exactly array_distinct's keep-first order) and
+    the signature is the same affine-permutation min — both
+    bit-identical to the expression forms, values re-proven by every
+    consumer's from-scratch oracle. Docs with no shingles (< n tokens
+    or NULL) are dropped, matching the old filter(size(ngs) > 0)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a = np.array([_mh_a(i) for i in range(k)], dtype=np.uint64)
+    b = np.array([_mh_b(i, prefix) for i in range(k)], dtype=np.uint64)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ngs", T.ArrayType(T.StringType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _rows(batches):
+        memo: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            got = memo.get(s)
+            if got is None:
+                got = memo[s] = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            return got
+
+        for pdf in batches:
+            ids, ngs_out, sigs = [], [], []
+            for doc_id, toks in zip(pdf[id_col], pdf[toks_col]):
+                ts = list(toks) if toks is not None else []
+                if len(ts) < n:
+                    continue
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+                    )
+                )
+                hs = np.array([h(g) for g in grams], dtype=np.uint64)
+                sig = ((hs[:, None] * a + b) % (1 << 32)).min(axis=0)
+                ids.append(doc_id)
+                ngs_out.append(grams)
+                sigs.append([int(x) for x in sig])
+            if ids:
+                # A fully-dropped batch must yield NOTHING: an empty
+                # pd.DataFrame defaults its list columns to float64,
+                # which Arrow cannot convert to list<string>.
+                yield pd.DataFrame({"doc_id": ids, "ngs": ngs_out, "sig": sigs})
+
+    return toks_df.select(
+        F.col(id_col).alias("doc_id"), F.col(toks_col).alias(toks_col)
+    ).mapInPandas(_rows, schema=out_schema)

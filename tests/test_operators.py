@@ -305,7 +305,7 @@ def test_sigstore_builds_once_and_invalidates_on_mtime(spark, tmp_path, monkeypa
     def boom(*a, **k):
         raise AssertionError("recompute on a fresh artifact")
 
-    monkeypatch.setattr(DD, "minhash_sig_np", boom)
+    monkeypatch.setattr(DD, "minhash_table_np", boom)
     again = sigstore.minhash_signature_table(spark, sf)
     assert again.count() == n
     # A different source path/mtime invalidates the digest -> a

@@ -353,3 +353,37 @@ def test_phash_batch_fold_matches_stub():
     pa, pb = simhash_np_batch_fold(grams, _PH_SEEDS)
     for i, p in enumerate(payloads):
         assert (pa[i], pb[i]) == _phash_stub(p)
+
+
+def test_minhash_table_np_matches_expression_chain(spark):
+    """The fused grams+signature python pass behind the MinHash
+    artifact must be bit-identical to the expression chain it
+    replaced (ngrams_of_tokens + array_distinct + minhash_sig_np),
+    including gram ORDER (first-occurrence distinct) and the
+    drop-empty membership."""
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.io import load
+    from ripcurrent_spark.operators import dedup as DD
+
+    toks = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", DD.tokens("text").alias("toks"))
+    )
+    old = (
+        toks.select("doc_id", DD.ngrams_of_tokens(F.col("toks"), n=3).alias("ngs"))
+        .filter(F.size("ngs") > 0)
+    )
+    old = old.join(DD.minhash_sig_np(old, k=12), "doc_id")
+    new = DD.minhash_table_np(toks, n=3, k=12)
+    o = {r["doc_id"]: (list(r["ngs"]), list(r["sig"])) for r in old.collect()}
+    n = {r["doc_id"]: (list(r["ngs"]), list(r["sig"])) for r in new.collect()}
+    assert o == n
+
+    # Short/empty docs are dropped identically (tokens('') == ['']).
+    tiny = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "one two three four")],
+        "doc_id long, text string",
+    ).select("doc_id", DD.tokens("text").alias("toks"))
+    out = {r["doc_id"] for r in DD.minhash_table_np(tiny).collect()}
+    assert out == {3}
