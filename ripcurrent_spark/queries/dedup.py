@@ -422,6 +422,87 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(leaky)).orderBy("split")
 
 
+_CONT_T = 0.9  # overlap-coefficient threshold (containment of the smaller doc)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+ex AS (SELECT doc_id, unnest(ngs) AS ng FROM g),
+keyed AS (
+  SELECT * FROM ex
+  WHERE ng IN (SELECT ng FROM ex GROUP BY ng HAVING COUNT(*) <= {_MAX_DF})
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.ng = b.ng AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(ga.ngs, x -> list_contains(gb.ngs, x))) AS n_common,
+         len(ga.ngs) AS n_a, len(gb.ngs) AS n_b
+  FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM v
+WHERE CAST(n_common AS DOUBLE) / least(n_a, n_b) >= {_CONT_T}
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT (overlap
+    coefficient |A∩B| / min(|A|,|B|) >= {_CONT_T}) — the Broder
+    containment measure that catches a short document INCLUDED in a
+    long one (quotes, syndicated snippets, boilerplate wrappers),
+    exactly the inclusion pairs symmetric Jaccard under-scores: a
+    50-shingle doc inside a 500-shingle doc has containment 1.0 but
+    jaccard 0.1, invisible to both the jaccard gate and MinHash LSH
+    (whose collision probability tracks jaccard). Candidates
+    therefore come from the shingle INVERTED INDEX (any shared
+    non-hot shingle, the dedup_ngram_jaccard path — guaranteed recall
+    for containment >= {_CONT_T} pairs whose smaller side has at
+    least one sub-max-df shingle), not from MinHash bands; exact
+    verification touches only candidate pairs. Shingles read from
+    the materialized signature artifact — parquet-backed, serving
+    the index and both verify sides with column-pruned scans, no
+    persist barrier. The jaccard column rides along so downstream
+    policy can separate true inclusions (high containment, low
+    jaccard) from plain near-dups."""
+    from ripcurrent_spark.operators.sigstore import minhash_signature_table
+
+    g = minhash_signature_table(spark, sf_dir, k=_MH_K).select("doc_id", "ngs")
+    ex = g.select("doc_id", F.explode("ngs").alias("ng"))
+    cands = DD.candidate_pairs_by_key(ex, "doc_id", "ng", max_df=_MAX_DF)
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("ngs").alias("ngs_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("ngs").alias("ngs_b"))
+    inter = F.size(F.array_intersect("ngs_a", "ngs_b"))
+    n_a, n_b = F.size("ngs_a"), F.size("ngs_b")
+    containment = inter.cast("double") / F.least(n_a, n_b)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", inter.cast("long"))
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= _CONT_T)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round("containment", 6).alias("containment"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (n_a + n_b - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # CTE chain shared by the consensus gate and its corpus-materialization
 # consumer (dedup_apply_consensus): LSH candidates -> exact-Jaccard
 # verify -> per-doc signal frame -> 3-detector vote scoring.

@@ -1219,3 +1219,117 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "purchase_id", F.col("_w.click_id").alias("click_id"), F.col("_w.gap_s").alias("gap_s")
     )
+
+
+# -------------------------- temperature-scaled source mixing (r8)
+_TMIX_ALPHA_INV = 2  # T = 2 -> alpha = 1/T = 0.5 (sqrt: IEEE-exact on both engines)
+_TMIX_TARGET = 0.25  # sample a quarter of the corpus, rebalanced
+
+
+@register(
+    "sample_temperature_sources",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total FROM cnt),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE) / n_total), 9)
+              AS DECIMAL(20,9)) AS w9
+  FROM cnt, tot
+),
+z AS (SELECT SUM(w9) AS z FROM w),
+stats AS (
+  SELECT w.source, w.n_docs,
+         CAST(w.w9 AS DOUBLE) / CAST(z.z AS DOUBLE) AS q,
+         least(1.0, (CAST(w.w9 AS DOUBLE) / CAST(z.z AS DOUBLE))
+                    * ({_TMIX_TARGET} * t.n_total) / w.n_docs) AS r
+  FROM w, z, tot t
+),
+thr AS (
+  SELECT source, n_docs, q, r,
+         CAST(floor(r * 4294967296) AS BIGINT) AS h_thr
+  FROM stats
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS n_sampled
+  FROM documents d JOIN thr ON d.source = thr.source
+  WHERE {h32_sql("CAST(doc_id AS VARCHAR)", seed="tmix")} < thr.h_thr
+  GROUP BY d.source
+)
+SELECT thr.source, CAST(thr.n_docs AS BIGINT) AS n_docs,
+       round(thr.q, 6) AS mix_weight,
+       round(thr.r, 6) AS accept_rate,
+       CAST(COALESCE(sampled.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM thr LEFT JOIN sampled ON thr.source = sampled.source
+""",
+)
+def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled SOURCE mixing — the multilingual-pretraining
+    sampler (XLM-R / mT5 shape): source s with corpus share p_s is
+    sampled proportionally to p_s^(1/T), T={_TMIX_ALPHA_INV}, which
+    UPWEIGHTS rare sources and damps dominant ones; per-source accept
+    rate r_s = q_s * target_size / n_s, capped at 1 (sampling is
+    without replacement, so a rare source saturates at full inclusion
+    instead of oversampling). The accept decision is the repo's
+    deterministic hash predicate (h32(doc_id) < floor(r_s * 2^32)) —
+    no RNG, stable under repartitioning/retries, and the oracle
+    recomputes the identical assignment.
+
+    Cross-engine exactness: p_s is one IEEE division; alpha = 1/2 so
+    the power is sqrt (correctly rounded on every IEEE platform —
+    the reason T is fixed at 2 here; a general alpha would go through
+    libm pow, whose last ulp differs across engines); the
+    normalization sum runs over round(w,9) DECIMALs (order-free),
+    and everything after is IEEE ops in identical order, so the
+    thresholds — and therefore every per-doc accept — are
+    bit-identical.
+
+    Scale: two corpus scans (the per-source count, then the accept
+    filter with the source-count-sized stats frame broadcast onto the
+    scan) + aggregates over ~#sources rows. No data-scaled shuffle:
+    the accept is a map-side hash compare."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").alias("n_total"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_total",
+        F.round(F.sqrt(F.col("n_docs").cast("double") / F.col("n_total")), 9)
+        .cast("decimal(20,9)")
+        .alias("w9"),
+    )
+    z = w.agg(F.sum("w9").alias("z"))
+    q = F.col("w9").cast("double") / F.col("z").cast("double")
+    r = F.least(
+        F.lit(1.0),
+        q * (F.lit(_TMIX_TARGET) * F.col("n_total")) / F.col("n_docs"),
+    )
+    thr = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        q.alias("q"),
+        r.alias("r"),
+        F.floor(r * F.lit(4294967296.0)).cast("long").alias("h_thr"),
+    )
+    sampled = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(thr.select("source", "h_thr")), "source")
+        .filter(h32(F.col("doc_id").cast("string"), seed="tmix") < F.col("h_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        thr.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("q", 6).alias("mix_weight"),
+            F.round("r", 6).alias("accept_rate"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

@@ -387,3 +387,78 @@ def test_minhash_table_np_matches_expression_chain(spark):
     ).select("doc_id", DD.tokens("text").alias("toks"))
     out = {r["doc_id"] for r in DD.minhash_table_np(tiny).collect()}
     assert out == {3}
+
+
+# --------------- containment dedup + temperature source mixing (r8 extras)
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc fully CONTAINED in a long one must surface with
+    containment 1.0 even though its jaccard is far below the
+    symmetric near-dup gate — the asymmetric case this operator
+    exists for."""
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.operators import dedup as DD
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long = short + " " + filler
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    g = (
+        df.select("doc_id", DD.tokens("text").alias("toks"))
+        .select("doc_id", DD.ngrams_of_tokens(F.col("toks")).alias("ngs"))
+        .filter(F.size("ngs") > 0)
+    )
+    ex = g.select("doc_id", F.explode("ngs").alias("ng"))
+    cands = DD.candidate_pairs_by_key(ex, "doc_id", "ng", max_df=100)
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("ngs").alias("ngs_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("ngs").alias("ngs_b"))
+    inter = F.size(F.array_intersect("ngs_a", "ngs_b"))
+    v = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.least(F.size("ngs_a"), F.size("ngs_b"))).alias("cont"),
+            (inter.cast("double") / (F.size("ngs_a") + F.size("ngs_b") - inter)).alias("jac"),
+        )
+        .collect()
+    )
+    got = {(r["id_a"], r["id_b"]): (r["cont"], r["jac"]) for r in v}
+    cont, jac = got[(1, 2)]
+    assert cont == 1.0, "full inclusion must score containment 1.0"
+    assert jac < 0.1, "the fixture must be invisible to the jaccard gate"
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_temperature_mix_invariants(spark):
+    """Weights form a distribution; rare sources are UPWEIGHTED
+    relative to their corpus share (T=2 damping); accepts never
+    exceed the source's size."""
+    from ripcurrent_spark.queries import all_queries
+
+    rows = (
+        all_queries()["sample_temperature_sources"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r["n_sampled"] <= r["n_docs"]
+        share = r["n_docs"] / total_docs
+        # sqrt damping: mix weight exceeds corpus share iff the source
+        # is smaller than the mean-square share — for a near-uniform
+        # 20-source corpus just check direction vs share ordering.
+        assert r["accept_rate"] > 0
+    small = min(rows, key=lambda r: r["n_docs"])
+    big = max(rows, key=lambda r: r["n_docs"])
+    if small["n_docs"] < big["n_docs"]:
+        assert (
+            small["mix_weight"] / (small["n_docs"] / total_docs)
+            >= big["mix_weight"] / (big["n_docs"] / total_docs)
+        ), "temperature must upweight the rarer source relatively"
