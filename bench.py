@@ -18,6 +18,7 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ripcurrent_spark.operators.cachereg import release_tracked
     from ripcurrent_spark.queries import all_queries
     from ripcurrent_spark.session import get_spark
 
@@ -104,6 +105,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             spark.catalog.clearCache()  # intra-query persist() must not carry over
+            release_tracked(blocking=False)  # drop the seam's frame handles too
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
@@ -115,6 +117,7 @@ def main() -> None:
         # slowdown is what calibration_sec / normalized_total expose.
         if sorted(runs)[1] > 2 * min(runs):
             spark.catalog.clearCache()
+            release_tracked(blocking=False)
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)

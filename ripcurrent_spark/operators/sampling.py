@@ -91,3 +91,66 @@ def stratified_sample_sql(
     for value, p in sorted(rates.items()):
         pct = f"CASE WHEN {stratum_expr} = '{value}' THEN {p} ELSE {pct} END"
     return f"{hash_pct_sql(expr, salt)} < ({pct})"
+
+
+def temperature_mix_plan(
+    counts: list[tuple[str, int]], temperature: float, target_frac: float
+) -> list[tuple[str, int, float, float, int]]:
+    """Per-source (source, n_docs, mix_weight, accept_rate, h32_threshold)
+    for temperature-scaled source mixing at ANY temperature — the
+    control-plane companion to the T=2 registered query
+    (queries/pipeline.sample_temperature_sources, which keeps the whole
+    chain in-plan because sqrt is IEEE-exact cross-engine for the
+    oracle). General p^(1/T) goes through libm pow, whose last ulp can
+    differ across engines, so arbitrary T computes the thresholds HERE,
+    on the driver, over the collected per-source counts — #sources
+    rows, the same control-plane discipline as k-means centroids and
+    the char-LM lookup table — and ships them as a broadcast literal
+    frame. Deterministic given (counts, T): one machine, one libm.
+    """
+    import math
+
+    n_total = sum(n for _, n in counts)
+    w = {s: math.pow(n / n_total, 1.0 / temperature) for s, n in counts}
+    z = math.fsum(sorted(w.values()))  # order-pinned exact sum
+    out = []
+    for s, n in counts:
+        q = w[s] / z
+        r = min(1.0, q * (target_frac * n_total) / n)
+        out.append((s, n, q, r, int(math.floor(r * 4294967296))))
+    return out
+
+
+def temperature_mix(
+    docs,  # DataFrame
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    target_frac: float = 0.25,
+    salt: str = "tmix",
+):
+    """Temperature-rebalanced deterministic sample of ``docs`` at any
+    T: collect per-source counts (control-plane), compute thresholds
+    via :func:`temperature_mix_plan`, broadcast-join them back, and
+    accept rows with the hash predicate h32(id) < threshold — two
+    corpus scans, no data-scaled shuffle, stable under
+    repartitioning/retries. Returns the accepted rows."""
+    from pyspark.sql import functions as F
+
+    cnt = [
+        (r[0], r[1])
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    plan = temperature_mix_plan(cnt, temperature, target_frac)
+    spark = docs.sparkSession
+    thr = spark.createDataFrame(
+        [(s, t) for s, _, _, _, t in plan], f"{source_col} string, _h_thr long"
+    )
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        docs.join(F.broadcast(thr), source_col)
+        .filter(h32(c.cast("string"), seed=salt) < F.col("_h_thr"))
+        .drop("_h_thr")
+    )

@@ -462,3 +462,33 @@ def test_temperature_mix_invariants(spark):
             small["mix_weight"] / (small["n_docs"] / total_docs)
             >= big["mix_weight"] / (big["n_docs"] / total_docs)
         ), "temperature must upweight the rarer source relatively"
+
+
+def test_temperature_mix_any_t(spark):
+    """The control-plane operator supports arbitrary T (the registered
+    query fixes T=2 for oracle exactness): T=1 reproduces proportional
+    sampling, larger T flattens the mix toward uniform, and the accept
+    set is deterministic across runs."""
+    from ripcurrent_spark.io import load
+    from ripcurrent_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_plan,
+    )
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    cnt = [(r[0], r[1]) for r in d.groupBy("source").count().collect()]
+    n_total = sum(n for _, n in cnt)
+
+    p1 = {s: q for s, _, q, _, _ in temperature_mix_plan(cnt, 1.0, 0.25)}
+    for s, n in cnt:  # T=1: mix weight == corpus share
+        assert abs(p1[s] - n / n_total) < 1e-12
+    p5 = {s: q for s, _, q, _, _ in temperature_mix_plan(cnt, 5.0, 0.25)}
+    small = min(cnt, key=lambda t: t[1])[0]
+    big = max(cnt, key=lambda t: t[1])[0]
+    if small != big:
+        # Higher T compresses the spread between rare and dominant.
+        assert (p5[big] - p5[small]) < (p1[big] - p1[small]) + 1e-12
+
+    a = {r["doc_id"] for r in temperature_mix(d, temperature=3.0).select("doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_mix(d, temperature=3.0).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < d.count()

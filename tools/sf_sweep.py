@@ -81,6 +81,9 @@ def main() -> int:
         # same frames and evict/spill their own caches — each slot
         # measures the query COLD, from its own scans.
         spark.catalog.clearCache()
+        from ripcurrent_spark.operators.cachereg import release_tracked
+
+        release_tracked(blocking=False)  # drop seam handles, not just blocks
         t0 = time.perf_counter()
         # Enforce the per-query budget: a timer cancels the query's
         # job group so one scale cliff can't eat the whole sweep.
