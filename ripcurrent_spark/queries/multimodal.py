@@ -150,10 +150,7 @@ def _ph_cols_sql() -> str:
     )
 
 
-@register(
-    "mm_phash_dedup",
-    oracle=f"""
-WITH h AS (
+_PH_PAIRS_CTES = f"""h AS (
   SELECT doc_id AS media_id,
          {_ph_cols_sql()}
   FROM documents
@@ -170,14 +167,23 @@ kept AS (
   SELECT media_id, ph_a, ph_b, b, bval FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY b, bval) AS _df FROM bands
   ) WHERE _df <= {_PH_MAX_DF}
-)
-SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-       CAST(bit_count(xor(a.ph_a, b.ph_a))
-          + bit_count(xor(a.ph_b, b.ph_b)) AS INT) AS hamming
-FROM kept a JOIN kept b
-  ON a.b = b.b AND a.bval = b.bval AND a.media_id < b.media_id
-WHERE bit_count(xor(a.ph_a, b.ph_a)) + bit_count(xor(a.ph_b, b.ph_b))
-      <= {_PH_HAM_T}
+),
+ph_pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.ph_a, b.ph_a))
+            + bit_count(xor(a.ph_b, b.ph_b)) AS INT) AS hamming
+  FROM kept a JOIN kept b
+    ON a.b = b.b AND a.bval = b.bval AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.ph_a, b.ph_a)) + bit_count(xor(a.ph_b, b.ph_b))
+        <= {_PH_HAM_T}
+)"""
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+WITH {_PH_PAIRS_CTES}
+SELECT id_a, id_b, hamming FROM ph_pairs
 """,
 )
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,3 +224,93 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = cachereg.track(phash_media(attach_media(d, "doc_id", "text")).persist())
     h.count()
     return phash_near_dup_pairs(h, max_df=_PH_MAX_DF, ham_t=_PH_HAM_T)
+
+
+@register(
+    "mm_phash_keep_one",
+    oracle=f"""
+WITH RECURSIVE {_PH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ph_pairs
+  UNION SELECT id_b, id_a FROM ph_pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+scored AS (
+  SELECT m.media_id,
+         COALESCE(c.component, m.media_id) AS group_id,
+         m.n_bytes
+  FROM m LEFT JOIN comp c ON m.media_id = c.node
+),
+final AS (
+  SELECT media_id, group_id, n_bytes,
+         first_value(media_id) OVER (PARTITION BY group_id
+            ORDER BY n_bytes DESC, media_id) AS keep_id,
+         COUNT(*) OVER (PARTITION BY group_id) AS n_group
+  FROM scored
+)
+SELECT media_id, group_id, n_bytes, keep_id,
+       media_id = keep_id AS is_kept,
+       CAST(n_group AS BIGINT) AS n_group,
+       CASE WHEN n_group = 1 THEN 'unique'
+            WHEN media_id = keep_id THEN 'kept_best'
+            ELSE 'dropped_dup' END AS status
+FROM final
+""",
+)
+def mm_phash_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the MULTIMODAL dedup loop (the image twin of
+    dedup_apply_consensus): pHash near-dup pairs -> connected
+    components -> keep the LARGEST payload per cluster (the
+    highest-resolution-copy policy real image pipelines want — a
+    thumbnail and its original perceptually collide, and training
+    wants the original; ties break to the lowest id) -> one
+    provenance row per media item (group_id, keep_id, is_kept,
+    unique/kept_best/dropped_dup). The frame is the delete manifest a
+    multimodal training run semi-joins; the payload itself never
+    shuffles — components and the keep window run over the
+    node-scan-sized (media_id, n_bytes) frame, and near-dup clusters
+    are tiny, with the singleton majority hash-spread by its own id
+    (the dedup_keep_best posture)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ripcurrent_spark.operators import dedup as DD
+
+    pairs = mm_phash_dedup(spark, sf_dir).select("id_a", "id_b")
+    comp = DD.connected_components(pairs).withColumnRenamed("node", "media_id")
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    scored = m.join(comp, "media_id", "left").select(
+        "media_id",
+        F.coalesce("component", "media_id").alias("group_id"),
+        "n_bytes",
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_bytes"), "media_id")
+    wg = Window.partitionBy("group_id")
+    keep = F.first("media_id").over(w)
+    n_group = F.count(F.lit(1)).over(wg)
+    return scored.select(
+        "media_id",
+        "group_id",
+        "n_bytes",
+        keep.alias("keep_id"),
+        (F.col("media_id") == keep).alias("is_kept"),
+        n_group.cast("long").alias("n_group"),
+        F.when(n_group == 1, F.lit("unique"))
+        .when(F.col("media_id") == keep, F.lit("kept_best"))
+        .otherwise(F.lit("dropped_dup"))
+        .alias("status"),
+    )

@@ -492,3 +492,37 @@ def test_temperature_mix_any_t(spark):
     a = {r["doc_id"] for r in temperature_mix(d, temperature=3.0).select("doc_id").collect()}
     b = {r["doc_id"] for r in temperature_mix(d, temperature=3.0).select("doc_id").collect()}
     assert a == b and 0 < len(a) < d.count()
+
+
+def test_mm_keep_one_keeps_largest_payload(spark):
+    """The image keep-policy is highest-resolution proxy (largest
+    payload), not lowest id — pinned per group, plus manifest
+    validity (one kept per group, statuses partition)."""
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.queries import all_queries
+
+    out = (
+        all_queries()["mm_phash_keep_one"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    n_multi = 0
+    for gid, rows in by_group.items():
+        kept = [r for r in rows if r["is_kept"]]
+        assert len(kept) == 1
+        best = max(rows, key=lambda r: (r["n_bytes"], -r["media_id"]))
+        assert kept[0]["media_id"] == best["media_id"]
+        for r in rows:
+            want = (
+                "unique"
+                if len(rows) == 1
+                else ("kept_best" if r["is_kept"] else "dropped_dup")
+            )
+            assert r["status"] == want
+        if len(rows) > 1:
+            n_multi += 1
+    assert n_multi > 0, "fixture has no multi-image clusters"
+    cachereg.release_tracked()
