@@ -13,8 +13,18 @@ notice; a library consumer accumulates).
 The seam: queries register such frames with :func:`track` and the
 caller releases them with :func:`release_tracked` once done with the
 returned frame (or keeps using ``spark.catalog.clearCache()``, which
-subsumes it). Unpersist only drops the cache — the lineage stays
-valid, later actions just recompute.
+subsumes it).
+
+Recomputability is NOT part of the contract. Most tracked handles are
+plain ``persist()`` frames — unpersist drops the cache, the lineage
+stays valid, later actions just recompute. But CHECKPOINT-backed
+handles (connected_components and everything derived from it:
+dedup_keep_best, dedup_apply_consensus, mm_phash_keep_one) have no
+lineage behind their storage: after release, any action on those
+returned frames fails with missing-checkpoint-block errors instead of
+recomputing. The one safe discipline for both kinds: call
+``release_tracked()`` only once every consumer of every returned
+frame is finished — never mid-use.
 
 tests/test_cache_hygiene.py sweeps EVERY registry query: run, release,
 assert zero cached frames remain — so the leak class cannot recur when
@@ -37,10 +47,11 @@ def track(df: DataFrame) -> DataFrame:
 
 def release_tracked(blocking: bool = True) -> int:
     """Unpersist every tracked frame (newest first) and return how
-    many were released. Safe to call at any time: frames whose cache
-    was already dropped (clearCache, session restart) unpersist as a
-    no-op, and a frame released here recomputes from lineage if used
-    again."""
+    many were released. Idempotent: frames whose cache was already
+    dropped (clearCache, session restart) unpersist as a no-op. A
+    persist()-backed frame released here recomputes from lineage if
+    used again; a CHECKPOINT-backed frame does NOT (see the module
+    docstring) — release only after all consumers are done."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

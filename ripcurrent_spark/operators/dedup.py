@@ -308,12 +308,82 @@ def candidate_pairs_by_key(keyed: DataFrame, id_col: str, key_col: str, max_df: 
     )
 
 
+def containment_candidates(
+    g: DataFrame, t_num: int, t_den: int, id_col: str = "doc_id", ngs_col: str = "ngs"
+) -> DataFrame:
+    """Candidate pairs for CONTAINMENT (overlap coefficient
+    |A∩B| / min(|A|,|B|) >= t) with GUARANTEED recall — the asymmetric
+    prefix discipline (VERDICT r8 #3). Returns (id_a, id_b), id_a <
+    id_b, a superset of every pair meeting the threshold.
+
+    Theorem: let S be the smaller doc (m shingles). Containment >= t
+    means |S∩B| >= ceil(t*m), so at most m - ceil(t*m) of S's
+    shingles miss B — any (m - ceil(t*m) + 1)-subset of S intersects
+    B by pigeonhole. So probing S's rarest-first PREFIX of that
+    length against the FULL posting lists finds every qualifying
+    pair. The full index on the other side is what the max-df-capped
+    variant got wrong: a widely-syndicated snippet's shingles are all
+    globally hot, the cap dropped every key of exactly the doc the
+    operator exists for, and recall went to ZERO (the sf1 sweep's
+    0-row artifact). Here hot shingles cost candidates instead of
+    recall: candidate count is sum over prefix postings of df, and
+    rarest-first ordering (ascending global df, shingle tie-break)
+    makes each doc's prefix the cheapest shingles it has — at t=0.9
+    the prefix is ~10% of the doc, so worst-case candidates are ~10%
+    of the posting volume, corpus-linear, never quadratic. Probing
+    only smaller-against-larger (size filter) halves the join; exact
+    verification runs downstream on candidates only."""
+    from pyspark.sql import Window as W
+
+    ex = g.select(F.col(id_col).alias("doc_id"), F.explode(ngs_col).alias("ng"))
+    dfreq = ex.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        ex.join(dfreq, "ng")
+        .withColumn(
+            "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "ng"))
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    # prefix length m - ceil(t*m) + 1, exact integer arithmetic
+    plen = F.col("_sz") - F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}") + 1
+    pref = ranked.filter(F.col("_r") <= plen).select(
+        F.col("doc_id").alias("_pid"), "ng", F.col("_sz").alias("_psz")
+    )
+    full = g.select(
+        F.col(id_col).alias("_oid"),
+        F.size(ngs_col).alias("_osz"),
+        F.explode(ngs_col).alias("ng"),
+    )
+    return (
+        pref.join(full, "ng")
+        .filter((F.col("_pid") != F.col("_oid")) & (F.col("_psz") <= F.col("_osz")))
+        .select(
+            F.least("_pid", "_oid").alias("id_a"),
+            F.greatest("_pid", "_oid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+class ComponentsDidNotConverge(RuntimeError):
+    """connected_components exhausted ``max_iter`` with label changes
+    still pending. Returning the partial labels would hand the caller
+    SPLIT components — an under-deletion no downstream oracle catches
+    — so the loop raises instead (VERDICT r8 #2). With per-round
+    pointer shortcutting the round count is O(log n), so hitting the
+    default cap of 50 means ~2^50 nodes or a genuinely broken graph;
+    raise ``max_iter`` only after checking the input."""
+
+
 class _CheckpointHandle:
-    """cachereg-compatible release handle for a localCheckpointed
-    frame: the storage is NOT a cache (no lineage survives it), so
-    releasing it frees the node-sized blocks but makes the frame
-    unusable — matching the seam's contract that callers release only
-    once done with the returned frame."""
+    """cachereg-compatible release handle for a checkpointed frame:
+    the storage is NOT a cache (no lineage survives it), so releasing
+    it frees the node-sized blocks but makes the frame UNUSABLE — any
+    later action on it (or on a frame derived from it) fails with
+    missing-checkpoint-block errors rather than recomputing. This is
+    the documented non-recomputable case of the cachereg contract
+    (cachereg.py module docstring): release only once every consumer
+    of the returned frame is done."""
 
     def __init__(self, df: DataFrame):
         self._df = df
@@ -333,44 +403,67 @@ def _release_local_checkpoint(df: DataFrame, blocking: bool = True) -> None:
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) with
     component = min node id reachable — the grouping step that turns
     pairwise matches into dedup groups.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors, bounded by
-    ``max_iter``. Each round is one join + groupBy on the (tiny
-    relative to corpus) pair set — the corpus itself is never
-    touched; edges are hash-partitioned on ``dst`` once and reused
-    every round.
+    Min-label propagation WITH per-round pointer shortcutting
+    (Shiloach–Vishkin hook+shortcut discipline): each round every node
+    first adopts the smallest label among itself and its neighbors
+    (one edges-join + groupBy), then jumps its label to its label's
+    label (one labels self-join). The shortcut is what makes the round
+    count O(log n) instead of O(diameter): plain min-propagation needs
+    diameter rounds, and chain-shaped near-dup graphs (doc i ~ doc
+    i+1 ~ ..., exactly what syndicated/templated corpora produce) grow
+    their diameter linearly with corpus size — the sf1 pHash chain
+    graph already needed 22 plain rounds; shortcutting converges it in
+    6 (VERDICT r8 #2). Correctness is unchanged: a label always names
+    a node in the same component (propagation moves labels along
+    edges, the shortcut composes two same-component hops), and the
+    fixpoint of the combined step is in particular a fixpoint of plain
+    propagation, whose only fixpoint is the component minimum.
 
-    Every round's state is cut with an EAGER ``localCheckpoint`` —
-    persist() is NOT enough here: the step references its predecessor
-    TWICE (the propagation join and the carry side), so the logical
-    plan doubles per round, and past the diameter a graph converges
-    in the per-round cost explodes with the plan (measured on the
-    first >20-diameter graph, the sf1 pHash chain graph: rounds went
-    1.8 → 272 s by iteration 5 under persist/unpersist; the
-    checkpointed form runs every round in ~0.5 s flat, 22 rounds in
-    12.9 s). The checkpoint truncates the plan to a LogicalRDD, so
-    round N's job is one join regardless of N. Trade-offs, both
-    documented: local checkpoints are non-reliable storage (executor
-    loss recomputes NOTHING — a production cluster run would point
-    this at a reliable checkpoint dir, the GraphX discipline), and
-    the returned frame cannot recompute after release — its
-    _CheckpointHandle goes to the cachereg seam, whose contract is
-    already release-when-done. Intermediate rounds free their blocks
-    as soon as the successor lands; convergence is checked per round
-    (a LIMIT-1 probe against checkpointed blocks).
+    If ``max_iter`` rounds pass with changes still pending the loop
+    RAISES :class:`ComponentsDidNotConverge` — never returns split
+    components silently. At O(log n) rounds the default cap of 50
+    covers ~2^50 nodes.
 
-    ``max_iter`` bounds adversarial chains: min-label needs diameter
-    rounds, and the sf1 pHash graph's near-dup CHAINS (doc i ~ doc
-    i+1 ~ ...) reach diameter 22 — past the old cap of 20, which
-    would have returned split components. 50 rounds cost ~25 s worst
-    case on that shape; every text near-dup graph converges in <= 4."""
+    Every round's state is cut with an EAGER checkpoint — persist()
+    is NOT enough here: the step references its predecessor several
+    times (the propagation join, the carry side, the shortcut lookup),
+    so the logical plan doubles per round and the per-round cost
+    explodes with the plan (measured on the sf1 pHash chain graph:
+    rounds went 1.8 → 272 s by iteration 5 under persist/unpersist;
+    the checkpointed form runs every round ~flat). The checkpoint
+    truncates the plan to a LogicalRDD, so round N's job is one pass
+    regardless of N. By default this is ``localCheckpoint`` —
+    non-reliable storage (executor loss recomputes NOTHING), fine for
+    a single-JVM run. Pass ``checkpoint_dir`` to use RELIABLE
+    ``df.checkpoint()`` storage instead (the GraphX discipline for a
+    real cluster): round state survives executor loss; the caller
+    owns the directory's lifecycle (checkpoint files are not deleted
+    here). Either way the returned frame CANNOT recompute after its
+    cachereg handle is released — see _CheckpointHandle.
+
+    Edges are hash-partitioned on ``dst`` once and reused every round;
+    the corpus itself is never touched. ``stats`` (optional dict) gets
+    ``{"rounds": n, "converged": True}`` written for observability.
+    """
     from ripcurrent_spark.operators.cachereg import track
+
+    reliable = checkpoint_dir is not None
+    if reliable:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -379,32 +472,57 @@ def connected_components(
         .repartition("dst")
         .persist()
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("_chg"),
-            )
-            .localCheckpoint()  # eager: materializes + truncates the plan
+        hooked = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("_chg"),
         )
+        # Pointer shortcut: label := label(label). Labels are node ids
+        # (they start as self and only ever move to other nodes' ids),
+        # so the lookup side is the hooked frame itself, renamed.
+        parent = hooked.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        stepped = _cut(
+            hooked.join(parent, F.col("label") == F.col("_pn"), "left").select(
+                "node",
+                F.coalesce("_pl", "label").alias("label"),
+                (
+                    F.col("_chg")
+                    | F.coalesce(F.col("_pl") < F.col("label"), F.lit(False))
+                ).alias("_chg"),
+            )
+        )  # eager: materializes + truncates the plan
         _release_local_checkpoint(labels)
         labels = stepped
         if stepped.filter(F.col("_chg")).limit(1).count() == 0:
+            converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        _release_local_checkpoint(labels)
+        raise ComponentsDidNotConverge(
+            f"connected_components: {max_iter} rounds exhausted with label "
+            f"changes still pending — refusing to return split components. "
+            f"Raise max_iter only after checking the pair graph."
+        )
     track(_CheckpointHandle(labels))
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

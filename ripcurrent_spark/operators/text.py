@@ -79,8 +79,20 @@ def vocab_in_hits(toks_ref: str, vocab) -> Column:
 
     `toks_ref` must be a NAMED column (project `tokens()` first) —
     the expression is parsed from SQL text, so it cannot close over a
-    derived Column object."""
-    inlist = ", ".join("'" + w.replace("'", "''") + "'" for w in vocab)
+    derived Column object.
+
+    Because the literals travel through Spark's SQL parser, every
+    parser-significant byte must be escaped — backslash FIRST (Spark's
+    default string-literal mode treats it as an escape; a vocab entry
+    like ``\\n`` would otherwise be silently re-interpreted as a
+    newline and its membership count go wrong), then the quote. An
+    empty vocabulary short-circuits to 0 hits: ``x IN ()`` is a parse
+    error, not an empty set."""
+    if not vocab:
+        return F.lit(0)
+    inlist = ", ".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in vocab
+    )
     return F.expr(f"size(filter({toks_ref}, x -> x IN ({inlist})))")
 
 

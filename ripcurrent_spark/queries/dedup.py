@@ -425,6 +425,9 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONT_T = 0.9  # overlap-coefficient threshold (containment of the smaller doc)
 
 
+_CONT_T_NUM, _CONT_T_DEN = 9, 10  # = _CONT_T as exact integers
+
+
 @register(
     "dedup_containment_pairs",
     oracle=f"""
@@ -432,13 +435,9 @@ WITH g AS (
   SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
 ),
 ex AS (SELECT doc_id, unnest(ngs) AS ng FROM g),
-keyed AS (
-  SELECT * FROM ex
-  WHERE ng IN (SELECT ng FROM ex GROUP BY ng HAVING COUNT(*) <= {_MAX_DF})
-),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM keyed a JOIN keyed b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b ON a.ng = b.ng AND a.doc_id < b.doc_id
 ),
 v AS (
   SELECT c.id_a, c.id_b,
@@ -462,22 +461,27 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the inclusion pairs symmetric Jaccard under-scores: a
     50-shingle doc inside a 500-shingle doc has containment 1.0 but
     jaccard 0.1, invisible to both the jaccard gate and MinHash LSH
-    (whose collision probability tracks jaccard). Candidates
-    therefore come from the shingle INVERTED INDEX (any shared
-    non-hot shingle, the dedup_ngram_jaccard path — guaranteed recall
-    for containment >= {_CONT_T} pairs whose smaller side has at
-    least one sub-max-df shingle), not from MinHash bands; exact
-    verification touches only candidate pairs. Shingles read from
-    the materialized signature artifact — parquet-backed, serving
-    the index and both verify sides with column-pruned scans, no
-    persist barrier. The jaccard column rides along so downstream
-    policy can separate true inclusions (high containment, low
-    jaccard) from plain near-dups."""
+    (whose collision probability tracks jaccard).
+
+    Candidates come from the RAREST-PREFIX discipline
+    (operators/dedup.containment_candidates) with recall guaranteed
+    by pigeonhole — VERDICT r8 #3: the previous max-df-capped index
+    had recall collapse to ZERO exactly on the syndicated-snippet
+    workload (all of a hot snippet's shingles exceed the cap; the sf1
+    sweep recorded the 0-row degenerate end). The oracle is the
+    BRUTE-FORCE truth (every shingle-sharing pair, exactly verified
+    — any containment >= {_CONT_T} pair shares a shingle), so the
+    driver re-proves full recall on real data every round, the
+    dedup_allpairs_exact discipline. Shingles read from the
+    materialized signature artifact — parquet-backed, serving the
+    index and both verify sides with column-pruned scans. The
+    jaccard column rides along so downstream policy can separate
+    true inclusions (high containment, low jaccard) from plain
+    near-dups."""
     from ripcurrent_spark.operators.sigstore import minhash_signature_table
 
     g = minhash_signature_table(spark, sf_dir, k=_MH_K).select("doc_id", "ngs")
-    ex = g.select("doc_id", F.explode("ngs").alias("ng"))
-    cands = DD.candidate_pairs_by_key(ex, "doc_id", "ng", max_df=_MAX_DF)
+    cands = DD.containment_candidates(g, _CONT_T_NUM, _CONT_T_DEN)
     a = g.select(F.col("doc_id").alias("id_a"), F.col("ngs").alias("ngs_a"))
     b = g.select(F.col("doc_id").alias("id_b"), F.col("ngs").alias("ngs_b"))
     inter = F.size(F.array_intersect("ngs_a", "ngs_b"))

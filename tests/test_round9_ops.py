@@ -1,0 +1,168 @@
+"""Round-9 tests: diameter-independent connected components with
+loud-on-truncation (VERDICT r8 #2, ADVICE mediums), the reliable
+checkpoint seam (VERDICT r8 #8), and companions added this round."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.operators import cachereg
+from ripcurrent_spark.operators.dedup import (
+    ComponentsDidNotConverge,
+    connected_components,
+)
+
+# ------------------------------------------ connected components
+
+
+def _chain_pairs(spark, n):
+    """A single path 0-1-2-...-n-1: diameter n-1, worst case for plain
+    min-label propagation (needs n-1 rounds; shortcutting needs
+    O(log n))."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+
+
+def test_components_chain_100_converges_logarithmically(spark):
+    """A planted diameter-99 chain — the shape the old per-round
+    min-label loop could not finish inside its cap (the sf1 pHash
+    graph hit diameter 22 of a 50-round budget; chains grow with
+    corpus size). Pointer shortcutting must label the whole chain 0
+    in O(log n) rounds."""
+    stats = {}
+    out = connected_components(_chain_pairs(spark, 100), stats=stats)
+    rows = out.collect()
+    cachereg.release_tracked()
+    assert len(rows) == 100
+    assert {r["component"] for r in rows} == {0}
+    assert stats["converged"]
+    assert stats["rounds"] <= 10, f"expected O(log n) rounds, got {stats['rounds']}"
+
+
+def test_components_truncation_raises_not_silent(spark):
+    """Exhausting max_iter with changes pending must RAISE — returning
+    split components silently was this round's named correctness
+    hazard (under-deletion no oracle catches)."""
+    with pytest.raises(ComponentsDidNotConverge):
+        connected_components(_chain_pairs(spark, 64), max_iter=2)
+    cachereg.release_tracked()
+
+
+def test_components_multi_component_correctness(spark):
+    """Several components of different shapes in one graph: a
+    triangle, a star, a 2-chain, an isolated edge — every node gets
+    its component's min id."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),          # triangle -> 1
+            (10, 11), (10, 12), (10, 13),    # star -> 10
+            (20, 21), (21, 22),              # chain -> 20
+            (30, 31),                        # edge -> 30
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    cachereg.release_tracked()
+    want = {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20), (22, 20),
+        (30, 30), (31, 30),
+    }
+    assert got == want
+
+
+def test_components_reliable_checkpoint_seam(spark, tmp_path):
+    """VERDICT r8 #8: checkpoint_dir= switches the per-round cut to
+    reliable df.checkpoint() storage. Same labels, and the directory
+    actually receives checkpoint data."""
+    ckpt = tmp_path / "ckpt"
+    stats = {}
+    out = connected_components(
+        _chain_pairs(spark, 40), checkpoint_dir=str(ckpt), stats=stats
+    )
+    rows = out.collect()
+    cachereg.release_tracked()
+    assert {r["component"] for r in rows} == {0}
+    assert stats["converged"]
+    written = list(ckpt.rglob("*"))
+    assert written, "reliable checkpoint dir stayed empty"
+
+
+# ------------------------------------------ containment recall
+
+
+def test_containment_finds_widely_syndicated_snippet(spark):
+    """VERDICT r8 #3: a short snippet included verbatim in MANY long
+    docs makes every one of its own shingles globally hot — the old
+    max-df-capped index dropped all its keys and recall went to ZERO
+    on exactly the workload the operator exists for. The rarest-prefix
+    candidates must surface every (snippet, host) pair."""
+    from ripcurrent_spark.operators.dedup import containment_candidates
+
+    n_hosts = 300  # far past the old _MAX_DF=100 cap
+    snippet = [f"s{i} s{i + 1} s{i + 2}" for i in range(8)]  # 8 shingles
+    rows = [(0, snippet)]
+    for h in range(1, n_hosts + 1):
+        # each host embeds the snippet plus its own unique filler
+        filler = [f"h{h}w{j}" for j in range(40)]
+        rows.append((h, snippet + filler))
+    g = spark.createDataFrame(rows, "doc_id long, ngs array<string>")
+    cands = containment_candidates(g, 9, 10)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    want = {(0, h) for h in range(1, n_hosts + 1)}
+    missing = want - got
+    assert not missing, f"recall hole: {len(missing)} snippet-host pairs missed"
+
+
+def test_containment_prefix_bounds_candidates(spark):
+    """The flip side of guaranteed recall: unrelated docs sharing
+    nothing must produce no candidates, and near-miss pairs (below
+    threshold) may appear as candidates but are cheap — the exact
+    verify downstream filters them. Here: two disjoint docs -> no
+    pair."""
+    from ripcurrent_spark.operators.dedup import containment_candidates
+
+    g = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["x y z", "y z w"])],
+        "doc_id long, ngs array<string>",
+    )
+    assert containment_candidates(g, 9, 10).count() == 0
+
+
+# ------------------------------------------ vocab IN-list hygiene
+
+
+def test_vocab_in_hits_escapes_and_empty(spark):
+    """ADVICE r8: parser-significant bytes in vocab entries must
+    survive the generated-SQL round trip — backslashes (Spark treats
+    \\ as an escape in string literals) and quotes (the old ''
+    doubling parsed as TWO adjacent literals that Spark concatenates,
+    silently dropping the quote). An empty vocab is 0 hits, not the
+    'x IN ()' parse error."""
+    from ripcurrent_spark.operators.text import vocab_in_hits
+
+    df = spark.createDataFrame(
+        [(["a\\b", "it's", "plain", "nope"],)], "toks array<string>"
+    )
+    got = df.select(
+        vocab_in_hits("toks", ["a\\b", "it's", "plain"]).alias("hits"),
+        vocab_in_hits("toks", []).alias("none"),
+    ).first()
+    assert got["hits"] == 3
+    assert got["none"] == 0
+
+
+def test_components_stats_rounds_beat_diameter(spark):
+    """Direct comparison on one graph: the chain of 33 needs 32 plain
+    propagation rounds; the shortcutting loop must finish well under
+    that (and under the default cap with huge headroom)."""
+    stats = {}
+    connected_components(_chain_pairs(spark, 33), stats=stats).collect()
+    cachereg.release_tracked()
+    assert stats["rounds"] < 12

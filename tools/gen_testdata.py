@@ -160,19 +160,36 @@ def generate(sf: float, out_dir: str) -> None:
         FROM range({n_events}) t(i)
         """,
     )
-    # documents: word-salad over the sf0.1 vocabulary, 40-90 words,
-    # ~40% en / 15% each other lang, 20 sources; plant near-dup twins
-    # (~2% of docs copy the previous doc with one word appended) and
-    # exact twins (~0.4%) so dedup operators have work to do.
+    # documents: word-salad with a REALISTIC vocabulary mix — 20% from
+    # a 24-word hot core (stopword-like, shared by everything) and 80%
+    # from a 4000-word synthetic tail, so 3-gram shingles are
+    # SELECTIVE at sweep scale (VERDICT r8 #3: the old 24-word-only
+    # vocab pushed every shingle's document frequency over any sane
+    # cap at sf1 — 24^3 possible shingles across 3M postings — which
+    # made the capped candidate paths degenerate to 0 rows and never
+    # exercised the operators on their real workload shape). 40-90
+    # words, ~40% en / 15% each other lang, 20 sources; plants:
+    # exact twins (~0.4%), near-dup twins (~2%, previous doc + one
+    # word), and CONTAINMENT snippets (~0.25%, the first 18 words of
+    # the previous doc — containment 1.0, jaccard << 1, the
+    # syndicated-snippet shape dedup_containment_pairs exists for).
+    con.execute(
+        """
+        CREATE OR REPLACE TEMP MACRO doc_word(h) AS
+          CASE WHEN h % 5 = 0 THEN
+            ['key','agg','row','scan','slow','fast','table','value','part',
+             'hash','batch','window','spark','order','data','column','join',
+             'small','filter','stream','merge','query','big','a']
+              [1 + (h // 5) % 24]
+          ELSE 'w' || CAST((h // 5) % 4000 AS VARCHAR) END
+        """
+    )
     con.execute(
         """
         CREATE OR REPLACE TEMP MACRO doc_text(i) AS
           array_to_string(
             list_transform(range(90), j ->
-              ['key','agg','row','scan','slow','fast','table','value','part',
-               'hash','batch','window','spark','order','data','column','join',
-               'small','filter','stream','merge','query','big','a']
-                [1 + CAST(hash(i * 7919 + j) >> 2 AS BIGINT) % 24])
+              doc_word(CAST(hash(i * 7919 + j) >> 2 AS BIGINT)))
               [1 : 40 + CAST(hash(i * 104729) >> 2 AS BIGINT) % 51],
             ' ')
         """
@@ -186,6 +203,9 @@ def generate(sf: float, out_dir: str) -> None:
                    WHEN i > 1 AND {_h('i', 81)} % 250 = 0 THEN doc_text(i - 1)
                    WHEN i > 0 AND {_h('i', 82)} % 50 = 0
                      THEN doc_text(i - 1) || ' extra'
+                   WHEN i > 0 AND {_h('i', 85)} % 400 = 0
+                     THEN array_to_string(
+                            string_split(doc_text(i - 1), ' ')[1:18], ' ')
                    ELSE doc_text(i)
                  END AS text
           FROM range({n_docs}) t(i)
