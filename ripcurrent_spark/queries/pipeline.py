@@ -1333,3 +1333,158 @@ def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
         )
     )
+
+
+# T=3 fixed-point scale: w = icbrt(n_docs * 10^27) = floor(10^9 * cbrt(n_docs)).
+_TMIX3_K = "1000000000000000000000000000"  # 10^27 (> int64, ships as DECIMAL/HUGEINT text)
+
+# DuckDB twin of the exact integer cube root: libm estimate, then a
+# +-2 integer correction that makes the result independent of cbrt's
+# last-ulp behavior (see sample_temperature_t3 docstring).
+_ICBRT_SQL = f"""
+CASE WHEN (_k0+2)*(_k0+2)*(_k0+2) <= _m THEN _k0+2
+     WHEN (_k0+1)*(_k0+1)*(_k0+1) <= _m THEN _k0+1
+     WHEN _k0*_k0*_k0 <= _m THEN _k0
+     WHEN (_k0-1)*(_k0-1)*(_k0-1) <= _m THEN _k0-1
+     ELSE _k0-2 END
+"""
+
+
+@register(
+    "sample_temperature_t3",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total FROM cnt),
+mw AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS HUGEINT) * {_TMIX3_K}::HUGEINT AS _m
+  FROM cnt
+),
+kw AS (
+  SELECT source, n_docs, _m,
+         CAST(floor(cbrt(CAST(_m AS DOUBLE))) AS HUGEINT) AS _k0
+  FROM mw
+),
+w AS (
+  SELECT source, n_docs, CAST(({_ICBRT_SQL}) AS BIGINT) AS w3
+  FROM kw
+),
+z AS (SELECT SUM(w3) AS z FROM w),
+stats AS (
+  SELECT w.source, w.n_docs,
+         CAST(w.w3 AS DOUBLE) / CAST(z.z AS DOUBLE) AS q,
+         least(1.0, (CAST(w.w3 AS DOUBLE) / CAST(z.z AS DOUBLE))
+                    * ({_TMIX_TARGET} * t.n_total) / w.n_docs) AS r
+  FROM w, z, tot t
+),
+thr AS (
+  SELECT source, n_docs, q, r,
+         CAST(floor(r * 4294967296) AS BIGINT) AS h_thr
+  FROM stats
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS n_sampled
+  FROM documents d JOIN thr ON d.source = thr.source
+  WHERE {h32_sql("CAST(doc_id AS VARCHAR)", seed="tmix3")} < thr.h_thr
+  GROUP BY d.source
+)
+SELECT thr.source, CAST(thr.n_docs AS BIGINT) AS n_docs,
+       round(thr.q, 6) AS mix_weight,
+       round(thr.r, 6) AS accept_rate,
+       CAST(COALESCE(sampled.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM thr LEFT JOIN sampled ON thr.source = sampled.source
+""",
+)
+def sample_temperature_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing at T=3 — the ODD-temperature
+    companion to sample_temperature_sources (T=2), proving arbitrary
+    temperatures stay ORACLE-EXACT in-plan (VERDICT r8 #5). T=2 got
+    exactness for free because sqrt is correctly rounded everywhere;
+    a general p^(1/T) goes through libm pow/cbrt whose last ulp
+    differs across engines. Two moves close that gap:
+
+    1. **Normalization cancels n_total**: q_s = cbrt(p_s)/sum cbrt(p_j)
+       = cbrt(n_s)/sum cbrt(n_j), so the weight needs no division at
+       all — only the cube root of an integer.
+    2. **Exact integer cube root**: w_s = floor(cbrt(n_s * 10^27))
+       (= floor(10^9 * cbrt(n_s)), a 10-significant-digit fixed-point
+       weight). The libm cbrt over the DOUBLE image of n_s*10^27 is
+       only an ESTIMATE (off by <= 1 after floor: double conversion
+       loses 2^-53 relative, cbrt <= 1 ulp on both JVM and C libm —
+       combined absolute error ~2e-4 on a <= 4.7e11 result); a +-2
+       integer-cube comparison window then snaps BOTH engines to the
+       one true floor, making w_s engine-independent by construction.
+       Integer cubes run in DECIMAL(38,0)/HUGEINT — (k+2)^3 <= 1.1e35
+       fits both.
+
+    Everything downstream mirrors the T=2 query: z = sum w (exact
+    integer), q = w/z (one IEEE division), accept rate
+    r = min(1, q * target * n_total / n) in identical operation
+    order, per-doc accept = deterministic h32(doc_id) < floor(r*2^32)
+    (seed 'tmix3') — no RNG, map-side compare, no data-scaled
+    shuffle. For temperatures beyond 2 and 3 the same discipline
+    generalizes (floor(n^(d/T) * 10^k) with an integer-power
+    correction window); the control-plane variant
+    (operators/sampling.temperature_mix_plan) stays the any-REAL-T
+    escape hatch."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").alias("n_total"))
+    m = (
+        F.col("n_docs").cast("decimal(10,0)")
+        * F.expr(f"CAST({_TMIX3_K} AS DECIMAL(28,0))")
+    ).alias("_m")
+    kw = cnt.select("source", "n_docs", m).select(
+        "source",
+        "n_docs",
+        "_m",
+        F.floor(F.cbrt(F.col("_m").cast("double"))).cast("long").alias("_k0"),
+    )
+    # exact icbrt: largest c in [k0-2, k0+2] with c^3 <= m
+    def _cube_le(c):
+        cd = c.cast("decimal(13,0)")
+        return (cd * cd * cd) <= F.col("_m")
+
+    k0 = F.col("_k0")
+    w3 = (
+        F.when(_cube_le(k0 + 2), k0 + 2)
+        .when(_cube_le(k0 + 1), k0 + 1)
+        .when(_cube_le(k0), k0)
+        .when(_cube_le(k0 - 1), k0 - 1)
+        .otherwise(k0 - 2)
+    )
+    w = kw.select("source", "n_docs", w3.cast("long").alias("w3"))
+    z = w.agg(F.sum("w3").alias("z"))
+    q = F.col("w3").cast("double") / F.col("z").cast("double")
+    r = F.least(
+        F.lit(1.0),
+        q * (F.lit(_TMIX_TARGET) * F.col("n_total")) / F.col("n_docs"),
+    )
+    thr = w.crossJoin(F.broadcast(z)).crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        q.alias("q"),
+        r.alias("r"),
+        F.floor(r * F.lit(4294967296.0)).cast("long").alias("h_thr"),
+    )
+    sampled = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(thr.select("source", "h_thr")), "source")
+        .filter(h32(F.col("doc_id").cast("string"), seed="tmix3") < F.col("h_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        thr.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("q", 6).alias("mix_weight"),
+            F.round("r", 6).alias("accept_rate"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

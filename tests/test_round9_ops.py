@@ -135,6 +135,94 @@ def test_containment_prefix_bounds_candidates(spark):
     assert containment_candidates(g, 9, 10).count() == 0
 
 
+# ------------------------------------------ registry count pinning
+
+
+def test_readme_and_survey_counts_match_live_registry():
+    """VERDICT r8 #7: the published registry counts drifted twice
+    (r7: 177 vs 178; r8: 181 vs 182). Pin them to the live registry
+    so any new query that forgets the doc update fails here."""
+    import re
+    from pathlib import Path
+
+    from ripcurrent_spark.queries import all_queries
+
+    qs = all_queries()
+    n_entries, n_oracles = len(qs), sum(1 for q in qs.values() if q.oracle)
+    want = f"({n_entries} entries, {n_oracles}"
+    root = Path(__file__).resolve().parent.parent
+    for doc in ("README.md", "SURVEY.md"):
+        text = (root / doc).read_text()
+        stale = re.findall(r"\((\d+) entries, (\d+)\b", text)
+        assert stale, f"{doc} lost its registry-count line"
+        for ent, orc in stale:
+            assert (int(ent), int(orc)) == (n_entries, n_oracles), (
+                f"{doc} says ({ent} entries, {orc} oracles); live registry is "
+                f"{want} — update the doc alongside the new query"
+            )
+
+
+# ------------------------------------------ temperature mixing (T=3)
+
+
+def test_temperature_mix_plan_monotone_in_temperature():
+    """VERDICT r8 #5 property: raising T flattens the mix, so the
+    RAREST source's mix weight and accept rate are non-decreasing in
+    T (q_min = 1/sum (p_j/p_min)^(1/T); every ratio >= 1 shrinks as T
+    grows). Hypothesis sweeps count vectors and temperature pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ripcurrent_spark.operators.sampling import temperature_mix_plan
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 10**9), min_size=2, max_size=12),
+        t1=st.floats(1.0, 50.0, allow_nan=False),
+        dt=st.floats(0.1, 50.0, allow_nan=False),
+    )
+    def prop(counts, t1, dt):
+        named = [(f"s{i}", n) for i, n in enumerate(counts)]
+        lo = temperature_mix_plan(named, t1, 0.25)
+        hi = temperature_mix_plan(named, t1 + dt, 0.25)
+        rare = min(counts)
+        i = counts.index(rare)
+        assert hi[i][2] >= lo[i][2] - 1e-12  # mix weight q
+        assert hi[i][3] >= lo[i][3] - 1e-12  # accept rate r
+
+    prop()
+
+
+def test_temperature_t3_exact_on_perfect_cube_counts(spark, tmp_path):
+    """Adversarial exactness probe for the icbrt correction window:
+    perfect-cube source counts put cbrt(n * 10^27) EXACTLY on an
+    integer, where a 1-ulp-low libm cbrt floors to k-1 on one engine
+    and k on the other — the +-2 integer-cube snap must collapse both
+    to the true floor, keeping the oracle hash-exact."""
+    import duckdb
+
+    from ripcurrent_spark.queries import all_queries
+    from tests.parity import assert_parity
+
+    rows = []
+    doc = 0
+    for si, n in enumerate([8, 27, 64, 125, 1000]):  # perfect cubes
+        for _ in range(n):
+            rows.append((doc, f"text {doc}", "en", f"cube{si}", 10))
+            doc += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = all_queries()["sample_temperature_t3"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert_parity(q.spark(spark, str(tmp_path)), con.sql(q.oracle), "t3_cubes")
+    con.close()
+
+
 # ------------------------------------------ vocab IN-list hygiene
 
 
