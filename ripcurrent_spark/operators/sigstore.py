@@ -255,6 +255,36 @@ def simhash128_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (media_id, ph_a, ph_b) 64-bit perceptual-hash table over
+    the documents-as-media corpus — the image-family print artifact
+    (r9). The pHash fold is the most data-sensitive CPU cost in the
+    repo: it md5s every DISTINCT character 4-gram, so a realistic
+    vocabulary (selective shingles, low memo hit rate) made the
+    per-session fold ~25 s at sf1 — paid by BOTH mm_phash_dedup and
+    mm_phash_keep_one under the old session-persist seam, and again
+    every session. Landed once per corpus digest, consumers read
+    warm parquet; the consumers' from-scratch oracles re-prove the
+    artifact every driver round, and the streaming index
+    (streaming/dedup.streaming_media_dedup_foreach_batch) is the
+    incremental maintainer of the same frame."""
+    from ripcurrent_spark.multimodal.columns import attach_media, phash_media
+
+    def build() -> DataFrame:
+        from ripcurrent_spark.io import load
+
+        d = load(spark, sf_dir, "documents")
+        return phash_media(attach_media(d, "doc_id", "text"))
+
+    return materialized(
+        spark,
+        "phash64",
+        _source_key(sf_dir, "documents", "phash64:v1"),
+        build,
+        source=Path(sf_dir) / "documents.parquet",
+    )
+
+
 def copurchase_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The part co-purchase edge set (src, dst): distinct (order,
     part) pairs self-joined on the order key, symmetric, deduped —
@@ -321,6 +351,12 @@ def named_artifacts(spark: SparkSession, sf_dir: str) -> dict:
             lambda: simhash128_table(spark, sf_dir),
             lambda: artifact_dir(
                 "simhash128", _source_key(sf_dir, "documents", "sh128:v1")
+            ),
+        ),
+        "artifact_phash64": (
+            lambda: phash_table(spark, sf_dir),
+            lambda: artifact_dir(
+                "phash64", _source_key(sf_dir, "documents", "phash64:v1")
             ),
         ),
     }

@@ -209,20 +209,20 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sooner than SimHash's 2^32, which is the right trade for IMAGE
     corpora (vastly fewer frames than text shingles) — a billion-image
     corpus would widen the hash, not the bands, exactly as the text
-    family did in r5."""
-    from ripcurrent_spark.multimodal.columns import phash_media, phash_near_dup_pairs
-    from ripcurrent_spark.operators import cachereg
+    family did in r5.
 
-    d = load(spark, sf_dir, "documents")
-    # Persist the hashes: the hot-band aggregate, both band-join sides,
-    # and the Hamming verify all reference them; without a barrier the
-    # payload mapInPandas runs once per reference. The count() EAGERLY
-    # fills the cache first — the three consumer stages otherwise
-    # launch concurrently and each computes the python fold before any
-    # cache block lands (observed as 'Block already exists' warnings
-    # and a 3x-inflated fold: 25.8 s in-sweep vs 7.4 s solo).
-    h = cachereg.track(phash_media(attach_media(d, "doc_id", "text")).persist())
-    h.count()
+    Hashes come from the materialized pHash print artifact
+    (operators/sigstore.phash_table — r9): the fold md5s every
+    DISTINCT char 4-gram, so on a realistic vocabulary it is the
+    most expensive per-session compute in the image family (~25 s at
+    sf1); the parquet artifact pays it once per corpus digest and
+    serves the hot-band aggregate, both band-join sides, and the
+    Hamming verify with column-pruned scans — no persist barrier, no
+    cache seam (this replaced the r8 eager-persist discipline)."""
+    from ripcurrent_spark.multimodal.columns import phash_near_dup_pairs
+    from ripcurrent_spark.operators.sigstore import phash_table
+
+    h = phash_table(spark, sf_dir)
     return phash_near_dup_pairs(h, max_df=_PH_MAX_DF, ham_t=_PH_HAM_T)
 
 
