@@ -1173,3 +1173,113 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mb - ma) / ma, 6).alias("lift"),
         F.round((mb - ma) / F.sqrt(va_n + vb_n), 6).alias("z"),
     )
+
+
+# ------------------------------------------- DSIR importance weights
+_DSIR_B = 512  # hashed-ngram feature buckets (bounded model, any corpus)
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang, {_G2_ALL} AS gs FROM documents),
+eb AS (
+  SELECT doc_id, lang, {h32_sql('g', seed='dsir')} % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest(gs) AS g FROM d)
+),
+db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM eb GROUP BY doc_id, lang, b),
+raw AS (SELECT b, SUM(c) AS cr FROM db GROUP BY b),
+tgt AS (SELECT b, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY b),
+tots AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS tr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt
+),
+lw AS (
+  SELECT raw.b,
+         CAST(round(ln((COALESCE(tgt.ct, 0) + 1) / (tots.tt + {_DSIR_B})), 9)
+              AS DECIMAL(20,9))
+       - CAST(round(ln((raw.cr + 1) / (tots.tr + {_DSIR_B})), 9)
+              AS DECIMAL(20,9)) AS w
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots
+),
+sc AS (
+  SELECT db.doc_id, SUM(db.c) AS n_grams,
+         SUM(CAST(db.c AS DECIMAL(12,0)) * lw.w) AS s
+  FROM db JOIN lw ON db.b = lw.b
+  GROUP BY db.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       round(CAST(s AS DOUBLE), 6) AS log_weight,
+       s > 0 AS target_like
+FROM sc
+""",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-n-gram features are —
+    log w(x) = sum over word-bigram OCCURRENCES of
+    ln p_target(bucket) - ln p_raw(bucket), with {_DSIR_B} hashed
+    feature buckets and add-one smoothing on both bag-of-buckets
+    unigram models. Here the 'target' distribution is the corpus's
+    lang='en' slice (the in-repo proxy for a curated target corpus —
+    the operator is distribution-agnostic); positive log-weight docs
+    are the ones importance resampling favors. This is the data-
+    SELECTION stage between quality filters and temperature mixing:
+    dedup decides what is redundant, this decides what is RELEVANT.
+
+    Scale (100 TB): ONE corpus-sized shuffle — the exploded bigrams
+    partial-aggregate map-side into (doc, bucket) counts; both
+    feature models fold from that frame into {_DSIR_B}-row aggregates
+    joined back as broadcasts, so model size is FIXED at any corpus
+    size (the hashing trick's point), and the per-doc score is one
+    more partial-agged groupBy of the same (doc, bucket) frame.
+
+    Determinism (the charlm discipline): each bucket's two smoothed
+    probabilities are IEEE divisions of exact integers (identical on
+    both engines); ln is libm, so each log-prob rounds to 9 decimals
+    into DECIMAL(20,9) and everything after — the per-bucket weight
+    subtraction, the count-weighted per-doc sum — is exact decimal
+    arithmetic, order-free under any shuffle. The target_like flag
+    compares the exact decimal sum, not a rounded double."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", tokens("text").alias("toks"))
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(ngrams_of_tokens(F.col("toks"), 2, distinct=False)).alias("g"),
+    )
+    from ripcurrent_spark.functions.hashing import h32
+
+    eb = ex.select("doc_id", "lang", (h32("g", seed="dsir") % _DSIR_B).alias("b"))
+    db = eb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = db.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
+    tr = raw.agg(F.sum("cr").alias("tr"))
+    tt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    lnp = lambda num, den: F.round(F.log(num / den), 9).cast("decimal(20,9)")  # noqa: E731
+    lw = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(bcast(tr))
+        .crossJoin(bcast(tt))
+        .select(
+            "b",
+            (
+                lnp(F.coalesce("ct", F.lit(0)) + 1, F.col("tt") + _DSIR_B)
+                - lnp(F.col("cr") + 1, F.col("tr") + _DSIR_B)
+            ).alias("w"),
+        )
+    )
+    sc = (
+        db.join(bcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c").cast("decimal(12,0)") * F.col("w")).alias("s"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(F.col("s").cast("double"), 6).alias("log_weight"),
+        (F.col("s") > 0).alias("target_like"),
+    )
