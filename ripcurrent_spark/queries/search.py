@@ -38,10 +38,9 @@ K1 = 1.2
 B = 0.75
 
 
-@register(
-    "text_bm25_search",
-    oracle=f"""
-WITH t AS (
+# Shared by text_bm25_search and search_rrf_fusion (which re-ranks
+# this exact top-100).
+_BM25_CTES = f"""t AS (
   SELECT doc_id,
          len({tokens_sql('text')}) AS dl,
          len(list_filter({tokens_sql('text')}, x -> x = '{QUERY_TERMS[0]}')) AS tf0,
@@ -71,7 +70,13 @@ scored AS (
              / (tf2 + {K1} * (1.0 - {B} + {B} * dl / (CAST(sumdl AS DOUBLE) / n)))
          , 6) AS bm25
   FROM t, s
-)
+)"""
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+WITH {_BM25_CTES}
 SELECT doc_id, CAST(dl AS BIGINT) AS dl,
        CAST(tf0 + tf1 + tf2 AS BIGINT) AS tf_total, bm25
 FROM scored WHERE bm25 > 0
@@ -579,4 +584,115 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos_a").cast("long").alias("first_pos"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- hybrid retrieval (RRF)
+from ripcurrent_spark.operators.similarity import unit_sql as _unit_sql  # noqa: E402
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_RRF_TOP = 100
+
+
+@register(
+    "search_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_CTES},
+top AS (
+  SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+  ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOP}
+),
+bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM top
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+u AS (SELECT vec_id, {{unit}} AS emb FROM v),
+q AS (SELECT * FROM u WHERE vec_id = 0),
+cs AS (
+  SELECT c.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(q.emb)+1), i -> q.emb[i] * c.emb[i]))
+           AS cos_raw
+  FROM q JOIN u c ON c.vec_id <> q.vec_id
+),
+cr AS (
+  SELECT doc_id, cos_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_raw DESC, doc_id) AS cos_rank
+    FROM cs
+  ) WHERE cos_rank <= {_RRF_TOP}
+),
+f AS (
+  SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id,
+         bm.bm25_rank, cr.cos_rank,
+         COALESCE(1.0 / ({_RRF_K} + bm.bm25_rank), 0.0)
+       + COALESCE(1.0 / ({_RRF_K} + cr.cos_rank), 0.0) AS rrf
+  FROM bm FULL JOIN cr ON bm.doc_id = cr.doc_id
+)
+SELECT doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cos_rank AS BIGINT) AS cos_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank,
+       round(rrf, 6) AS rrf_score
+FROM f
+""".replace("{unit}", _unit_sql("emb")),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (Cormack et al.
+    2009, the standard k={_RRF_K} form): fuse a LEXICAL ranker (the
+    BM25 top-{_RRF_TOP} over the fixed 3-term query) with a VECTOR
+    ranker (exact cosine top-{_RRF_TOP} against query vector
+    vec_id=0) into one ranking — score(d) = sum over rankers of
+    1/(k + rank_r(d)), missing-from-a-ranker contributing 0. RRF is
+    what production search stacks actually run between the two
+    retrievers and the reranker: it needs no score calibration
+    (ranks only), so a BM25 logit and a cosine live on the same
+    scale by construction.
+
+    Scale: each ranker is its own already-proven shape (BM25 = one
+    broadcast stats row onto a map-only scan + TakeOrdered;
+    brute-force cosine = Arrow matmul with per-batch local top-k) —
+    fusion itself touches two {_RRF_TOP}-row frames: one broadcast
+    full-outer join and a {_RRF_TOP * 2}-row window. Determinism:
+    ranks are integers from (score DESC, id) orderings, the
+    reciprocal terms are IEEE divisions of exact integers summed in
+    fixed ranker order, so the fused ranking is bit-stable across
+    engines without any score calibration."""
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators import similarity as SIM
+
+    bm = text_bm25_search(spark, sf_dir)
+    wb = W.orderBy(F.desc("bm25"), "doc_id")
+    bmr = bm.select("doc_id", "bm25").withColumn(
+        "bm25_rank", F.row_number().over(wb)
+    ).select("doc_id", "bm25_rank")
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    cosr = SIM.brute_force_topk_np(q, e, k=_RRF_TOP).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("cos_rank")
+    )
+
+    f = bmr.join(cosr, "doc_id", "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (_RRF_K + F.col("bm25_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (_RRF_K + F.col("cos_rank")), F.lit(0.0)
+    )
+    wf = W.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        f.withColumn("rrf", rrf)
+        .select(
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("cos_rank").cast("long").alias("cos_rank"),
+            F.row_number().over(wf).cast("long").alias("fused_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
     )

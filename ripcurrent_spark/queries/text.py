@@ -764,3 +764,53 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("row_n").cast("double"), 6
         ).alias("row_share"),
     )
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=f"""
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens_before) AS BIGINT) AS n_words,
+       CAST(SUM(b.n_tokens_after) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(b.n_tokens_after) AS DOUBLE)
+             / greatest(CAST(SUM(b.n_tokens_before) AS DOUBLE), 1), 6)
+         AS tokens_per_word
+FROM ({_bpe_apply_oracle()}) b
+JOIN documents d ON b.doc_id = d.doc_id
+GROUP BY d.lang
+""",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit by language: BPE tokens per
+    whitespace word after applying the trained merge table — the
+    standard check that one tokenizer serves every language slice of
+    a multilingual corpus (a language the vocabulary was not trained
+    for shows fertility near 1.0 here, i.e. no merges fire; a
+    well-served one compresses well below it — with subword-split
+    vocabularies the same ratio reads above 1 and the audit is
+    identical). Per-language totals of the text_bpe_apply counts:
+    the map-only tokenize pass plus one doc-keyed join to attach
+    lang and a language-sized aggregate — nothing new shuffles at
+    corpus scale beyond the one join, and the ratio divides exact
+    integer sums in identical IEEE order on both engines."""
+    d = load(spark, sf_dir, "documents")
+    applied = TX.apply_bpe(d, list(_BPE_MERGES)).select(
+        "doc_id", "n_tokens_before", "n_tokens_after"
+    )
+    per = applied.join(d.select("doc_id", "lang"), "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens_before").cast("long").alias("n_words"),
+        F.sum("n_tokens_after").cast("long").alias("n_bpe_tokens"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double")
+            / F.greatest(F.col("n_words").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("tokens_per_word"),
+    )
