@@ -1160,21 +1160,17 @@ FROM f0 JOIN f1 ON f0.vec_id = f1.vec_id
 """
 
 
-@register("ann_pq_distortion", oracle=_pq_oracle())
-def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization audit: train an 8-entry codebook per
-    32-dim subspace (two Lloyd rounds each — the same deterministic
-    k-means contract as ann_kmeans_centroids: DECIMAL centroid means,
-    rounded-distance argmin with cluster tie-break, lowest-id seeds),
-    code every vector as its (code0, code1) pair, and emit the exact
-    per-vector reconstruction error — the distortion report that
-    decides whether an 8x-compressed PQ index is usable before
-    deploying it. Per subspace the corpus streams once through the
-    Arrow-batch assigner (codebook in the closure); the error is the
-    left-to-right squared-distance fold against the 8-row codebook
-    joined back broadcast (bounded by k, never data-scaled). The
-    oracle unrolls both subspace trainings as CTEs, so codes AND
-    errors are value-checked end-to-end."""
+def _pq_train_assign(spark: SparkSession, sf_dir: str):
+    """Shared PQ training+coding (ann_pq_distortion / ann_pq_adc_topk):
+    per 32-dim subspace, train the 8-entry codebook (two deterministic
+    Lloyd rounds: DECIMAL centroid means, rounded-distance argmin with
+    cluster tie-break, lowest-id seeds) and code every vector. Returns
+    (parts, cents): per-subspace (vec_id, code{m}, _d{m}) assignment
+    frames and the 8-row literal codebook frames. The corpus is
+    persisted only around the eager training collects (each subspace's
+    init + Lloyd round reads it fully) and unpersisted before
+    returning (ADVICE r6) — the returned plans re-scan the embeddings
+    parquet against literal codebooks at action time."""
     from ripcurrent_spark.operators.clustering import (
         _dist2,
         _init_centroids,
@@ -1183,13 +1179,8 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stats,
     )
 
-    # Persist the corpus only around the eager training collects (each
-    # subspace's init + Lloyd round reads it fully); unpersisted before
-    # returning so a long-lived session keeps no cached frame (ADVICE
-    # r6) — the returned plan re-scans the embeddings parquet once per
-    # subspace at action time, against literal codebooks.
     v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
-    parts = []
+    parts, cents_out = [], []
     try:
         for m, off in enumerate((1, _PQ_SUB + 1)):
             sub = v.select("vec_id", F.slice("emb", off, _PQ_SUB).alias("emb"))
@@ -1214,8 +1205,28 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _dist2(F.col("emb"), F.col("cemb")).alias(f"_d{m}"),
                 )
             )
+            cents_out.append(cents)
     finally:
         v.unpersist()
+    return parts, cents_out
+
+
+@register("ann_pq_distortion", oracle=_pq_oracle())
+def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization audit: train an 8-entry codebook per
+    32-dim subspace (two Lloyd rounds each — the same deterministic
+    k-means contract as ann_kmeans_centroids: DECIMAL centroid means,
+    rounded-distance argmin with cluster tie-break, lowest-id seeds),
+    code every vector as its (code0, code1) pair, and emit the exact
+    per-vector reconstruction error — the distortion report that
+    decides whether an 8x-compressed PQ index is usable before
+    deploying it. Per subspace the corpus streams once through the
+    Arrow-batch assigner (codebook in the closure); the error is the
+    left-to-right squared-distance fold against the 8-row codebook
+    joined back broadcast (bounded by k, never data-scaled). The
+    oracle unrolls both subspace trainings as CTEs, so codes AND
+    errors are value-checked end-to-end."""
+    parts, _ = _pq_train_assign(spark, sf_dir)
     return (
         parts[0]
         .join(parts[1], "vec_id")
@@ -1225,4 +1236,99 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code1",
             F.round(F.col("_d0") + F.col("_d1"), 6).alias("recon_err"),
         )
+    )
+
+
+_ADC_TOPK = 10
+
+
+def _pq_adc_oracle() -> str:
+    # Extends the _pq_oracle CTE body: same codebooks + codes, plus a
+    # query-side lookup table (squared distance of each codebook entry
+    # to the query's subvector) and the ADC sum.
+    base = _pq_oracle()
+    cte_body = base.split("WITH", 1)[1].split("\nSELECT f0.vec_id", 1)[0]
+
+    def d2raw(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+        )
+
+    return f"""
+WITH {cte_body},
+q0 AS (SELECT emb FROM v_0 WHERE vec_id = 0),
+q1 AS (SELECT emb FROM v_1 WHERE vec_id = 0),
+lut0 AS (SELECT c.cluster, {d2raw('q.emb', 'c.cemb')} AS qd FROM c1_0 c, q0 q),
+lut1 AS (SELECT c.cluster, {d2raw('q.emb', 'c.cemb')} AS qd FROM c1_1 c, q1 q),
+adc AS (
+  SELECT f0.vec_id, f0.code0, f1.code1, l0.qd + l1.qd AS adc
+  FROM f0 JOIN f1 ON f0.vec_id = f1.vec_id
+  JOIN lut0 l0 ON l0.cluster = f0.code0
+  JOIN lut1 l1 ON l1.cluster = f1.code1
+  WHERE f0.vec_id <> 0
+)
+SELECT vec_id, code0, code1, rank, round(adc, 6) AS adc_dist
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
+  FROM adc
+) WHERE rank <= {_ADC_TOPK}
+"""
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ SEARCH via asymmetric distance computation (Jégou et al.
+    2011) — the query path the ann_pq_distortion codebook exists FOR:
+    approximate top-{_ADC_TOPK} neighbors of query vector vec_id=0
+    where each corpus vector's distance is looked up, not computed —
+    adc(q, x) = sum over subspaces of ||q_sub - codebook[code(x)]||^2,
+    an 8-entry LUT per subspace built ONCE per query. This is the
+    8x-compressed search that makes billion-vector indexes fit in
+    memory: the corpus side touches only the (vec_id, code0, code1)
+    code table; the full embeddings are read only during (offline)
+    training/coding.
+
+    Scale: codes are corpus-linear with two broadcast 8-row LUT
+    joins (map-side); top-k is one TakeOrdered — no data-scaled
+    shuffle beyond the coding pass itself. Exactness: LUT entries are
+    the same left-to-right squared-distance fold as training (no
+    libm), the two-term ADC sum is fixed-order IEEE, and the ranking
+    orders by the RAW sum with vec_id tie-break — identical doubles,
+    identical ranks on both engines; the oracle re-trains both
+    codebooks from scratch in CTEs, so the whole
+    train->code->LUT->search chain is value-checked end-to-end."""
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.clustering import _dist2
+
+    parts, cents = _pq_train_assign(spark, sf_dir)
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    luts = []
+    for m, off in enumerate((1, _PQ_SUB + 1)):
+        qsub = v.filter(F.col("vec_id") == 0).select(
+            F.slice("emb", off, _PQ_SUB).alias("qemb")
+        )
+        luts.append(
+            cents[m]
+            .crossJoin(F.broadcast(qsub))
+            .select(
+                F.col("cluster").alias(f"code{m}"),
+                _dist2(F.col("qemb"), F.col("cemb")).alias(f"qd{m}"),
+            )
+        )
+    adc = (
+        parts[0]
+        .select("vec_id", "code0")
+        .join(parts[1].select("vec_id", "code1"), "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(luts[0]), "code0")
+        .join(F.broadcast(luts[1]), "code1")
+        .withColumn("adc", F.col("qd0") + F.col("qd1"))
+    )
+    w = W.orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select("vec_id", "code0", "code1", "rank", F.round("adc", 6).alias("adc_dist"))
     )
