@@ -335,14 +335,14 @@ def containment_candidates(
     verification runs downstream on candidates only."""
     from pyspark.sql import Window as W
 
-    ex = g.select(F.col(id_col).alias("doc_id"), F.explode(ngs_col).alias("ng"))
+    ex = g.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ngs_col).alias("_sz"),  # from the array: no COUNT window
+        F.explode(ngs_col).alias("ng"),
+    )
     dfreq = ex.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = (
-        ex.join(dfreq, "ng")
-        .withColumn(
-            "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "ng"))
-        )
-        .withColumn("_sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    ranked = ex.join(dfreq, "ng").withColumn(
+        "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "ng"))
     )
     # prefix length m - ceil(t*m) + 1, exact integer arithmetic
     plen = F.col("_sz") - F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}") + 1
