@@ -135,6 +135,41 @@ def test_containment_prefix_bounds_candidates(spark):
     assert containment_candidates(g, 9, 10).count() == 0
 
 
+def test_containment_recall_law_randomized(spark):
+    """The pigeonhole recall guarantee, checked against brute force on
+    a seeded random corpus: EVERY pair with overlap coefficient >= 0.9
+    must appear among the rarest-prefix candidates — including pairs
+    built from the hottest shingles in the corpus."""
+    import random
+
+    from ripcurrent_spark.operators.dedup import containment_candidates
+
+    rng = random.Random(99)
+    vocab = [f"v{i}" for i in range(30)]  # tiny vocab -> hot shingles
+    docs = []
+    for i in range(120):
+        n = rng.randint(3, 25)
+        docs.append((i, sorted(rng.sample(vocab, n))))
+    # plant explicit inclusions: doc 200+j = subset of doc j
+    for j in range(10):
+        base = docs[j][1]
+        docs.append((200 + j, base[: max(3, len(base) // 2)]))
+    g = spark.createDataFrame(docs, "doc_id long, ngs array<string>")
+
+    by_id = {d: set(s) for d, s in docs}
+    want = set()
+    ids = sorted(by_id)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = by_id[ids[x]], by_id[ids[y]]
+            inter = len(a & b)
+            if inter and inter / min(len(a), len(b)) >= 0.9:
+                want.add((ids[x], ids[y]))
+    got = {(r["id_a"], r["id_b"]) for r in containment_candidates(g, 9, 10).collect()}
+    missing = want - got
+    assert not missing, f"recall law violated: {sorted(missing)[:5]} missing"
+
+
 # ------------------------------------------ registry count pinning
 
 
