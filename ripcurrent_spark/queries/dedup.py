@@ -1863,3 +1863,169 @@ def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return _verified_jaccard(cand, g, tn / td)
+
+
+@register(
+    "dedup_source_copy_matrix",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_NGS} AS ngs FROM documents WHERE len({_NGS}) > 0
+),
+sigs AS (
+  SELECT doc_id, {DD.minhash_sig_sql('ngs', _MH_K)} AS sig FROM g
+),
+bk AS (
+  SELECT doc_id, unnest({DD.lsh_band_keys_sql('sig', _MH_BANDS, _MH_ROWS)}) AS bkey
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT * FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= {_MH_VERIFY_T}),
+m AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_jaccard
+FROM m GROUP BY source_a, source_b
+""",
+)
+def dedup_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication PROVENANCE matrix: for every verified
+    MinHash near-dup pair, attribute the pair to its (source_a,
+    source_b) bucket (unordered, least/greatest-normalized) and count
+    — the report that tells a corpus owner WHICH feeds copy from
+    which (high off-diagonal mass = syndication between two feeds;
+    diagonal mass = internal duplication), which is what decides
+    crawl-dedup priorities before any document is deleted. The pair
+    frame is the proven LSH+verify chain reading the signature
+    artifact; attribution adds two doc-keyed joins to attach sources
+    and a source-pair-sized aggregate — nothing new shuffles at
+    corpus scale. avg_jaccard sums DECIMAL(12,6) copies of the
+    already-6-rounded verify values (order-free), divided once as
+    exact doubles."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    m = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return m.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_jaccard"),
+    )
+
+
+@register(
+    "q_ks_length_drift",
+    oracle="""
+WITH ga AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents WHERE lang = 'en' GROUP BY 1
+),
+gb AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents WHERE lang <> 'en' GROUP BY 1
+),
+u AS (SELECT v FROM ga UNION SELECT v FROM gb),
+cum AS (
+  SELECT u.v,
+         SUM(COALESCE(ga.c, 0)) OVER (ORDER BY u.v) AS ca,
+         SUM(COALESCE(gb.c, 0)) OVER (ORDER BY u.v) AS cb
+  FROM u LEFT JOIN ga ON u.v = ga.v LEFT JOIN gb ON u.v = gb.v
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM ga) AS na, (SELECT SUM(c) FROM gb) AS nb
+),
+d AS (
+  SELECT cum.v, abs(cum.ca * tot.nb - cum.cb * tot.na) AS num, tot.na, tot.nb
+  FROM cum, tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(num AS BIGINT) AS ks_num,
+       CAST(v AS BIGINT) AS at_value,
+       round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS ks_stat
+FROM (SELECT d.*, ROW_NUMBER() OVER (ORDER BY num DESC, v) AS rn FROM d)
+WHERE rn = 1
+""",
+)
+def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between the
+    document-length distributions of the lang='en' slice and the rest
+    — the distribution-drift gate a pipeline runs when a new crawl
+    batch lands (a big KS jump means the feed changed shape:
+    truncation, boilerplate, encoding damage). Exact by integer
+    arithmetic: the ECDF difference |ca/na - cb/nb| at value v equals
+    |ca*nb - cb*na| / (na*nb), so the supremum is a MAX over exact
+    int64 numerators (counts are < 2^31, products < 2^62) and the
+    single final division is one IEEE op — no floating ECDFs, no
+    epsilon, identical on both engines, ties on the argmax broken to
+    the smallest value.
+
+    Scale: two corpus aggregates collapse to value-sized frames
+    (distinct lengths — thousands at any corpus size), the cumulative
+    window runs over that tiny frame, and the answer is one row. The
+    global-ORDER window is value-sized by construction, never
+    corpus-sized."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    ga = d.filter(F.col("lang") == "en").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("ca_")
+    )
+    gb = d.filter(F.col("lang") != "en").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cb_")
+    )
+    u = ga.select("v").unionByName(gb.select("v")).distinct()
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        u.join(ga, "v", "left")
+        .join(gb, "v", "left")
+        .select(
+            "v",
+            F.sum(F.coalesce("ca_", F.lit(0))).over(w).alias("ca"),
+            F.sum(F.coalesce("cb_", F.lit(0))).over(w).alias("cb"),
+        )
+    )
+    tot = ga.agg(F.sum("ca_").alias("na")).crossJoin(gb.agg(F.sum("cb_").alias("nb")))
+    dd = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("num"),
+    )
+    return dd.groupBy("na", "nb").agg(
+        F.max("num").cast("long").alias("ks_num"),
+        F.min_by("v", F.struct(-F.col("num"), F.col("v"))).cast("long").alias("at_value"),
+        F.round(
+            F.max("num").cast("double") / (F.col("na").cast("double") * F.col("nb")),
+            6,
+        ).alias("ks_stat"),
+    ).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "ks_num",
+        "at_value",
+        "ks_stat",
+    )
