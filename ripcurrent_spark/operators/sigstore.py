@@ -285,6 +285,50 @@ def phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-row (subspace, cluster, cemb) PQ codebook — two
+    deterministic Lloyd rounds per 32-dim subspace, trained once per
+    corpus digest (r9). Training is ~6 eager corpus-scanning collects;
+    the artifact turns that into a parquet read for every later
+    session. Consumers' oracles re-train from scratch in CTEs, so a
+    stale codebook fails the driver loudly."""
+
+    def build() -> DataFrame:
+        from ripcurrent_spark.queries.ann import pq_train_codebooks
+
+        return pq_train_codebooks(spark, sf_dir)
+
+    return materialized(
+        spark,
+        "pq_codebooks",
+        _source_key(sf_dir, "embeddings", f"pqcb:k{8}:sub{32}:v1"),
+        build,
+        source=Path(sf_dir) / "embeddings.parquet",
+    )
+
+
+def pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-vector PQ code table (vec_id, code0, code1, d0, d1) —
+    stored codes are the entire point of product quantization: the
+    search path (ann_pq_adc_topk) touches ONLY this table, never the
+    raw embeddings. Built once per corpus digest from the codebook
+    artifact; value-checked every round by the consumers'
+    full-retraining oracles."""
+
+    def build() -> DataFrame:
+        from ripcurrent_spark.queries.ann import pq_code_vectors
+
+        return pq_code_vectors(spark, sf_dir, pq_codebook_table(spark, sf_dir))
+
+    return materialized(
+        spark,
+        "pq_codes",
+        _source_key(sf_dir, "embeddings", f"pqcodes:k{8}:sub{32}:v1"),
+        build,
+        source=Path(sf_dir) / "embeddings.parquet",
+    )
+
+
 def copurchase_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The part co-purchase edge set (src, dst): distinct (order,
     part) pairs self-joined on the order key, symmetric, deduped —
@@ -359,4 +403,22 @@ def named_artifacts(spark: SparkSession, sf_dir: str) -> dict:
                 "phash64", _source_key(sf_dir, "documents", "phash64:v1")
             ),
         ),
+        "artifact_pq_codes": (
+            # The reader evicts the codebook half itself, so the timed
+            # slot pays the FULL cold path: train + code + land.
+            lambda: _pq_cold_rebuild(spark, sf_dir),
+            lambda: artifact_dir(
+                "pq_codes", _source_key(sf_dir, "embeddings", "pqcodes:k8:sub32:v1")
+            ),
+        ),
     }
+
+
+def _pq_cold_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shutil.rmtree(
+        artifact_dir(
+            "pq_codebooks", _source_key(sf_dir, "embeddings", "pqcb:k8:sub32:v1")
+        ),
+        ignore_errors=True,
+    )
+    return pq_code_table(spark, sf_dir)

@@ -1166,13 +1166,35 @@ def _pq_train_assign(spark: SparkSession, sf_dir: str):
     Lloyd rounds: DECIMAL centroid means, rounded-distance argmin with
     cluster tie-break, lowest-id seeds) and code every vector. Returns
     (parts, cents): per-subspace (vec_id, code{m}, _d{m}) assignment
-    frames and the 8-row literal codebook frames. The corpus is
-    persisted only around the eager training collects (each subspace's
-    init + Lloyd round reads it fully) and unpersisted before
-    returning (ADVICE r6) — the returned plans re-scan the embeddings
-    parquet against literal codebooks at action time."""
+    frames and the 8-row literal codebook frames.
+
+    Both halves are sigstore artifacts (r9): the codebooks AND the
+    per-vector code table are computed once per corpus digest — in
+    production both ARE stored (stored codes are the entire point of
+    PQ); per-session the consumers pay only their own join/round
+    steps. The consumers' from-scratch oracles (full CTE re-training)
+    re-prove both artifacts every driver round."""
+    from ripcurrent_spark.operators.sigstore import pq_code_table, pq_codebook_table
+
+    cb = pq_codebook_table(spark, sf_dir)
+    codes = pq_code_table(spark, sf_dir)
+    parts = [
+        codes.select("vec_id", f"code{m}", F.col(f"d{m}").alias(f"_d{m}"))
+        for m in (0, 1)
+    ]
+    cents_out = [
+        cb.filter(F.col("subspace") == m).select("cluster", "cemb") for m in (0, 1)
+    ]
+    return parts, cents_out
+
+
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eager two-round-Lloyd training pass behind the codebook
+    artifact: returns the 16-row (subspace, cluster, cemb) frame. The
+    corpus is persisted only around the training collects (each
+    subspace's init + Lloyd round reads it fully) and unpersisted
+    before returning (ADVICE r6)."""
     from ripcurrent_spark.operators.clustering import (
-        _dist2,
         _init_centroids,
         _rebuild,
         assign_np,
@@ -1180,35 +1202,44 @@ def _pq_train_assign(spark: SparkSession, sf_dir: str):
     )
 
     v = _vectors(spark, sf_dir).select("vec_id", "emb").persist()
-    parts, cents_out = [], []
+    rows = []
     try:
         for m, off in enumerate((1, _PQ_SUB + 1)):
             sub = v.select("vec_id", F.slice("emb", off, _PQ_SUB).alias("emb"))
-            # One eager collect runs the Lloyd round; the 8-row codebook
-            # becomes a literal frame (assign_np collects it anyway), so
-            # nothing downstream re-derives the training lineage.
             crows = sorted(
                 _rebuild(
                     centroid_stats(assign_np(sub, _init_centroids(sub, _PQ_K)))
                 ).collect(),
                 key=lambda r: r[0],
             )
-            cents = spark.createDataFrame(
-                [(int(r[0]), [float(x) for x in r[1]]) for r in crows],
-                "cluster long, cemb array<double>",
-            )
-            a = assign_np(sub, cents)
-            parts.append(
-                a.join(F.broadcast(cents), "cluster").select(
-                    "vec_id",
-                    F.col("cluster").alias(f"code{m}"),
-                    _dist2(F.col("emb"), F.col("cemb")).alias(f"_d{m}"),
-                )
-            )
-            cents_out.append(cents)
+            rows += [(m, int(r[0]), [float(x) for x in r[1]]) for r in crows]
     finally:
         v.unpersist()
-    return parts, cents_out
+    return spark.createDataFrame(
+        rows, "subspace int, cluster long, cemb array<double>"
+    )
+
+
+def pq_code_vectors(spark: SparkSession, sf_dir: str, cb: DataFrame) -> DataFrame:
+    """Code every vector against the given codebooks: (vec_id, code0,
+    code1, d0, d1) — the coding pass behind the code-table artifact.
+    One Arrow-batch assigner pass + one broadcast join per subspace."""
+    from ripcurrent_spark.operators.clustering import _dist2, assign_np
+
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    parts = []
+    for m, off in enumerate((1, _PQ_SUB + 1)):
+        cents = cb.filter(F.col("subspace") == m).select("cluster", "cemb")
+        sub = v.select("vec_id", F.slice("emb", off, _PQ_SUB).alias("emb"))
+        a = assign_np(sub, cents)
+        parts.append(
+            a.join(F.broadcast(cents), "cluster").select(
+                "vec_id",
+                F.col("cluster").alias(f"code{m}"),
+                _dist2(F.col("emb"), F.col("cemb")).alias(f"d{m}"),
+            )
+        )
+    return parts[0].join(parts[1], "vec_id")
 
 
 @register("ann_pq_distortion", oracle=_pq_oracle())
