@@ -170,6 +170,69 @@ def test_containment_recall_law_randomized(spark):
     assert not missing, f"recall law violated: {sorted(missing)[:5]} missing"
 
 
+# ------------------------------------------ plan-shape pins (r9 queries)
+
+
+def _plan(spark, name, sf="/root/testdata/sf0.001"):
+    from ripcurrent_spark.queries import all_queries
+
+    df = all_queries()[name].spark(spark, sf)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    from ripcurrent_spark.operators import cachereg
+
+    cachereg.release_tracked()
+    return s
+
+
+def test_dsir_plan_broadcasts_models(spark):
+    """The two feature models are 512-row frames: they must come back
+    as broadcasts, never a shuffle join against the corpus-sized
+    (doc,bucket) frame; the bucket counting is ONE Arrow pass."""
+    p = _plan(spark, "curation_dsir_weights")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # models broadcast, nothing corpus-joins
+    assert "BroadcastHashJoin" in p
+    # The Arrow pass runs once behind the persist barrier: every
+    # reference reads the cache (plan strings repeat the cached
+    # subtree, so count InMemoryTableScan, not MapInPandas).
+    assert "InMemoryTableScan" in p
+
+
+def test_rrf_plan_no_cartesian(spark):
+    p = _plan(spark, "search_rrf_fusion")
+    assert "CartesianProduct" not in p
+
+
+def test_pq_adc_plan_broadcast_luts(spark):
+    """ADC's whole point: the corpus side is the code table; both
+    8-row LUTs join as broadcasts."""
+    p = _plan(spark, "ann_pq_adc_topk")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_containment_plan_equijoin_only(spark):
+    """Prefix x postings candidates are an equi-join on the shingle —
+    never a cartesian."""
+    p = _plan(spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in p
+
+
+def test_ks_plan_aggregates_before_window(spark):
+    """The global-ORDER window must consume the VALUE-sized ECDF
+    frame: corpus rows are aggregated away before any Window node
+    (at 100 TB a corpus-sized single-partition window is a stall)."""
+    from ripcurrent_spark.queries import all_queries
+
+    df = all_queries()["q_ks_length_drift"].spark(spark, "/root/testdata/sf0.001")
+    # Walk the Window's subtree: it must contain an aggregate below it.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    w_idx = plan.index("Window")
+    below = plan[w_idx:]
+    assert "HashAggregate" in below, "window consumes un-aggregated corpus rows"
+
+
 # ------------------------------------------ registry count pinning
 
 
