@@ -528,6 +528,13 @@ BOUNDED_GLOBAL_WINDOWS = {
     # embeds offsets as literals, so its plan has NO global window)
     "q_spend_percentiles",
     "q_gini_revenue",
+    # cumulative ECDF over the VALUE-sized distinct-lengths frame
+    # (corpus aggregates away first — own plan pin in
+    # tests/test_round9_ops.py::test_ks_plan_aggregates_before_window)
+    "q_ks_length_drift",
+    # rank windows over the two LIMIT-100 ranker frames and their
+    # <= 200-row fusion — top-k-sized by construction
+    "search_rrf_fusion",
 }
 
 
