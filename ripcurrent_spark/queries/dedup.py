@@ -2029,3 +2029,126 @@ def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at_value",
         "ks_stat",
     )
+
+
+_PSI_W = 100  # fixed length-bucket width (n_chars // 100)
+
+
+@register(
+    "q_psi_length_drift",
+    oracle=f"""
+WITH ga AS (
+  SELECT n_chars // {_PSI_W} AS bkt, COUNT(*) AS c
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+gb AS (
+  SELECT n_chars // {_PSI_W} AS bkt, COUNT(*) AS c
+  FROM documents WHERE lang <> 'en' GROUP BY 1
+),
+u AS (SELECT bkt FROM ga UNION SELECT bkt FROM gb),
+nb AS (SELECT COUNT(*) AS n_buckets FROM u),
+tot AS (
+  SELECT (SELECT SUM(c) FROM ga) AS na, (SELECT SUM(c) FROM gb) AS nbt
+),
+terms AS (
+  SELECT u.bkt,
+         COALESCE(ga.c, 0) AS c, COALESCE(gb.c, 0) AS d,
+         -- exact integer numerator of (p - q) over the common
+         -- denominator (na + B)(nbt + B), add-1 smoothed
+         (COALESCE(ga.c, 0) + 1) * (tot.nbt + nb.n_buckets)
+           - (COALESCE(gb.c, 0) + 1) * (tot.na + nb.n_buckets) AS pq_num,
+         CAST(round(ln(CAST((COALESCE(ga.c, 0) + 1) * (tot.nbt + nb.n_buckets) AS DOUBLE)
+                       / CAST((COALESCE(gb.c, 0) + 1) * (tot.na + nb.n_buckets) AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS lnr
+  FROM u LEFT JOIN ga ON u.bkt = ga.bkt LEFT JOIN gb ON u.bkt = gb.bkt, tot, nb
+),
+agg AS (
+  SELECT SUM(CAST(pq_num AS DECIMAL(25,0)) * lnr) AS s,
+         (SELECT na FROM tot) AS na, (SELECT nbt FROM tot) AS nbt,
+         (SELECT n_buckets FROM nb) AS n_buckets
+  FROM terms
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nbt AS BIGINT) AS n_b,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(CAST(s AS DOUBLE)
+             / (CAST(na + n_buckets AS DOUBLE) * (nbt + n_buckets)), 6) AS psi
+FROM agg
+""",
+)
+def q_psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the en / non-en
+    document-length distributions over fixed {_PSI_W}-char buckets —
+    the industry-standard drift gate (PSI < 0.1 stable, > 0.25 act),
+    complementing the KS gate: KS is the worst single point, PSI
+    weights the whole mass shift. Add-1 smoothing over the observed
+    buckets keeps empty cells finite.
+
+    Exactness (the KS + charlm disciplines combined): with smoothed
+    p = (c+1)/(na+B) and q = (d+1)/(nbt+B), each term
+    (p - q) * ln(p/q) factors into an exact INTEGER numerator
+    (c+1)(nbt+B) - (d+1)(na+B) over the common denominator, times a
+    log-ratio whose argument is a ratio of exact integer products —
+    one double division + libm ln rounded to 9 decimals into
+    DECIMAL. The sum is exact decimal arithmetic (order-free); ONE
+    final IEEE division by the denominator lands the published PSI.
+
+    Scale: two corpus aggregates collapse to bucket-sized frames
+    (hundreds of length buckets at any corpus size); everything
+    after is bucket-sized."""
+    d = load(spark, sf_dir, "documents")
+    bkt = (F.col("n_chars") / _PSI_W).cast("long")  # floor for non-negative
+    ga = d.filter(F.col("lang") == "en").groupBy(bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gb = d.filter(F.col("lang") != "en").groupBy(bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    u = ga.select("bkt").unionByName(gb.select("bkt")).distinct()
+    nb = u.agg(F.count(F.lit(1)).alias("n_buckets"))
+    tot = ga.agg(F.sum("c").alias("na")).crossJoin(gb.agg(F.sum("d").alias("nbt")))
+    t = (
+        u.join(ga, "bkt", "left")
+        .join(gb, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "na",
+            "nbt",
+            "n_buckets",
+            (
+                (F.coalesce("c", F.lit(0)) + 1) * (F.col("nbt") + F.col("n_buckets"))
+                - (F.coalesce("d", F.lit(0)) + 1) * (F.col("na") + F.col("n_buckets"))
+            ).alias("pq_num"),
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("c", F.lit(0)) + 1)
+                        * (F.col("nbt") + F.col("n_buckets"))
+                    ).cast("double")
+                    / (
+                        (F.coalesce("d", F.lit(0)) + 1)
+                        * (F.col("na") + F.col("n_buckets"))
+                    ).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("lnr"),
+        )
+    )
+    agg = t.groupBy("na", "nbt", "n_buckets").agg(
+        F.sum(F.col("pq_num").cast("decimal(25,0)") * F.col("lnr")).alias("s")
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nbt").cast("long").alias("n_b"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round(
+            F.col("s").cast("double")
+            / (
+                (F.col("na") + F.col("n_buckets")).cast("double")
+                * (F.col("nbt") + F.col("n_buckets"))
+            ),
+            6,
+        ).alias("psi"),
+    )
