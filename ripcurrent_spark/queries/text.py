@@ -814,3 +814,95 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tokens_per_word"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank FROM tf
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y
+  FROM ranked
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM m
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: the least-squares
+    slope of ln(frequency) against ln(rank) — natural text sits near
+    -1; a corpus of templated/generated text (or one mangled by
+    aggressive filtering) drifts far from it, making this the
+    one-number sanity check on a corpus's token distribution.
+
+    The vocabulary is NEVER per-term ranked: the regression moments
+    are invariant to tie order (terms sharing a frequency occupy a
+    fixed rank RANGE whatever their order), so ranks come from the
+    per-FREQUENCY group sizes — a distinct-frequency-sized frame
+    (O(sqrt tokens) rows by Zipf itself) carries an exclusive-prefix
+    cumulative window and each group explodes its rank range
+    sequence(start+1, start+g). No vocab-sized sort anywhere; the
+    only unpartitioned window is frequency-distinct-sized (the
+    q_ks_length_drift boundedness class). The oracle ranks per term
+    with ROW_NUMBER — same (rank, freq) multiset by the invariance.
+    Regression moments follow the covariance-family discipline:
+    ln(rank)/ln(freq) round to 9 decimals into DECIMAL(20,9), all
+    four sums are exact decimal arithmetic (order-free under any
+    shuffle), and the slope/intercept divide the DOUBLE casts of
+    those exact sums in identical operation order on both engines."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    gf = tf.groupBy("freq").agg(F.count(F.lit(1)).alias("g"))
+    wprev = W.orderBy(F.desc("freq")).rowsBetween(W.unboundedPreceding, -1)
+    staged = gf.select(
+        "freq", "g", F.coalesce(F.sum("g").over(wprev), F.lit(0)).alias("_start")
+    )  # window staged first: explode can't wrap a window expression
+    ranked = staged.select(
+        "freq",
+        F.explode(
+            F.sequence(F.col("_start") + 1, F.col("_start") + F.col("g"))
+        ).alias("rank"),
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(20,9)")
+    y = F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(20,9)")
+    m = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -535,6 +535,10 @@ BOUNDED_GLOBAL_WINDOWS = {
     # rank windows over the two LIMIT-100 ranker frames and their
     # <= 200-row fusion — top-k-sized by construction
     "search_rrf_fusion",
+    # exclusive-prefix cumulative over the DISTINCT-FREQUENCY frame
+    # (O(sqrt tokens) rows by Zipf itself; the vocab is never ranked
+    # per term — rank ranges explode from group sizes)
+    "text_zipf_slope",
 }
 
 
