@@ -193,6 +193,36 @@ def streaming_components_foreach_batch(
     return _apply
 
 
+def compact_components_state(
+    spark, state_dir: str, remap_dir: str, keep_latest_remaps: int = 2
+) -> dict[str, list[int]]:
+    """Long-run maintenance: the node state accrues one (bucket,
+    trigger) partition forever — fold closed batches into the
+    compacted base (sinks.compact_log_batches; crash-safe,
+    replay-compatible: state rows are write-once per node, so folding
+    preserves content exactly). The remap dir is different: each
+    trigger writes a FULL self-contained snapshot, so old partitions
+    are not folded (merging snapshots from different epochs would put
+    CONFLICTING old_label rows in one partition) — they are PURGED,
+    keeping the newest ``keep_latest_remaps``. Two, not one: an
+    at-least-once replay of the newest batch reads the
+    second-newest snapshot as its pre-batch state. Run offline
+    between triggers, like any OPTIMIZE."""
+    import shutil
+
+    from ripcurrent_spark.sinks import compact_log_batches
+
+    folded = compact_log_batches(spark, state_dir, keep_latest=1)
+    p = Path(remap_dir)
+    ids = sorted(
+        int(d.name.split("=", 1)[1]) for d in p.glob("_batch_id=*")
+    )
+    purged = ids[:-keep_latest_remaps] if keep_latest_remaps else ids
+    for i in purged:
+        shutil.rmtree(p / f"_batch_id={i}", ignore_errors=True)
+    return {"state": folded, "remap_purged": purged}
+
+
 def components_snapshot(spark, state_dir: str, remap_dir: str) -> DataFrame:
     """The consumer view: (node, component) for every node ever seen —
     state LEFT JOIN the latest remap, ONE join, no propagation loop.

@@ -70,6 +70,52 @@ def test_streaming_components_replay_idempotent(spark, tmp_path):
     assert st.count() == st.select("node").distinct().count()
 
 
+def test_components_state_compaction(spark, tmp_path):
+    """Folding the node state and purging old remap snapshots must
+    preserve the snapshot exactly, keep replay of the newest batch
+    idempotent, and bound partition counts."""
+    from pathlib import Path
+
+    from ripcurrent_spark.streaming.components import compact_components_state
+
+    state, remap = str(tmp_path / "state"), str(tmp_path / "remap")
+    fn = streaming_components_foreach_batch(state, remap)
+    batches = [[(1, 2), (10, 11)], [(2, 10)], [(20, 21)]]
+    seen = []
+    for i, b in enumerate(batches):
+        seen += b
+        fn(_edges(spark, b), i)
+    before = sorted(
+        (r["node"], r["component"])
+        for r in components_snapshot(spark, state, remap).collect()
+    )
+
+    out = compact_components_state(spark, state, remap)
+    assert out["state"], "no state batches folded"
+    assert out["remap_purged"] == [0]  # newest two snapshots kept
+    remap_ids = {d.name for d in Path(remap).glob("_batch_id=*")}
+    assert remap_ids == {"_batch_id=1", "_batch_id=2"}
+
+    after = sorted(
+        (r["node"], r["component"])
+        for r in components_snapshot(spark, state, remap).collect()
+    )
+    assert after == before
+    # Replay of the newest batch against compacted state: idempotent.
+    fn(_edges(spark, batches[-1]), 2)
+    assert sorted(
+        (r["node"], r["component"])
+        for r in components_snapshot(spark, state, remap).collect()
+    ) == before
+    # New batch merging across the compacted base still works.
+    fn(_edges(spark, [(11, 20)]), 3)
+    got = {
+        (r["node"], r["component"])
+        for r in components_snapshot(spark, state, remap).collect()
+    }
+    assert got == _batch_truth(spark, seen + [(11, 20)])
+
+
 def test_snapshot_plan_has_no_iteration(spark, tmp_path):
     """The consumer view must be ONE join — no propagation loop, no
     checkpoint barrier in the read path."""
