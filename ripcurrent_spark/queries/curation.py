@@ -1179,9 +1179,7 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 512  # hashed-ngram feature buckets (bounded model, any corpus)
 
 
-@register(
-    "curation_dsir_weights",
-    oracle=f"""
+_DSIR_ORACLE = f"""
 WITH d AS (SELECT doc_id, lang, {_G2_ALL} AS gs FROM documents),
 eb AS (
   SELECT doc_id, lang, {h32_sql('g', seed='dsir')} % {_DSIR_B} AS b
@@ -1212,8 +1210,10 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        round(CAST(s AS DOUBLE), 6) AS log_weight,
        s > 0 AS target_like
 FROM sc
-""",
-)
+"""
+
+
+@register("curation_dsir_weights", oracle=_DSIR_ORACLE)
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
@@ -1335,4 +1335,42 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("n_grams"),
         F.round(F.col("s").cast("double"), 6).alias("log_weight"),
         (F.col("s") > 0).alias("target_like"),
+    )
+
+
+_DSIR_SELECT_Q = 0.75  # keep the top quartile by importance weight
+
+
+@register(
+    "curation_dsir_select",
+    oracle=f"""
+WITH w AS ({_DSIR_ORACLE}),
+thr AS (SELECT quantile_cont(log_weight, {_DSIR_SELECT_Q}) AS t FROM w)
+SELECT w.doc_id, w.n_grams, w.log_weight,
+       round(thr.t, 6) AS threshold,
+       w.log_weight >= thr.t AS selected
+FROM w, thr
+""",
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step on top of curation_dsir_weights: keep the
+    top {round((1 - _DSIR_SELECT_Q) * 100)}% of documents by DSIR
+    importance weight — the deterministic stand-in for DSIR's
+    Gumbel-top-k resampling (no RNG anywhere in the repo; a fixed
+    quantile cut is what production runs use when the kept-fraction
+    is a budget, and it is exactly reproducible). The threshold is
+    the EXACT interpolated quantile of the weight column (Spark
+    `percentile` == DuckDB `quantile_cont`, the q_exact_quantiles
+    verified pair — at 100 TB swap in the mergeable bottom-k sketch
+    quantile, same downstream); the keep flag compares doubles both
+    engines computed identically. One extra corpus-linear pass over
+    the weights frame plus a 1-row broadcast."""
+    w = curation_dsir_weights(spark, sf_dir)
+    thr = w.agg(F.expr(f"percentile(log_weight, {_DSIR_SELECT_Q}D)").alias("t"))
+    return w.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_grams",
+        "log_weight",
+        F.round("t", 6).alias("threshold"),
+        (F.col("log_weight") >= F.col("t")).alias("selected"),
     )
