@@ -130,6 +130,26 @@ def test_manifest_covers_every_verified_query():
     assert not uncovered, f"verified queries missing manifest entries: {uncovered}"
 
 
+def test_untracked_artifact_is_ignored():
+    """VERDICT r9 #1: the driver's artifact lands in the working tree
+    AFTER the round's final commit, so an untracked CORRECTNESS file
+    must never influence rotation or red the manifest test at judge
+    time. Pin it by planting one."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    plant = root / "CORRECTNESS_r98.json"
+    assert not plant.exists()
+    plant.write_text(json.dumps({"__planted_query__": {"hash_match": True}}))
+    try:
+        seen = correctness_rounds()
+        assert "__planted_query__" not in seen
+        assert max(seen.values()) < 98
+    finally:
+        plant.unlink()
+
+
 def test_order_is_complete_and_duplicate_free():
     reg = all_queries()
     order = list(reg)
