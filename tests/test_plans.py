@@ -349,6 +349,30 @@ def test_quantile_sketch_groups_sharded_sample(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dsir_select_threshold_from_bottomk(spark):
+    """VERDICT r9 #2: curation_dsir_select's threshold must come from
+    the mergeable bottom-k sample (TakeOrderedAndProject), never an
+    exact global percentile buffer over the corpus-sized weights
+    frame. Descendants print after their parent in the plan string,
+    so every percentile aggregate must reach a TakeOrderedAndProject
+    before any scan — i.e. the only input a percentile ever sees is
+    the k-row sample."""
+    import re
+
+    plan = _plan(spark, "curation_dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    hits = list(re.finditer("percentile", plan))
+    assert hits, "threshold aggregate missing from plan"
+    for m in hits:
+        tail = plan[m.end() :]
+        topk = tail.find("TakeOrderedAndProject")
+        scan = min(
+            x for x in (tail.find("FileScan"), tail.find("InMemoryTableScan"), 1 << 30)
+            if x != -1
+        )
+        assert topk != -1 and topk < scan, "percentile consumes a corpus-sized input"
+
+
 def test_semdedup_capped_sharded(spark):
     """dedup_semdedup composes the kmeans assignment (MapInPandas)
     with the capped-index grouped scorer (FlatMapGroupsInPandas over
