@@ -45,6 +45,46 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def scoped():
+    """Context manager releasing ONLY the frames tracked inside the
+    scope — for callers that run a tracked-frame-producing operator
+    inside a longer-lived session that OWNS OTHER tracked handles
+    (ADVICE r9: streaming foreachBatch calling connected_components
+    must not drain checkpoint-backed handles held by concurrent batch
+    consumers, which the global release_tracked() would permanently
+    break — checkpoint storage does not recompute). On exit every
+    frame appended after entry is released, newest first; frames
+    tracked before entry are untouched.
+
+    Single-writer discipline: the registry is a plain list, so a
+    DIFFERENT thread tracking frames while a scope is open would see
+    its frames released by the scope's exit. Same-thread nesting is
+    fine (inner scopes release their own suffix first)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        mark = len(_TRACKED)
+        try:
+            yield
+        finally:
+            _release_from(mark)
+
+    return _scope()
+
+
+def _release_from(mark: int, blocking: bool = True) -> int:
+    n = 0
+    while len(_TRACKED) > mark:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:  # noqa: BLE001 - release path: a dead session
+            pass
+        n += 1
+    return n
+
+
 def release_tracked(blocking: bool = True) -> int:
     """Unpersist every tracked frame (newest first) and return how
     many were released. Idempotent: frames whose cache was already

@@ -383,13 +383,19 @@ class _CheckpointHandle:
     missing-checkpoint-block errors rather than recomputing. This is
     the documented non-recomputable case of the cachereg contract
     (cachereg.py module docstring): release only once every consumer
-    of the returned frame is done."""
+    of the returned frame is done. For RELIABLE checkpoints the
+    handle also deletes the frame's checkpoint FILES on release
+    (ADVICE r9: without that a long-running deployment accumulates
+    one node-sized directory per call)."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, ckpt_file: str | None = None):
         self._df = df
+        self._file = ckpt_file
 
     def unpersist(self, blocking: bool = True) -> None:
         _release_local_checkpoint(self._df, blocking)
+        if self._file is not None:
+            _delete_ckpt_path(self._df.sparkSession, self._file)
 
 
 def _release_local_checkpoint(df: DataFrame, blocking: bool = True) -> None:
@@ -400,6 +406,63 @@ def _release_local_checkpoint(df: DataFrame, blocking: bool = True) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
     except Exception:  # pragma: no cover - defensive: plan shape drift
         pass
+
+
+def _reliable_ckpt_file(df: DataFrame) -> str | None:
+    """Storage path of ``df.checkpoint()``'s ReliableCheckpointRDD,
+    or None (non-reliable / plan shape drift)."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:  # pragma: no cover - defensive
+        return None
+
+
+def _delete_ckpt_path(spark, path: str) -> None:
+    """Delete a reliable-checkpoint directory through the Hadoop FS
+    API (works for local paths AND cluster filesystems)."""
+    try:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hp, True)
+    except Exception:  # pragma: no cover - release path must not raise
+        pass
+
+
+# Ambient deployment config for connected_components: registry
+# consumers (dedup_cluster_components & family) have the fixed
+# (spark, sf_dir) signature and call connected_components bare, so a
+# cluster deployment needs a seam to reach the reliable-storage and
+# observability kwargs through them (VERDICT r9 #8).
+_COMPONENTS_AMBIENT: dict = {"checkpoint_dir": None, "stats_log": None}
+
+
+def components_deployment(
+    checkpoint_dir: str | None = None, stats_log: list | None = None
+):
+    """Context manager setting ambient defaults for every
+    :func:`connected_components` call in scope whose caller passed no
+    explicit kwarg: ``checkpoint_dir`` switches round state to
+    reliable ``df.checkpoint()`` storage; ``stats_log`` (a list)
+    receives one ``{"rounds", "converged"}`` dict per call. Explicit
+    kwargs at a call site win over the ambient values. Same
+    single-thread discipline as cachereg."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        prev = dict(_COMPONENTS_AMBIENT)
+        _COMPONENTS_AMBIENT.update(
+            checkpoint_dir=checkpoint_dir, stats_log=stats_log
+        )
+        try:
+            yield
+        finally:
+            _COMPONENTS_AMBIENT.clear()
+            _COMPONENTS_AMBIENT.update(prev)
+
+    return _scope()
 
 
 _SHORTCUT_FROM = 3  # first shortcut round (rounds 1-2 plain: see docstring)
@@ -459,10 +522,17 @@ def connected_components(
     non-reliable storage (executor loss recomputes NOTHING), fine for
     a single-JVM run. Pass ``checkpoint_dir`` to use RELIABLE
     ``df.checkpoint()`` storage instead (the GraphX discipline for a
-    real cluster): round state survives executor loss; the caller
-    owns the directory's lifecycle (checkpoint files are not deleted
-    here). Either way the returned frame CANNOT recompute after its
-    cachereg handle is released — see _CheckpointHandle.
+    real cluster): round state survives executor loss. Superseded
+    rounds' checkpoint files are DELETED as soon as the next round
+    lands (at most two rounds' directories exist at any moment), the
+    final round's files are deleted when the cachereg handle is
+    released, and the process's previous checkpoint dir is restored
+    on return (ADVICE r9) — the directory itself is still
+    caller-owned. Registry consumers with the fixed (spark, sf_dir)
+    signature reach these kwargs through the
+    :func:`components_deployment` ambient scope (VERDICT r9 #8).
+    Either way the returned frame CANNOT recompute after its cachereg
+    handle is released — see _CheckpointHandle.
 
     Edges are hash-partitioned on ``dst`` once and reused every round;
     the corpus itself is never touched. ``stats`` (optional dict) gets
@@ -470,13 +540,49 @@ def connected_components(
     """
     from ripcurrent_spark.operators.cachereg import track
 
+    if checkpoint_dir is None:
+        checkpoint_dir = _COMPONENTS_AMBIENT["checkpoint_dir"]
+    if stats is None and _COMPONENTS_AMBIENT["stats_log"] is not None:
+        stats = {}
+        _COMPONENTS_AMBIENT["stats_log"].append(stats)
     reliable = checkpoint_dir is not None
+    prev_ckpt_dir = None
+    sc = pairs.sparkSession.sparkContext
     if reliable:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # Don't clobber a caller-set checkpoint dir for the rest of
+        # the process (ADVICE r9): remember it and restore on exit —
+        # the returned frame's files already exist, so the restore
+        # can't invalidate anything.
+        try:
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        except Exception:  # pragma: no cover - py4j shape drift
+            prev_ckpt_dir = None
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
+    def _drop_round(df: DataFrame) -> None:
+        """Free a superseded round's state: RDD blocks always; for
+        reliable mode also the round's checkpoint FILES, so a run
+        holds at most two rounds' directories at any moment instead
+        of accumulating one per round (ADVICE r9)."""
+        f = _reliable_ckpt_file(df) if reliable else None
+        _release_local_checkpoint(df)
+        if f is not None:
+            _delete_ckpt_path(df.sparkSession, f)
+
+    try:
+        return _cc_loop(
+            pairs, id_a, id_b, max_iter, reliable, stats, _cut, _drop_round, track
+        )
+    finally:
+        if reliable and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
+
+
+def _cc_loop(pairs, id_a, id_b, max_iter, reliable, stats, _cut, _drop_round, track):
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -522,7 +628,7 @@ def connected_components(
                 ).alias("_chg"),
             )
         stepped = _cut(hooked)  # eager: materializes + truncates the plan
-        _release_local_checkpoint(labels)
+        _drop_round(labels)
         labels = stepped
         if stepped.filter(F.col("_chg")).limit(1).count() == 0:
             converged = True
@@ -532,13 +638,13 @@ def connected_components(
         stats["rounds"] = rounds
         stats["converged"] = converged
     if not converged:
-        _release_local_checkpoint(labels)
+        _drop_round(labels)
         raise ComponentsDidNotConverge(
             f"connected_components: {max_iter} rounds exhausted with label "
             f"changes still pending — refusing to return split components. "
             f"Raise max_iter only after checking the pair graph."
         )
-    track(_CheckpointHandle(labels))
+    track(_CheckpointHandle(labels, _reliable_ckpt_file(labels) if reliable else None))
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

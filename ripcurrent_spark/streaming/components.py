@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ripcurrent_spark.operators import dedup as DD
-from ripcurrent_spark.operators.cachereg import release_tracked
+from ripcurrent_spark.operators import cachereg
 from ripcurrent_spark.sinks import has_bucketed_data, key_bucket
 
 
@@ -125,12 +125,17 @@ def streaming_components_foreach_batch(
             .distinct()
         )
         if el.limit(1).count() > 0:
-            comp = DD.connected_components(el)
-            merge_rows = [
-                (int(r["node"]), int(r["component"]))
-                for r in comp.filter(F.col("node") != F.col("component")).collect()
-            ]
-            release_tracked()
+            # Scoped release: free ONLY the checkpoint handle this
+            # connected_components call tracked — a global
+            # release_tracked() here would permanently break
+            # checkpoint-backed frames owned by concurrent batch
+            # consumers sharing the session (ADVICE r9).
+            with cachereg.scoped():
+                comp = DD.connected_components(el)
+                merge_rows = [
+                    (int(r["node"]), int(r["component"]))
+                    for r in comp.filter(F.col("node") != F.col("component")).collect()
+                ]
         else:
             merge_rows = []
         merge = (

@@ -50,6 +50,27 @@ def test_streaming_components_match_batch(spark, tmp_path):
         assert got == _batch_truth(spark, seen), f"diverged after batch {i}"
 
 
+def test_foreach_batch_spares_foreign_tracked_handles(spark, tmp_path):
+    """ADVICE r9 (medium): a streaming trigger's internal release must
+    not drain cachereg handles owned by concurrent BATCH consumers —
+    for checkpoint-backed handles that is permanent breakage, not a
+    cache miss. Plant a persisted tracked frame, run a merge-bearing
+    trigger, and require the foreign frame still cached and the
+    trigger's own handles gone."""
+    foreign = cachereg.track(
+        spark.createDataFrame([(1,)], "x long").persist()
+    )
+    foreign.count()  # materialize the cache
+    try:
+        state, remap = str(tmp_path / "state"), str(tmp_path / "remap")
+        fn = streaming_components_foreach_batch(state, remap)
+        fn(_edges(spark, [(1, 2), (2, 3)]), 0)  # runs connected_components
+        assert foreign.storageLevel.useMemory, "foreign cache was drained"
+        assert cachereg._TRACKED == [foreign], "trigger leaked/ate handles"
+    finally:
+        cachereg.release_tracked()
+
+
 def test_streaming_components_replay_idempotent(spark, tmp_path):
     state, remap = str(tmp_path / "state"), str(tmp_path / "remap")
     fn = streaming_components_foreach_batch(state, remap)
