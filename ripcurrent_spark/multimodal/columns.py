@@ -283,11 +283,28 @@ def phash_media(media: DataFrame, hasher=None) -> DataFrame:
     # already yields ~maxPartitionBytes-sized splits >= cores and NO
     # exchange is needed; only a small corpus (one file, ~2 splits,
     # 30 idle cores) benefits from spreading. So probe the scan's
-    # partition count (plan-only, no job) and repartition ONLY when
-    # it under-fills the cluster — exactly the case where the
-    # payload volume is small enough that the shuffle is cheap.
+    # partition count and repartition ONLY when it under-fills the
+    # cluster — exactly the case where the payload volume is small
+    # enough that the shuffle is cheap.
+    #
+    # The probe is only trusted for SCAN-SHAPED inputs (ADVICE r9):
+    # rdd.getNumPartitions() reports the STATIC pre-AQE count, so on
+    # a plan containing an Exchange it returns
+    # spark.sql.shuffle.partitions (>= defaultParallelism) and would
+    # silently skip the spread precisely when AQE coalesces to a few
+    # runtime partitions. An exchanged input is already being spread
+    # across cores by its own shuffle, so skipping the extra
+    # repartition there is the right call — gate the probe on the
+    # physical plan being exchange-free.
     sc = media.sparkSession.sparkContext
-    if media.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        exchange_free = (
+            "Exchange"
+            not in media._jdf.queryExecution().executedPlan().toString()
+        )
+    except Exception:  # pragma: no cover - plan API drift: skip spread
+        exchange_free = False
+    if exchange_free and media.rdd.getNumPartitions() < sc.defaultParallelism:
         media = media.repartition("media_id")
 
     def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821

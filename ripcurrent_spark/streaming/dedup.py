@@ -311,15 +311,25 @@ def compact_dedup_state(
 
 def index_prints(spark, index_dir: str | Path) -> DataFrame:
     """One (doc_id, sh_a..sh_d) row per ADMITTED doc, folded from the
-    band-key index rows by an idempotent max-merge (prints are
-    deterministic per doc, so band-key duplication, replays, and
-    compaction all merge to the same value — the HLL-register
-    discipline). This is the frame the consensus gate's SimHash
-    detector reads when the corpus is maintained incrementally."""
+    band-key index rows ATOMICALLY — max of struct(_batch_id, sh_a..
+    sh_d), the whole print from the newest batch that wrote the doc.
+    Folding the four halves independently could fabricate a CHIMERA
+    print mixing halves from different ingested versions of a
+    re-ingested doc (ADVICE r9, flagged on the media twin; same
+    hazard here). Within one batch every band row of a doc carries
+    the same print, so the struct-max stays idempotent under band-key
+    duplication, replays, and compaction. This is the frame the
+    consensus gate's SimHash detector reads when the corpus is
+    maintained incrementally."""
     idx = spark.read.parquet(str(index_dir))
     _require_columns(idx, DD.SIMHASH128_COLS, "index_prints")
-    return idx.groupBy("doc_id").agg(
-        *[F.max(c).alias(c) for c in DD.SIMHASH128_COLS]
+    return (
+        idx.groupBy("doc_id")
+        .agg(F.max(F.struct("_batch_id", *DD.SIMHASH128_COLS)).alias("_m"))
+        .select(
+            "doc_id",
+            *[F.col(f"_m.{c}").alias(c) for c in DD.SIMHASH128_COLS],
+        )
     )
 
 
@@ -495,15 +505,29 @@ def streaming_media_dedup_foreach_batch(
 
 
 def media_index_prints(spark, index_dir: str | Path) -> DataFrame:
-    """One (media_id, ph_a, ph_b) row per ADMITTED media, max-merged
-    from the band rows (prints are deterministic per media, so band
-    duplication, replays, and compaction all fold to the same value)
-    — the hash frame batch consumers (phash_near_dup_pairs /
-    mm_phash_keep_one's pipeline) read without a corpus rebuild."""
+    """One (media_id, ph_a, ph_b) row per ADMITTED media — the hash
+    frame batch consumers (phash_near_dup_pairs / mm_phash_keep_one's
+    pipeline) read without a corpus rebuild.
+
+    The print is folded ATOMICALLY: max of struct(_batch_id, ph_a,
+    ph_b), i.e. the whole row from the newest batch that wrote the
+    media. Folding ph_a and ph_b independently could fabricate a
+    CHIMERA print — ph_a from one ingested version, ph_b from another
+    — matching neither version if the same media_id were ever
+    re-ingested with a changed payload (ADVICE r9). Within one batch
+    every band row of a media carries the same print, so the
+    struct-max is deterministic under band duplication, replays, and
+    compaction."""
     idx = spark.read.parquet(str(index_dir))
     _require_columns(idx, PHASH_BAND_COLS, "media_index_prints")
-    return idx.groupBy("media_id").agg(
-        F.max("ph_a").alias("ph_a"), F.max("ph_b").alias("ph_b")
+    return (
+        idx.groupBy("media_id")
+        .agg(F.max(F.struct("_batch_id", "ph_a", "ph_b")).alias("_m"))
+        .select(
+            "media_id",
+            F.col("_m.ph_a").alias("ph_a"),
+            F.col("_m.ph_b").alias("ph_b"),
+        )
     )
 
 

@@ -60,6 +60,35 @@ def test_components_restores_caller_checkpoint_dir(spark, tmp_path):
     assert str(mine) not in after
 
 
+def test_containment_exclude_exact_bounds_identical_block(spark):
+    """VERDICT r9 #7: N mutually-identical docs qualify N(N-1)/2
+    containment pairs BY CONTRACT (the quadratic is in the answer) —
+    production runs dedup_exact first. exclude_exact=True bakes that
+    pre-gate in: a planted 1000-identical-docs block must contribute
+    ZERO candidate pairs, while a genuine inclusion of/by the block's
+    representative (min id) is still reported."""
+    from ripcurrent_spark.operators.dedup import containment_candidates
+
+    ident = [f"w{i} w{i + 1}" for i in range(10)]  # the identical text
+    rows = [(i, ident) for i in range(1000)]  # 1000 exact duplicates
+    rows.append((5000, ident[:5]))  # genuinely CONTAINED in the block
+    rows.append((6000, ["q1 q2", "q2 q3", "q3 q4"]))  # unrelated
+    g = spark.createDataFrame(rows, "doc_id long, ngs array<string>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_candidates(g, 9, 10, exclude_exact=True).collect()
+    }
+    intra_block = {p for p in got if p[0] < 1000 and p[1] < 1000}
+    assert not intra_block, "identical block leaked intra-block pairs"
+    assert (0, 5000) in got, "inclusion vs the representative lost"
+    assert len(got) < 10, f"output not bounded: {len(got)} pairs"
+
+    # Flag off on a small slice: the mutual pairs ARE the contract.
+    small = spark.createDataFrame(rows[:4], "doc_id long, ngs array<string>")
+    assert containment_candidates(small, 9, 10).count() == 6
+
+
 def test_explicit_kwargs_win_over_ambient(spark, tmp_path):
     exp, amb = tmp_path / "exp", tmp_path / "amb"
     log: list[dict] = []

@@ -132,6 +132,45 @@ def test_streaming_media_replay_idempotent(spark, tmp_path):
     assert media_index_prints(spark, index).count() == 2
 
 
+def test_reingested_media_print_is_atomic_not_chimera(spark, tmp_path):
+    """ADVICE r9: a media_id re-ingested with a CHANGED payload has
+    two prints in the index; independent per-half max could fabricate
+    (max ph_a, max ph_b) — a chimera matching neither version. The
+    fold must return one real print: the newest batch's pair."""
+    idx = tmp_path / "idx"
+    # batch 0: print (9, 1); batch 1 (re-ingest, changed): print (2, 8)
+    # elementwise max would fabricate (9, 8) — neither version.
+    spark.createDataFrame(
+        [(1, 9, 1, "k", 0, 0, 0), (1, 2, 8, "k", 0, 0, 1)],
+        "media_id long, ph_a long, ph_b long, bval string, b int, _bucket int, _batch_id int",
+    ).write.partitionBy("_bucket", "_batch_id").parquet(str(idx))
+    rows = media_index_prints(spark, idx).collect()
+    assert len(rows) == 1
+    got = (rows[0]["ph_a"], rows[0]["ph_b"])
+    assert got == (2, 8), f"chimera or stale print: {got}"
+
+
+def test_reingested_doc_print_is_atomic_not_chimera(spark, tmp_path):
+    """Same hazard on the text twin: sh_a..sh_d folded independently
+    across re-ingested versions mixes halves; require the newest
+    batch's whole print."""
+    from ripcurrent_spark.streaming.dedup import index_prints
+
+    idx = tmp_path / "idx"
+    spark.createDataFrame(
+        [
+            (1, "k", 9, 1, 9, 1, 0, 0),
+            (1, "k", 2, 8, 2, 8, 0, 1),
+        ],
+        "doc_id long, bkey string, sh_a long, sh_b long, sh_c long, sh_d long, "
+        "_bucket int, _batch_id int",
+    ).write.partitionBy("_bucket", "_batch_id").parquet(str(idx))
+    rows = index_prints(spark, idx).collect()
+    assert len(rows) == 1
+    got = tuple(rows[0][c] for c in ("sh_a", "sh_b", "sh_c", "sh_d"))
+    assert got == (2, 8, 2, 8), f"chimera or stale print: {got}"
+
+
 def test_pre_upgrade_index_raises_clear_error(spark, tmp_path):
     """ADVICE r8: print consumers on an index lacking the print
     columns must fail loudly with a rebuild/backfill message, not an
