@@ -389,3 +389,88 @@ def apply_bpe(docs, merges, tokenizer=None, id_col: str = "doc_id", text_col: st
             )
 
     return base.mapInPandas(_run, BPE_OUT_SCHEMA)
+
+
+def bpe_train(words, n_merges: int, word_col: str = "word", count_col: str = "n"):
+    """Classic character-level BPE TRAINING (Sennrich et al. 2016)
+    over a (word, count) frame — the merge-selection loop between
+    text_bpe_pair_counts (the statistics) and apply_bpe (the
+    inference pass). Returns ``n_merges`` rows
+    ``{"round", "left_tok", "right_tok", "merged", "n"}`` in merge
+    order (fewer if the pair space dries up).
+
+    Why this scales: the corpus is collapsed to the word-frequency
+    table BEFORE this is called (corpus-linear, once), so every merge
+    round runs at VOCABULARY size, not corpus size — Heaps' law makes
+    that millions of rows at 100 TB, not billions. Per round: one
+    explode of adjacent symbol pairs weighted by word count, a
+    partial-agged groupBy, and a 1-row TakeOrdered argmax (count
+    desc, pair asc tie-break) collected control-plane-style (the PCA
+    power-iteration discipline — R one-row collects, never a
+    data-scaled frame). The merge applies as one non-overlapping
+    string replace over the word table (the original paper's
+    symbol-string representation) with TWO-space separators and
+    single-space match boundaries: with single-space separators,
+    consecutive occurrences (' a b a b ') SHARE the boundary space,
+    so replace-all consumes it and silently skips every second merge
+    site (greedy semantics break; the same pair re-wins later
+    rounds). Two-space separators make adjacent matches
+    character-disjoint — each match consumes one of the two boundary
+    spaces, the leftover space plus the replacement's own edge space
+    restores the invariant, and left-to-right replace-all IS
+    canonical greedy BPE. Merged symbols concatenate, staying
+    alphanumeric, so the shared tokenizer keeps parsing the symbol
+    string (whitespace runs collapse). Deterministic end to end:
+    integer counts, lexicographic tie-breaks, no RNG — the DuckDB
+    oracle unrolls the same rounds as CTEs and value-checks every
+    selected merge."""
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.operators.dedup import ngrams_of_tokens
+
+    w = cachereg.track(
+        words.select(
+            F.concat(
+                F.lit(" "),
+                F.rtrim(F.regexp_replace(F.col(word_col), "(.)", "$1  ")),
+                F.lit(" "),
+            ).alias("sym"),
+            F.col(count_col).cast("long").alias("n"),
+        ).persist()
+    )
+    out: list[dict] = []
+    for rnd in range(1, n_merges + 1):
+        t = w.select(tokens("sym").alias("toks"), "n")
+        pairs = t.select(
+            F.explode(
+                ngrams_of_tokens(F.col("toks"), n=2, distinct=False)
+            ).alias("pair"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ")
+        merged = left + right
+        out.append(
+            {
+                "round": rnd,
+                "left_tok": left,
+                "right_tok": right,
+                "merged": merged,
+                "n": cnt,
+            }
+        )
+        w = w.select(
+            F.replace(
+                F.col("sym"), F.lit(f" {left}  {right} "), F.lit(f" {merged} ")
+            ).alias("sym"),
+            "n",
+        )
+    return out

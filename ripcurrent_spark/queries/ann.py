@@ -1363,3 +1363,73 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_TOPK)
         .select("vec_id", "code0", "code1", "rank", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+WITH adc10 AS ({_pq_adc_oracle()}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT emb FROM v WHERE vec_id = 0),
+exd AS (
+  SELECT v.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.emb[i] - q.emb[i]) * (v.emb[i] - q.emb[i]))) AS d2
+  FROM v, q WHERE v.vec_id <> 0
+),
+ex10 AS (
+  SELECT vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rank FROM exd
+  ) WHERE rank <= {_ADC_TOPK}
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS recall_at_10
+FROM ex10 LEFT JOIN adc10 a USING (vec_id)
+"""
+
+
+@register("ann_pq_recall", oracle=_pq_recall_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate (VERDICT r9 #6, the ann_ivf_recall analogue):
+    recall@{_ADC_TOPK} of the ADC search against the EXACT L2
+    top-{_ADC_TOPK} for the same query (vec_id=0) — the number that
+    decides whether the 8x compression is usable before deploying the
+    code table. The truth side is exact squared-L2 over the FULL
+    64-dim raw vectors (PQ approximates L2 on raw vectors, so the
+    cosine-top-k truth ann_ivf_recall uses would be the wrong metric
+    here), one corpus-linear pass: broadcast 1-row query, the same
+    left-to-right fold as PQ training, TakeOrdered top-{_ADC_TOPK}.
+    The overlap is one {_ADC_TOPK}-row equi-join, so the cost is the
+    two searches — both already corpus-linear. Zero recall keeps its
+    row (LEFT join over the exact side)."""
+    from ripcurrent_spark.operators.clustering import _dist2
+
+    adc = ann_pq_adc_topk(spark, sf_dir).select("vec_id").withColumn(
+        "hit", F.lit(1)
+    )
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    q = v.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    exd = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _dist2(F.col("emb"), F.col("qemb")).alias("d2"))
+    )
+    ex10 = exd.orderBy("d2", "vec_id").limit(_ADC_TOPK).select("vec_id")
+    joined = ex10.join(adc, "vec_id", "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        F.lit(0).cast("long").alias("query_id"),
+        "n_exact",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_10"),
+    )

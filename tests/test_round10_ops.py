@@ -100,3 +100,55 @@ def test_explicit_kwargs_win_over_ambient(spark, tmp_path):
     cachereg.release_tracked()
     assert mine["converged"] and not log, "explicit kwargs must win"
     assert not amb.exists() or not _rdd_dirs(amb)
+
+
+# ----------------------------------- BPE trainer (VERDICT r9 #5)
+
+
+def _greedy_bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference rank-priority BPE apply (the bpe_ranked_merge
+    discipline, character-level): repeatedly fire the lowest-rank
+    applicable merge until none applies."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    toks = list(word)
+    while len(toks) > 1:
+        cand = [(ranks[p], p) for p in set(zip(toks, toks[1:])) if p in ranks]
+        if not cand:
+            break
+        _, (a, b) = min(cand)
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_train_reproduces_hand_computed_merges(spark):
+    """Planted corpus with hand-computable merge sequence: 4x 'abab'
+    + 2x 'abc'. Round 1 must merge (a,b) [count 10], round 2 (ab,ab)
+    [4], round 3 (ab,c) [2], then the pair space is dry — and the
+    trained table, applied greedily, must reproduce the known
+    tokenization of a fresh word."""
+    from ripcurrent_spark.operators.text import bpe_train
+
+    words = spark.createDataFrame(
+        [("abab", 4), ("abc", 2)], "word string, n long"
+    )
+    rows = bpe_train(words, n_merges=5)
+    cachereg.release_tracked()
+    got = [(r["round"], r["left_tok"], r["right_tok"], r["merged"], r["n"]) for r in rows]
+    assert got == [
+        (1, "a", "b", "ab", 10),
+        (2, "ab", "ab", "abab", 4),
+        (3, "ab", "c", "abc", 2),
+    ], got
+
+    merges = [(r["left_tok"], r["right_tok"]) for r in rows]
+    assert _greedy_bpe_apply("ababc", merges) == ["abab", "c"]
+    assert _greedy_bpe_apply("abababab", merges) == ["abab", "abab"]
+    assert _greedy_bpe_apply("xbc", merges) == ["x", "b", "c"]
