@@ -1176,7 +1176,7 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- DSIR importance weights
-_DSIR_B = 512  # hashed-ngram feature buckets (bounded model, any corpus)
+from ripcurrent_spark.operators.dsir import DSIR_B as _DSIR_B  # shared with streaming
 
 
 _DSIR_ORACLE = f"""
@@ -1249,93 +1249,23 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted per gram and the exploded rows shuffle at gram scale
     — measured 19 s for the exploded chain at sf1 vs ~4 s fused;
     bucket ids are the same portable h32 % {_DSIR_B} integers, so
-    the oracle's unnest mirror is value-identical."""
-    import pandas as pd
-    from pyspark.sql import types as T
+    the oracle's unnest mirror is value-identical. The bucket/model/
+    scoring math lives in operators/dsir.py (r10), SHARED with the
+    streaming incremental maintainer (streaming/dsir.py) so streamed
+    model state folds to exactly this query's answer."""
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.operators import dsir as DS
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens("text").alias("toks")
     )
-    db_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("b", T.LongType()),
-            T.StructField("c", T.LongType()),
-        ]
-    )
-
-    def _bucket_counts(batches):
-        import hashlib
-
-        memo: dict[str, int] = {}
-
-        def hb(g: str) -> int:
-            v = memo.get(g)
-            if v is None:
-                v = memo[g] = (
-                    int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:8], 16)
-                    % _DSIR_B
-                )
-            return v
-
-        for pdf in batches:
-            ids, langs, bs, cs = [], [], [], []
-            for doc_id, lang, toks in zip(pdf["doc_id"], pdf["lang"], pdf["toks"]):
-                ts = list(toks) if toks is not None else []
-                if len(ts) < 2:
-                    continue
-                counts: dict[int, int] = {}
-                for i in range(len(ts) - 1):
-                    b = hb(ts[i] + " " + ts[i + 1])
-                    counts[b] = counts.get(b, 0) + 1
-                for b, c in counts.items():
-                    ids.append(doc_id)
-                    langs.append(lang)
-                    bs.append(b)
-                    cs.append(c)
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "lang": langs, "b": bs, "c": cs})
-
     # Persist: the count frame feeds BOTH model aggregates and the
     # per-doc score — without a barrier the Arrow pass re-runs per
     # reference. Caller releases via cachereg (the registry seam).
-    from ripcurrent_spark.operators import cachereg
-
-    db = cachereg.track(
-        d.repartition("doc_id").mapInPandas(_bucket_counts, schema=db_schema).persist()
-    )
+    db = cachereg.track(DS.bucket_counts(d).persist())
     raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
     tgt = db.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
-    tr = raw.agg(F.sum("cr").alias("tr"))
-    tt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    lnp = lambda num, den: F.round(F.log(num / den), 9).cast("decimal(20,9)")  # noqa: E731
-    lw = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(bcast(tr))
-        .crossJoin(bcast(tt))
-        .select(
-            "b",
-            (
-                lnp(F.coalesce("ct", F.lit(0)) + 1, F.col("tt") + _DSIR_B)
-                - lnp(F.col("cr") + 1, F.col("tr") + _DSIR_B)
-            ).alias("w"),
-        )
-    )
-    sc = (
-        db.join(bcast(lw), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(F.col("c").cast("decimal(12,0)") * F.col("w")).alias("s"),
-        )
-    )
-    return sc.select(
-        "doc_id",
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.round(F.col("s").cast("double"), 6).alias("log_weight"),
-        (F.col("s") > 0).alias("target_like"),
-    )
+    return DS.score_counts(db, DS.log_weight_model(raw, tgt))
 
 
 _DSIR_SELECT_Q = 0.75  # keep the top quartile by importance weight
