@@ -1433,3 +1433,127 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.col("n_exact"), 6
         ).alias("recall_at_10"),
     )
+
+
+_IVFPQ_NPROBE = 2
+_D2_64 = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
+)
+
+
+def _ivfpq_oracle() -> str:
+    # Reuse the ADC oracle's CTE chain (codebook trainings, codes,
+    # query LUTs, per-vector adc) and add the coarse layer: every-25th
+    # raw-vector centroids, rounded-L2 argmin assignment (the
+    # assign_np contract), nprobe nearest cells for the query, rank
+    # only within the candidate cells.
+    base = _pq_adc_oracle()
+    cte_body = base.split("WITH", 1)[1].rsplit("\nSELECT vec_id, code0", 1)[0]
+    d2v = _D2_64.format(v="v.emb", c="c.cemb")
+    d2q = _D2_64.format(v="q.emb", c="c.cemb")
+    return f"""
+WITH {cte_body},
+vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, emb AS cemb FROM vv WHERE vec_id % 25 = 0),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2v}, c.cid) AS rn
+    FROM vv v CROSS JOIN cents c) WHERE rn = 1
+),
+qc AS (
+  SELECT cid FROM (
+    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {d2q}, c.cid) AS rn
+    FROM cents c, (SELECT emb FROM vv WHERE vec_id = 0) q) WHERE rn <= {_IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.cid FROM asn a JOIN qc ON a.cid = qc.cid
+  WHERE a.vec_id <> 0
+)
+SELECT vec_id, cell, rank, adc_dist FROM (
+  SELECT adc.vec_id, cand.cid AS cell,
+         CAST(ROW_NUMBER() OVER (ORDER BY adc.adc, adc.vec_id) AS BIGINT) AS rank,
+         round(adc.adc, 6) AS adc_dist
+  FROM adc JOIN cand ON adc.vec_id = cand.vec_id
+) WHERE rank <= {_ADC_TOPK}
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite search (Jégou et al. 2011's full billion-
+    vector recipe): a coarse inverted file prunes the corpus to the
+    query's {_IVFPQ_NPROBE} nearest cells, then ADC ranks ONLY the
+    candidate cells' code-table rows — compute per query drops from
+    O(N) LUT lookups to O(N * nprobe / n_cells), the shape that makes
+    billion-vector search interactive. Both layers run the SAME
+    metric over the SAME raw vectors (L2: rounded-distance argmin
+    with id tie-break, the assign_np contract) — unlike the
+    cosine-family ann_ivf_topk, because PQ approximates L2.
+
+    Scale: coarse assignment is one Arrow-batch matmul pass against
+    ~sqrt(N) broadcast centroids (corpus-linear, paid once — in
+    production it is stored WITH the codes); the query's cell pick is
+    a centroid-sized TakeOrdered; candidate restriction is one
+    vec_id equi-join of two corpus-linear frames; ADC stays two
+    broadcast 8-row LUT joins. The oracle extends the ADC oracle's
+    CTE chain (from-scratch codebook trainings included) with the
+    coarse layer, so prune->lookup->rank is value-checked end-to-end.
+    Candidate misses are PRUNED recall, not errors — ann_pq_recall
+    gates the unpruned ADC quality; the IVF pruning loss is the same
+    trade ann_ivf_recall measures on the cosine path."""
+    from pyspark.sql import Window as W
+
+    from ripcurrent_spark.operators.clustering import _dist2, assign_np
+
+    parts, cents_pq = _pq_train_assign(spark, sf_dir)
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    coarse = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cluster"), F.col("emb").alias("cemb")
+    )
+    asn = assign_np(v, coarse).select("vec_id", F.col("cluster").alias("cell"))
+    qemb = v.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    qc = (
+        coarse.crossJoin(F.broadcast(qemb))
+        .select(
+            F.col("cluster").alias("cell"),
+            F.round(_dist2(F.col("qemb"), F.col("cemb")), 6).alias("qd"),
+        )
+        .orderBy("qd", "cell")
+        .limit(_IVFPQ_NPROBE)
+        .select("cell")
+    )
+    cand = asn.join(F.broadcast(qc), "cell").filter(F.col("vec_id") != 0)
+
+    luts = []
+    for m, off in enumerate((1, _PQ_SUB + 1)):
+        qsub = v.filter(F.col("vec_id") == 0).select(
+            F.slice("emb", off, _PQ_SUB).alias("qemb")
+        )
+        luts.append(
+            cents_pq[m]
+            .crossJoin(F.broadcast(qsub))
+            .select(
+                F.col("cluster").alias(f"code{m}"),
+                _dist2(F.col("qemb"), F.col("cemb")).alias(f"qd{m}"),
+            )
+        )
+    adc = (
+        parts[0]
+        .select("vec_id", "code0")
+        .join(parts[1].select("vec_id", "code1"), "vec_id")
+        .join(cand, "vec_id")
+        .join(F.broadcast(luts[0]), "code0")
+        .join(F.broadcast(luts[1]), "code1")
+        .withColumn("adc", F.col("qd0") + F.col("qd1"))
+    )
+    w = W.orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select("vec_id", "cell", "rank", F.round("adc", 6).alias("adc_dist"))
+    )
