@@ -349,6 +349,17 @@ def test_quantile_sketch_groups_sharded_sample(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_vectorized_assign_no_cartesian(spark):
+    """ann_ivfpq_topk: the coarse quantizer must be the Arrow-batch
+    assigner (MapInPandas), the LUT/cell joins broadcast, and nothing
+    cartesian — the prune must not cost a corpus x centroid
+    expression-tree join (the pre-r4 IVF bug)."""
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dsir_select_threshold_from_bottomk(spark):
     """VERDICT r9 #2: curation_dsir_select's threshold must come from
     the mergeable bottom-k sample (TakeOrderedAndProject), never an
