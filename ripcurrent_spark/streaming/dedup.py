@@ -322,7 +322,7 @@ def index_prints(spark, index_dir: str | Path) -> DataFrame:
     consensus gate's SimHash detector reads when the corpus is
     maintained incrementally."""
     idx = spark.read.parquet(str(index_dir))
-    _require_columns(idx, DD.SIMHASH128_COLS, "index_prints")
+    _require_columns(idx, (*DD.SIMHASH128_COLS, "_batch_id"), "index_prints")
     return (
         idx.groupBy("doc_id")
         .agg(F.max(F.struct("_batch_id", *DD.SIMHASH128_COLS)).alias("_m"))
@@ -519,7 +519,7 @@ def media_index_prints(spark, index_dir: str | Path) -> DataFrame:
     struct-max is deterministic under band duplication, replays, and
     compaction."""
     idx = spark.read.parquet(str(index_dir))
-    _require_columns(idx, PHASH_BAND_COLS, "media_index_prints")
+    _require_columns(idx, (*PHASH_BAND_COLS, "_batch_id"), "media_index_prints")
     return (
         idx.groupBy("media_id")
         .agg(F.max(F.struct("_batch_id", "ph_a", "ph_b")).alias("_m"))
