@@ -173,3 +173,47 @@ def kmeans_centroid_stats(
     return stats.select(
         "cluster", "dim", F.round(F.col("c_val"), 6).alias("c_val"), "n"
     )
+
+
+def min_dist2_np(vectors: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """(vec_id, emb, md): rounded min squared-L2 distance of every
+    vector to a SMALL literal center set (k-center / coreset scans).
+    Same Arrow-batch shape and determinism contract as
+    :func:`assign_np`: distances accumulate per dimension in
+    ascending order (the SQL fold's exact IEEE operation order), each
+    center's distance rounds to 6 decimals, and the min is taken over
+    the rounded values — so `least(round(d2,6)...)` in the oracle is
+    value-identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cm = np.array(centers, dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+            T.StructField("md", T.DoubleType()),
+        ]
+    )
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf["emb"]), dtype=np.float64)
+            acc = np.zeros((len(vm), len(cm)))
+            for d in range(vm.shape[1]):
+                diff = vm[:, d : d + 1] - cm[:, d]
+                acc += diff * diff
+            md = np.min(np.round(acc, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "emb": list(pdf["emb"]),
+                    "md": md,
+                }
+            )
+
+    return vectors.select("vec_id", "emb").mapInPandas(_scan, schema=out_schema)

@@ -1557,3 +1557,85 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_TOPK)
         .select("vec_id", "cell", "rank", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+_KC_K = 8
+
+
+def _kcenter_oracle() -> str:
+    ctes = [
+        """vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c1 AS (SELECT vec_id, emb FROM vv ORDER BY vec_id LIMIT 1)"""
+    ]
+    finals = ["SELECT CAST(1 AS BIGINT) AS round, c1.vec_id, 0.0 AS dist FROM c1"]
+    for r in range(2, _KC_K + 1):
+        prev = ", ".join(f"c{j}" for j in range(1, r))
+        terms = ", ".join(
+            _D2_64.format(v="v.emb", c=f"c{j}.emb") for j in range(1, r)
+        )
+        md = terms if r == 2 else f"least({terms})"
+        ctes.append(
+            f"""m{r} AS (
+  SELECT v.vec_id, {md} AS md
+  FROM vv v, {prev}
+  ORDER BY md DESC, v.vec_id LIMIT 1
+),
+c{r} AS (SELECT v.vec_id, v.emb FROM vv v, m{r} WHERE v.vec_id = m{r}.vec_id)"""
+        )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, m{r}.vec_id, "
+            f"round(m{r}.md, 6) AS dist FROM m{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(finals)
+        + "\nORDER BY round"
+    )
+
+
+@register("ann_kcenter_coreset", oracle=_kcenter_oracle())
+def ann_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection (farthest-point traversal,
+    the classic 2-approximation to the k-center objective) — the
+    DIVERSITY-sampling stage of a training-data pipeline: pick
+    {_KC_K} embeddings such that every corpus vector is close to some
+    pick, the complement of dedup (which removes redundancy; this
+    SELECTS coverage). Seed = lowest vec_id; each round picks the
+    vector FARTHEST from the chosen set (max over the corpus of the
+    min rounded-L2 distance to the centers, vec_id tie-break).
+
+    Scale: the chosen set is k rows (control-plane, the PCA/BPE
+    collect discipline); each round is ONE corpus-linear Arrow-batch
+    scan against the <= k-row literal center matrix
+    (operators/clustering.min_dist2_np — per-dimension ascending
+    accumulation, round-then-min, the assign_np parity contract) and
+    a 1-row TakeOrdered argmax; k rounds total, no corpus-sized
+    shuffle anywhere. The oracle unrolls all {_KC_K} rounds as CTEs
+    (least of rounded per-center folds), so every pick and its
+    coverage radius are value-checked end-to-end. The final round's
+    `dist` IS the coreset's covering radius — the number you budget
+    k against."""
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.operators.clustering import min_dist2_np
+
+    v = cachereg.track(
+        _vectors(spark, sf_dir).select("vec_id", "emb").persist()
+    )
+    seed = v.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(seed["vec_id"]), 0.0)]
+    centers = [list(seed["emb"])]
+    for rnd in range(2, _KC_K + 1):
+        far = (
+            min_dist2_np(v, centers)
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rnd, int(far["vec_id"]), round(float(far["md"]), 6)))
+        centers.append(list(far["emb"]))
+    return spark.createDataFrame(picks, "round long, vec_id long, dist double")
