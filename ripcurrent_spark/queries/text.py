@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ripcurrent_spark.functions.hashing import h32_sql
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators import text as TX
 from ripcurrent_spark.operators.dedup import (
@@ -479,9 +480,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_V = 37
 
 
-@register(
-    "text_charlm_score",
-    oracle=f"""
+_CHARLM_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, {norm_text_sql('text')} AS t FROM documents
   WHERE length({norm_text_sql('text')}) >= 2
@@ -503,8 +502,10 @@ SELECT bgc.doc_id,
              / SUM(bgc.c), 6) AS avg_logprob
 FROM bgc JOIN lm ON bgc.b = lm.b
 GROUP BY bgc.doc_id
-""",
-)
+"""
+
+
+@register("text_charlm_score", oracle=_CHARLM_ORACLE)
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained character-bigram language-model quality score
     (the CCNet/KenLM-filter SHAPE at char granularity): pass 1 builds
@@ -983,4 +984,74 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = TX.bpe_train(words, _BPE_TRAIN_ROUNDS)
     return spark.createDataFrame(
         rows, "round long, left_tok string, right_tok string, merged string, n long"
+    )
+
+
+_PPL_K = 256  # bottom-k sample size for the tertile thresholds
+_PPL_LO, _PPL_HI = "0.3333333333333333", "0.6666666666666666"
+
+
+@register(
+    "text_ppl_buckets",
+    oracle=f"""
+WITH w AS ({_CHARLM_ORACLE}),
+pri AS (
+  SELECT doc_id, avg_logprob,
+         {h32_sql("CAST(doc_id AS VARCHAR)", seed="ccn")} AS p
+  FROM w
+),
+samp AS (SELECT avg_logprob FROM pri ORDER BY p, doc_id LIMIT {_PPL_K}),
+thr AS (
+  SELECT quantile_cont(avg_logprob, {_PPL_LO}) AS t_lo,
+         quantile_cont(avg_logprob, {_PPL_HI}) AS t_hi
+  FROM samp
+)
+SELECT w.doc_id, w.avg_logprob,
+       round(thr.t_lo, 6) AS t_lo, round(thr.t_hi, 6) AS t_hi,
+       CASE WHEN w.avg_logprob >= thr.t_hi THEN 'head'
+            WHEN w.avg_logprob >= thr.t_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM w, thr
+""",
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    the corpus into head / middle / tail tertiles by language-model
+    score — the standard CommonCrawl curation stage downstream
+    pipelines sample from with per-bucket rates (head = most fluent).
+    Score = the corpus-trained char-bigram LM mean log-likelihood
+    (text_charlm_score, higher = better, monotone in -perplexity so
+    tertile membership is identical to bucketing by perplexity).
+
+    Scale (the r10 DSIR-select discipline): tertile thresholds come
+    from the MERGEABLE k={_PPL_K} bottom-k (KMV) sample of the score
+    frame — TakeOrderedAndProject, never an exact global percentile
+    buffer over the corpus — and the deterministic md5 priorities
+    make the sample (hence both thresholds, hence every bucket
+    label) identical on both engines: the oracle value-checks the
+    bucketing itself. One corpus-linear pass over the scores plus a
+    1-row broadcast; the charlm scorer underneath is the proven
+    two-Arrow-pass shape."""
+    from ripcurrent_spark.functions.hashing import h32
+
+    w = text_charlm_score(spark, sf_dir)
+    pri = w.select(
+        "doc_id",
+        "avg_logprob",
+        h32(F.col("doc_id").cast("string"), seed="ccn").alias("p"),
+    )
+    samp = pri.orderBy("p", "doc_id").limit(_PPL_K)
+    thr = samp.agg(
+        F.expr(f"percentile(avg_logprob, {_PPL_LO}D)").alias("t_lo"),
+        F.expr(f"percentile(avg_logprob, {_PPL_HI}D)").alias("t_hi"),
+    )
+    return w.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_logprob",
+        F.round("t_lo", 6).alias("t_lo"),
+        F.round("t_hi", 6).alias("t_hi"),
+        F.when(F.col("avg_logprob") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
