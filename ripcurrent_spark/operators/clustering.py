@@ -97,14 +97,32 @@ def assign_np(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
     def _assign(batches):
+        # Centroid-CHUNKED accumulation (r10): with k in the thousands
+        # (the IVF-PQ coarse quantizer: ~sqrt(N) centroids) the naive
+        # per-dim loop allocates two (batch x k) temporaries per
+        # dimension — 64 x ~160 MB of memory traffic per Arrow batch,
+        # measured 112 s for 50k x 2000 at sf1. Chunking centroids to
+        # 256 columns keeps the temporaries cache-sized and writes
+        # through preallocated buffers; the per-(vector, centroid)
+        # accumulation order over dimensions is UNCHANGED (chunking
+        # only reorders independent (i, j) cells), so results stay
+        # bit-identical to the documented fold contract.
+        chunk = 256
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = np.array(list(pdf["emb"]), dtype=np.float64)
-            acc = np.zeros((len(vm), len(cids)))
-            for d in range(vm.shape[1]):
-                diff = vm[:, d : d + 1] - cm[:, d]
-                acc += diff * diff
+            acc = np.empty((len(vm), len(cids)))
+            buf = np.empty((len(vm), min(chunk, len(cids))))
+            for j0 in range(0, len(cids), chunk):
+                sub = cm[j0 : j0 + chunk]
+                a = acc[:, j0 : j0 + len(sub)]
+                a.fill(0.0)
+                b = buf[:, : len(sub)]
+                for d in range(vm.shape[1]):
+                    np.subtract(vm[:, d : d + 1], sub[:, d], out=b)
+                    np.multiply(b, b, out=b)
+                    a += b
             best = np.argmin(np.round(acc, 6), axis=1)
             yield pd.DataFrame(
                 {

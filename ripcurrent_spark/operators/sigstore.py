@@ -403,6 +403,12 @@ def named_artifacts(spark: SparkSession, sf_dir: str) -> dict:
                 "phash64", _source_key(sf_dir, "documents", "phash64:v1")
             ),
         ),
+        "artifact_ivf_cells": (
+            lambda: ivf_cell_table(spark, sf_dir),
+            lambda: artifact_dir(
+                "ivf_cells", _source_key(sf_dir, "embeddings", "ivfcells:c25:v1")
+            ),
+        ),
         "artifact_pq_codes": (
             # The reader evicts the codebook half itself, so the timed
             # slot pays the FULL cold path: train + code + land.
@@ -422,3 +428,43 @@ def _pq_cold_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         ignore_errors=True,
     )
     return pq_code_table(spark, sf_dir)
+
+
+def ivf_cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarse IVF assignment (vec_id, cell): every vector's
+    nearest every-25th-vector centroid under rounded L2 (the
+    assign_np contract) — the inverted-file HALF of the IVF-PQ index
+    (r10). In production the cell id is stored WITH the PQ codes;
+    here it is its own artifact so the search query
+    (ann_ivfpq_topk) reads warm parquet instead of re-running the
+    corpus x sqrt(N) assignment (~12 s at sf1) per call. Consumers'
+    oracles re-derive the assignment from scratch in CTEs, so a
+    stale cell table fails the driver loudly."""
+
+    def build() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ripcurrent_spark.operators.clustering import assign_np
+        from ripcurrent_spark.queries.ann import _vectors
+
+        v = _vectors(spark, sf_dir).select("vec_id", "emb")
+        coarse = v.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("cluster"), F.col("emb").alias("cemb")
+        )
+        # One corpus x sqrt(N) compute block over a single-file scan:
+        # spread it when the scan under-fills the cluster (the
+        # phash_media conditional gate).
+        sc = spark.sparkContext
+        if v.rdd.getNumPartitions() < sc.defaultParallelism:
+            v = v.repartition(sc.defaultParallelism, "vec_id")
+        return assign_np(v, coarse).select(
+            "vec_id", F.col("cluster").alias("cell")
+        )
+
+    return materialized(
+        spark,
+        "ivf_cells",
+        _source_key(sf_dir, "embeddings", "ivfcells:c25:v1"),
+        build,
+        source=Path(sf_dir) / "embeddings.parquet",
+    )

@@ -349,13 +349,19 @@ def test_quantile_sketch_groups_sharded_sample(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ivfpq_vectorized_assign_no_cartesian(spark):
-    """ann_ivfpq_topk: the coarse quantizer must be the Arrow-batch
-    assigner (MapInPandas), the LUT/cell joins broadcast, and nothing
-    cartesian — the prune must not cost a corpus x centroid
-    expression-tree join (the pre-r4 IVF bug)."""
+def test_ivfpq_reads_cell_artifact_no_cartesian(spark):
+    """ann_ivfpq_topk: the coarse assignment comes from the warm
+    ivf_cells artifact (a parquet scan — the corpus x sqrt(N) compute
+    is paid once per corpus digest inside the artifact build, which
+    is Arrow-batch assign_np, spread + centroid-chunked), LUT/cell
+    joins broadcast, nothing cartesian — the prune must not cost a
+    corpus x centroid expression-tree join (the pre-r4 IVF bug)."""
+    from ripcurrent_spark.operators.sigstore import ivf_cell_table
+
+    ivf_cell_table(spark, SF_ORACLE).count()  # ensure the artifact is warm
     plan = _plan(spark, "ann_ivfpq_topk")
-    assert "MapInPandas" in plan
+    assert "ivf_cells" in plan  # warm artifact scan, not a re-assignment
+    assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
 
