@@ -1646,3 +1646,72 @@ def ann_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks.append((rnd, int(far["vec_id"]), round(float(far["md"]), 6)))
         centers.append(list(far["emb"]))
     return spark.createDataFrame(picks, "round long, vec_id long, dist double")
+
+
+def _ivfpq_recall_oracle() -> str:
+    base = _ivfpq_oracle()
+    cte_body = base.split("WITH", 1)[1].rsplit("\nSELECT vec_id, cell", 1)[0]
+    return f"""
+WITH {cte_body},
+ivfpq10 AS (
+  SELECT vec_id FROM (
+    SELECT adc.vec_id, ROW_NUMBER() OVER (ORDER BY adc.adc, adc.vec_id) AS rank
+    FROM adc JOIN cand ON adc.vec_id = cand.vec_id
+  ) WHERE rank <= {_ADC_TOPK}
+),
+exd AS (
+  SELECT v.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.emb[i] - q.emb[i]) * (v.emb[i] - q.emb[i]))) AS d2
+  FROM vv v, (SELECT emb FROM vv WHERE vec_id = 0) q
+  WHERE v.vec_id <> 0
+),
+ex10 AS (
+  SELECT vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rank FROM exd
+  ) WHERE rank <= {_ADC_TOPK}
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS recall_at_10
+FROM ex10 LEFT JOIN ivfpq10 a USING (vec_id)
+"""
+
+
+@register("ann_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ quality gate, completing the recall triple:
+    ann_ivf_recall measures the coarse-prune loss (cosine family),
+    ann_pq_recall the unpruned code-quantization loss, and THIS the
+    deployed path's combined loss — recall@{_ADC_TOPK} of the pruned
+    ADC search (ann_ivfpq_topk) against the exact L2
+    top-{_ADC_TOPK}. The number an operator tunes nprobe and the
+    codebook budget against. Reuses both registered pipelines; the
+    overlap is one {_ADC_TOPK}-row equi-join."""
+    from ripcurrent_spark.operators.clustering import _dist2
+
+    approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id").withColumn(
+        "hit", F.lit(1)
+    )
+    v = _vectors(spark, sf_dir).select("vec_id", "emb")
+    q = v.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    exd = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _dist2(F.col("emb"), F.col("qemb")).alias("d2"))
+    )
+    ex10 = exd.orderBy("d2", "vec_id").limit(_ADC_TOPK).select("vec_id")
+    agg = ex10.join(approx, "vec_id", "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        F.lit(0).cast("long").alias("query_id"),
+        "n_exact",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_10"),
+    )
