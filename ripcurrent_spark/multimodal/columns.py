@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ripcurrent_spark.operators.hints import spread_if_narrow_scan
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -276,36 +278,13 @@ def phash_media(media: DataFrame, hasher=None) -> DataFrame:
         return media.mapInPandas(_run_injected, schema=PHASH_SCHEMA)
 
     # Spread the fold WITHOUT a payload exchange when possible
-    # (ADVICE r8): the unconditional repartition('media_id') here was
-    # a corpus-sized shuffle of the payload column — at real image
-    # sizes that is the single largest exchange in the pipeline, paid
-    # just to spread CPU. At production scale the parquet scan
-    # already yields ~maxPartitionBytes-sized splits >= cores and NO
-    # exchange is needed; only a small corpus (one file, ~2 splits,
-    # 30 idle cores) benefits from spreading. So probe the scan's
-    # partition count and repartition ONLY when it under-fills the
-    # cluster — exactly the case where the payload volume is small
-    # enough that the shuffle is cheap.
-    #
-    # The probe is only trusted for SCAN-SHAPED inputs (ADVICE r9):
-    # rdd.getNumPartitions() reports the STATIC pre-AQE count, so on
-    # a plan containing an Exchange it returns
-    # spark.sql.shuffle.partitions (>= defaultParallelism) and would
-    # silently skip the spread precisely when AQE coalesces to a few
-    # runtime partitions. An exchanged input is already being spread
-    # across cores by its own shuffle, so skipping the extra
-    # repartition there is the right call — gate the probe on the
-    # physical plan being exchange-free.
-    sc = media.sparkSession.sparkContext
-    try:
-        exchange_free = (
-            "Exchange"
-            not in media._jdf.queryExecution().executedPlan().toString()
-        )
-    except Exception:  # pragma: no cover - plan API drift: skip spread
-        exchange_free = False
-    if exchange_free and media.rdd.getNumPartitions() < sc.defaultParallelism:
-        media = media.repartition("media_id")
+    # (ADVICE r8): an unconditional repartition('media_id') here was a
+    # corpus-sized shuffle of the payload column — at real image sizes
+    # the single largest exchange in the pipeline, paid just to spread
+    # CPU. The exchange-free-gated probe (ADVICE r9) lives in
+    # operators/hints.spread_if_narrow_scan, shared with the ivf_cells
+    # artifact build (r11).
+    media = spread_if_narrow_scan(media, "media_id")
 
     def _run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -66,3 +66,41 @@ def bcast(df: DataFrame, gauge: DataFrame | None = None) -> DataFrame:
     if est is not None and 0 <= est <= threshold:
         return F.broadcast(df)
     return df
+
+
+def spread_if_narrow_scan(df: DataFrame, *repartition_args) -> DataFrame:
+    """Repartition a SCAN-SHAPED frame across the cluster only when its
+    static partition count under-fills it; pass-through otherwise.
+
+    The shared probe behind multimodal.phash_media and the ivf_cells
+    artifact build (extracted r11 so both sites carry the same audited
+    gate — ADVICE r9 #2 / VERDICT r10 #3). Rationale: at production
+    scale the parquet scan already yields ~maxPartitionBytes-sized
+    splits >= cores and NO exchange is needed; only a small corpus
+    (one file, ~2 splits, 30 idle cores) benefits from spreading —
+    exactly the case where the shuffled volume is cheap.
+
+    The probe is only trusted for scan-shaped inputs:
+    ``rdd.getNumPartitions()`` reports the STATIC pre-AQE count, so on
+    a plan containing an Exchange it returns
+    ``spark.sql.shuffle.partitions`` (>= defaultParallelism) and would
+    silently skip the spread precisely when AQE coalesces to a few
+    runtime partitions. An exchanged input is already being spread by
+    its own shuffle, so skipping the extra repartition there is the
+    right call — the probe is gated on the physical plan being
+    exchange-free.
+
+    ``repartition_args`` are forwarded to ``df.repartition`` verbatim
+    (e.g. ``"media_id"`` or ``(n, "vec_id")``) so each call site keeps
+    its established spread shape.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        exchange_free = (
+            "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+        )
+    except Exception:  # pragma: no cover - plan API drift: skip spread
+        exchange_free = False
+    if exchange_free and df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(*repartition_args)
+    return df

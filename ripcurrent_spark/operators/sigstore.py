@@ -27,6 +27,21 @@ At cluster scale the same function points at a lakehouse table
 (signatures maintained incrementally by the streaming index); the
 local parquet cache is the single-node stand-in for that table, not a
 bench trick — the oracle recompute is what makes it honest.
+
+Artifact-PAIR coherence (r11, VERDICT r10 #8): some consumers read
+TWO artifacts that must describe the same corpus state — ann_ivfpq_topk
+joins the ``ivf_cells`` table against the ``pq_codes`` table. The
+invariant is: both keys derive from :func:`_source_key` over the SAME
+source file, whose (resolved path, size, mtime_ns) is embedded in the
+key and recorded in each artifact's ``_RC_KEY`` sidecar — so two
+artifacts resolved through the same ``(sf_dir, table)`` at the same
+moment are coherent BY KEY DERIVATION, and a fresh-cells/stale-codes
+mix can only arise from out-of-band cache surgery (a digest dir
+restored from elsewhere, a hand-edited sidecar). Paired consumers
+assert equal recorded fingerprints at read time
+(:func:`assert_coherent_artifacts`) so that surgery fails loudly
+instead of silently joining two corpora; the from-scratch consumer
+oracles remain the end-to-end backstop at driver time.
 """
 
 from __future__ import annotations
@@ -45,6 +60,9 @@ from pyspark.sql import functions as F
 # match a v2 key and are GC'd as unreadable.
 _VERSION = 2
 _KEY_FILE = "_RC_KEY"
+# r11: v2 = sqrt(N) cell-count policy (stride from ivf_stride, was a
+# fixed 25) — the bump retires any fixed-stride cell table on disk.
+_IVF_CELLS_VER = "ivfcells:sqrtn:v2"
 
 
 def _cache_root() -> Path:
@@ -184,6 +202,46 @@ def _source_key(sf_dir: str, table: str, params: str) -> str:
     src = Path(sf_dir) / f"{table}.parquet"
     st = src.stat()
     return f"v{_VERSION}:{src.resolve()}:{st.st_size}:{st.st_mtime_ns}:{params}"
+
+
+def artifact_fingerprint(kind: str, key: str) -> tuple | None:
+    """The (source path, size, mtime_ns) recorded in the (kind, key)
+    artifact's ``_RC_KEY`` sidecar at build time, or None when the
+    sidecar is absent/unreadable (not yet built, or pre-v2)."""
+    try:
+        meta = json.loads((artifact_dir(kind, key) / _KEY_FILE).read_text())
+    except (OSError, ValueError):
+        return None
+    return (meta.get("source"), meta.get("size"), meta.get("mtime_ns"))
+
+
+def assert_coherent_artifacts(pairs: dict[str, str]) -> None:
+    """Raise unless every built artifact in ``pairs`` (kind -> key)
+    recorded the SAME source fingerprint — the pair-coherence check a
+    consumer joining two artifacts runs at read time (module
+    docstring). Unbuilt artifacts (None fingerprint) are skipped: the
+    subsequent :func:`materialized` call builds them from the live
+    source, which is coherent by key derivation."""
+    fps = {k: artifact_fingerprint(k, key) for k, key in pairs.items()}
+    built = {k: fp for k, fp in fps.items() if fp is not None}
+    if len(set(built.values())) > 1:
+        raise AssertionError(
+            "incoherent artifact pair (same-corpus invariant violated "
+            f"by out-of-band cache surgery): {built}"
+        )
+
+
+def assert_ivfpq_coherent(sf_dir: str) -> None:
+    """ann_ivfpq_topk's read-time gate: the ivf_cells table and the
+    pq_codes/pq_codebooks tables it joins must all describe the same
+    embeddings.parquet state."""
+    assert_coherent_artifacts(
+        {
+            "ivf_cells": _source_key(sf_dir, "embeddings", _IVF_CELLS_VER),
+            "pq_codes": _source_key(sf_dir, "embeddings", "pqcodes:k8:sub32:v1"),
+            "pq_codebooks": _source_key(sf_dir, "embeddings", "pqcb:k8:sub32:v1"),
+        }
+    )
 
 
 _MINHASH_N, _MINHASH_K = 3, 12
@@ -406,7 +464,7 @@ def named_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         "artifact_ivf_cells": (
             lambda: ivf_cell_table(spark, sf_dir),
             lambda: artifact_dir(
-                "ivf_cells", _source_key(sf_dir, "embeddings", "ivfcells:c25:v1")
+                "ivf_cells", _source_key(sf_dir, "embeddings", _IVF_CELLS_VER)
             ),
         ),
         "artifact_pq_codes": (
@@ -432,31 +490,37 @@ def _pq_cold_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coarse IVF assignment (vec_id, cell): every vector's
-    nearest every-25th-vector centroid under rounded L2 (the
-    assign_np contract) — the inverted-file HALF of the IVF-PQ index
-    (r10). In production the cell id is stored WITH the PQ codes;
-    here it is its own artifact so the search query
-    (ann_ivfpq_topk) reads warm parquet instead of re-running the
-    corpus x sqrt(N) assignment (~12 s at sf1) per call. Consumers'
-    oracles re-derive the assignment from scratch in CTEs, so a
-    stale cell table fails the driver loudly."""
+    nearest centroid under rounded L2 (the assign_np contract), where
+    the centroids are every ``ivf_stride(N)``-th vector — ~sqrt(N)
+    cells (operators/clustering.ivf_stride, the single IVF cell-count
+    policy point; r11 replaced the fixed stride of 25, which made the
+    assignment O(N^2/25) and the centroid collect O(N)-row). This is
+    the inverted-file HALF of the IVF-PQ index (r10). In production
+    the cell id is stored WITH the PQ codes; here it is its own
+    artifact so the search query (ann_ivfpq_topk) reads warm parquet
+    instead of re-running the corpus x sqrt(N) assignment per call.
+    Consumers' oracles re-derive the assignment from scratch in CTEs
+    (deriving the same stride from the same corpus count), so a stale
+    cell table fails the driver loudly."""
 
     def build() -> DataFrame:
         from pyspark.sql import functions as F
 
-        from ripcurrent_spark.operators.clustering import assign_np
+        from ripcurrent_spark.operators.clustering import assign_np, ivf_stride
+        from ripcurrent_spark.operators.hints import spread_if_narrow_scan
         from ripcurrent_spark.queries.ann import _vectors
 
         v = _vectors(spark, sf_dir).select("vec_id", "emb")
-        coarse = v.filter(F.col("vec_id") % 25 == 0).select(
+        stride = ivf_stride(v.count())
+        coarse = v.filter(F.col("vec_id") % stride == 0).select(
             F.col("vec_id").alias("cluster"), F.col("emb").alias("cemb")
         )
         # One corpus x sqrt(N) compute block over a single-file scan:
-        # spread it when the scan under-fills the cluster (the
-        # phash_media conditional gate).
-        sc = spark.sparkContext
-        if v.rdd.getNumPartitions() < sc.defaultParallelism:
-            v = v.repartition(sc.defaultParallelism, "vec_id")
+        # spread it when the scan under-fills the cluster (the shared
+        # exchange-free-gated probe, operators/hints).
+        v = spread_if_narrow_scan(
+            v, spark.sparkContext.defaultParallelism, "vec_id"
+        )
         return assign_np(v, coarse).select(
             "vec_id", F.col("cluster").alias("cell")
         )
@@ -464,7 +528,7 @@ def ivf_cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized(
         spark,
         "ivf_cells",
-        _source_key(sf_dir, "embeddings", "ivfcells:c25:v1"),
+        _source_key(sf_dir, "embeddings", _IVF_CELLS_VER),
         build,
         source=Path(sf_dir) / "embeddings.parquet",
     )

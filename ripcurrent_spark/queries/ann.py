@@ -8,7 +8,14 @@ from pyspark.sql import functions as F
 from ripcurrent_spark.io import load
 from ripcurrent_spark.operators import cachereg
 from ripcurrent_spark.operators import similarity as SIM
+from ripcurrent_spark.operators.clustering import ivf_stride, ivf_stride_sql
 from ripcurrent_spark.queries import register
+
+# The IVF coarse layer's single cell-count policy (r11, ~sqrt(N)
+# cells): Spark sites derive the stride from the corpus count via
+# ivf_stride; every oracle embeds the identical arithmetic as this
+# scalar subquery over the same table.
+_IVF_CENT_SQL = ivf_stride_sql("embeddings")
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +122,7 @@ WITH v AS (
   SELECT vec_id, {SIM.unit_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS emb
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 25 = 0),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {_IVF_CENT_SQL} = 0),
 assign AS (
   SELECT vec_id, emb, cid FROM (
     SELECT v.vec_id, v.emb, cent.cid,
@@ -143,16 +150,19 @@ WHERE rank <= 5
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: corpus partitioned into cells by nearest
-    centroid (deterministic centroid pick: every 25th vector), search
-    confined to the query's cell. The coarse quantizer is a broadcast
-    cross join against ~sqrt(N) centroids (linear scan, tiny constant);
-    the fine search shuffles once on cell id — the inverted-file
-    counterpart to the LSH path, trading recall for a bounded
-    candidate set per query."""
+    centroid (deterministic centroid pick: every ivf_stride(N)-th
+    vector, ~sqrt(N) cells — operators/clustering.ivf_stride, the
+    single IVF cell-count policy point), search confined to the
+    query's cell. The coarse quantizer is one Arrow-batch matmul pass
+    against the sqrt(N)-row centroid matrix (O(N^1.5) one-time work,
+    sqrt(N)-sized control-plane collect); the fine search shuffles
+    once on cell id — the inverted-file counterpart to the LSH path,
+    trading recall for a bounded ~sqrt(N) candidate set per query."""
     from pyspark.sql import Window as W
 
     v = _vectors(spark, sf_dir).select("vec_id", SIM.unit(F.col("emb")).alias("emb"))
-    cent = v.filter(F.col("vec_id") % 25 == 0).select(
+    stride = ivf_stride(v.count())
+    cent = v.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     # Coarse quantizer vectorized (one matmul per Arrow batch): the
@@ -198,7 +208,7 @@ ex AS (
                                  ORDER BY cos_raw DESC, neighbor_id) AS rank
     FROM ex_scored) WHERE rank <= 5
 ),
-cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 25 = 0),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {_IVF_CENT_SQL} = 0),
 assign AS (
   SELECT vec_id, emb, cid FROM (
     SELECT v.vec_id, v.emb, cent.cid,
@@ -1444,10 +1454,11 @@ _D2_64 = (
 
 def _ivfpq_oracle() -> str:
     # Reuse the ADC oracle's CTE chain (codebook trainings, codes,
-    # query LUTs, per-vector adc) and add the coarse layer: every-25th
-    # raw-vector centroids, rounded-L2 argmin assignment (the
-    # assign_np contract), nprobe nearest cells for the query, rank
-    # only within the candidate cells.
+    # query LUTs, per-vector adc) and add the coarse layer:
+    # every-ivf_stride(N)-th raw-vector centroids (~sqrt(N) cells, the
+    # stride derived from the corpus count in-SQL), rounded-L2 argmin
+    # assignment (the assign_np contract), nprobe nearest cells for
+    # the query, rank only within the candidate cells.
     base = _pq_adc_oracle()
     cte_body = base.split("WITH", 1)[1].rsplit("\nSELECT vec_id, code0", 1)[0]
     d2v = _D2_64.format(v="v.emb", c="c.cemb")
@@ -1458,7 +1469,7 @@ vv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cid, emb AS cemb FROM vv WHERE vec_id % 25 = 0),
+cents AS (SELECT vec_id AS cid, emb AS cemb FROM vv WHERE vec_id % {_IVF_CENT_SQL} = 0),
 asn AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
@@ -1509,11 +1520,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ripcurrent_spark.operators.clustering import _dist2
-    from ripcurrent_spark.operators.sigstore import ivf_cell_table
+    from ripcurrent_spark.operators.sigstore import (
+        assert_ivfpq_coherent,
+        ivf_cell_table,
+    )
 
     parts, cents_pq = _pq_train_assign(spark, sf_dir)
     v = _vectors(spark, sf_dir).select("vec_id", "emb")
-    coarse = v.filter(F.col("vec_id") % 25 == 0).select(
+    coarse = v.filter(F.col("vec_id") % ivf_stride(v.count()) == 0).select(
         F.col("vec_id").alias("cluster"), F.col("emb").alias("cemb")
     )
     # The coarse assignment is the one corpus x sqrt(N) compute block
@@ -1523,6 +1537,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest, spread + centroid-chunked inside the build); this query
     # reads warm parquet.
     asn = ivf_cell_table(spark, sf_dir)
+    # Pair-coherence gate (r11): the cell table and the PQ code/
+    # codebook tables joined below must describe the same
+    # embeddings.parquet state (sigstore module docstring).
+    assert_ivfpq_coherent(sf_dir)
     qemb = v.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
     qc = (
         coarse.crossJoin(F.broadcast(qemb))

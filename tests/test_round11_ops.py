@@ -1,0 +1,143 @@
+"""Round-11 tests: the sqrt(N) IVF cell-count policy (VERDICT r10
+#1), the shared exchange-free spread gate (VERDICT r10 #7), and
+companions added this round."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ripcurrent_spark.operators.clustering import ivf_stride, ivf_stride_sql
+from tests.conftest import SF_ORACLE
+
+# ----------------------------------- IVF sqrt(N) cell-count policy
+
+
+def test_ivf_stride_is_sublinear_cell_count():
+    """n_cells ~ N / stride must be ~sqrt(N), never a corpus fraction:
+    stride^2 >= N pins n_cells <= sqrt(N) + 1 at EVERY corpus size
+    (the r10 fixed stride of 25 gave N/25 cells — linear)."""
+    for n in (1, 24, 25, 624, 625, 626, 2_500, 49_999, 10**6, 10**10, 10**12):
+        s = ivf_stride(n)
+        assert s * s >= n, f"N={n}: stride {s} leaves a super-sqrt cell count"
+        n_cells = math.ceil(n / s)
+        assert n_cells <= math.isqrt(n) + 1, f"N={n}: {n_cells} cells"
+        # and the floor keeps tiny corpora from one-vector cells
+        assert s >= 25
+
+
+def test_ivf_stride_grows_with_corpus():
+    """The policy point of the r11 fix: 100x the corpus must NOT mean
+    100x the centroids (it means ~10x)."""
+    base = 10**6
+    cells = lambda n: math.ceil(n / ivf_stride(n))  # noqa: E731
+    assert cells(100 * base) < 15 * cells(base)
+
+
+@pytest.mark.parametrize(
+    "n", [1, 24, 25, 26, 624, 625, 626, 2_500, 49_999, 50_000, 10**8]
+)
+def test_ivf_stride_sql_twin_matches(n):
+    """The oracle-side scalar subquery must derive the IDENTICAL
+    stride from the identical count — both engines ceil the same
+    IEEE-754 double sqrt."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW corpus AS SELECT * FROM range({n})")
+    got = con.sql(f"SELECT {ivf_stride_sql('corpus')}").fetchone()[0]
+    con.close()
+    assert got == ivf_stride(n)
+
+
+def test_ivf_cell_table_uses_corpus_derived_stride(spark):
+    """The materialized artifact's distinct cell count must track
+    ceil(N / ivf_stride(N)) (every stride-th id is a centroid and
+    every centroid wins its own assignment under rounded L2 with id
+    tie-break... its distance to itself is 0), not N/25."""
+    from ripcurrent_spark.operators.sigstore import ivf_cell_table
+    from ripcurrent_spark.queries.ann import _vectors
+
+    n = _vectors(spark, SF_ORACLE).count()
+    stride = ivf_stride(n)
+    cells = ivf_cell_table(spark, SF_ORACLE)
+    n_cells = cells.select("cell").distinct().count()
+    expected = len(range(0, n, stride))
+    assert n_cells == expected
+    assert cells.count() == n
+
+
+# ----------------------------------- artifact-pair coherence
+
+
+def _plant_sidecar(cache, kind, key, fp):
+    from ripcurrent_spark.operators import sigstore
+
+    d = sigstore.artifact_dir(kind, key)
+    d.mkdir(parents=True, exist_ok=True)
+    import json
+
+    (d / sigstore._KEY_FILE).write_text(
+        json.dumps({"key": key, "source": fp[0], "size": fp[1], "mtime_ns": fp[2]})
+    )
+
+
+def test_assert_coherent_artifacts(monkeypatch, tmp_path):
+    """Equal recorded fingerprints pass; a mixed pair (out-of-band
+    cache surgery) raises; unbuilt members are skipped."""
+    from ripcurrent_spark.operators.sigstore import assert_coherent_artifacts
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_CACHE", str(tmp_path))
+    fp = ("/data/embeddings.parquet", 111, 222)
+    _plant_sidecar(tmp_path, "ivf_cells", "k1", fp)
+    _plant_sidecar(tmp_path, "pq_codes", "k2", fp)
+    assert_coherent_artifacts({"ivf_cells": "k1", "pq_codes": "k2"})
+    # unbuilt third member is skipped
+    assert_coherent_artifacts(
+        {"ivf_cells": "k1", "pq_codes": "k2", "pq_codebooks": "k3"}
+    )
+    _plant_sidecar(tmp_path, "pq_codes", "k2", (fp[0], 111, 999))
+    with pytest.raises(AssertionError, match="incoherent artifact pair"):
+        assert_coherent_artifacts({"ivf_cells": "k1", "pq_codes": "k2"})
+
+
+def test_ivfpq_pair_coherent_after_build(spark):
+    """The deployed pair passes its own gate once built the normal
+    way (coherent by key derivation)."""
+    from ripcurrent_spark.operators.sigstore import (
+        assert_ivfpq_coherent,
+        ivf_cell_table,
+        pq_code_table,
+    )
+
+    ivf_cell_table(spark, SF_ORACLE).count()
+    pq_code_table(spark, SF_ORACLE).count()
+    assert_ivfpq_coherent(SF_ORACLE)
+
+
+# ----------------------------------- shared spread gate
+
+
+def test_spread_if_narrow_scan_spreads_narrow_exchange_free(spark):
+    from ripcurrent_spark.operators.hints import spread_if_narrow_scan
+
+    sc = spark.sparkContext
+    narrow = spark.range(0, 1000, 1, 2).withColumnRenamed("id", "vec_id")
+    out = spread_if_narrow_scan(narrow, sc.defaultParallelism, "vec_id")
+    assert out.rdd.getNumPartitions() == sc.defaultParallelism
+
+
+def test_spread_if_narrow_scan_passes_through_exchanged_input(spark):
+    """An input whose plan already contains an Exchange is being
+    spread by its own shuffle — the probe must not re-shuffle it."""
+    from ripcurrent_spark.operators.hints import spread_if_narrow_scan
+
+    sc = spark.sparkContext
+    exchanged = (
+        spark.range(0, 1000, 1, 2)
+        .withColumnRenamed("id", "vec_id")
+        .repartition(3, "vec_id")
+    )
+    out = spread_if_narrow_scan(exchanged, sc.defaultParallelism, "vec_id")
+    assert out is exchanged
