@@ -26,6 +26,16 @@ recomputing. The one safe discipline for both kinds: call
 ``release_tracked()`` only once every consumer of every returned
 frame is finished — never mid-use.
 
+Thread safety (ADVICE r10 #1): the registry is shared session state
+and its motivating concurrent case is real — foreachBatch runs on the
+stream-execution thread while batch consumers track frames on other
+threads. Mutations are lock-guarded, every entry records the tracking
+thread and a global sequence number, and :func:`scoped` releases
+exactly the entries ITS OWN thread tracked inside the scope —
+a concurrent thread's track() during an open scope is untouched (the
+old length-suffix release would have unpersisted the foreign handle
+and leaked the scope's own).
+
 tests/test_cache_hygiene.py sweeps EVERY registry query: run, release,
 assert zero cached frames remain — so the leak class cannot recur when
 new queries land.
@@ -33,71 +43,87 @@ new queries land.
 
 from __future__ import annotations
 
+import threading
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
+_SEQ = 0
+# (frame, seq, tracking thread ident) — seq is globally monotonic so a
+# scope can name "entries after my entry point" without list indices.
+_TRACKED: list[tuple[DataFrame, int, int]] = []
+
+
+def tracked_frames() -> list[DataFrame]:
+    """Snapshot of the tracked frames, oldest first (tests/debugging)."""
+    with _LOCK:
+        return [e[0] for e in _TRACKED]
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register an already-persisted frame for :func:`release_tracked`
     and return it unchanged."""
-    _TRACKED.append(df)
+    global _SEQ
+    with _LOCK:
+        _SEQ += 1
+        _TRACKED.append((df, _SEQ, threading.get_ident()))
     return df
 
 
 def scoped():
-    """Context manager releasing ONLY the frames tracked inside the
-    scope — for callers that run a tracked-frame-producing operator
-    inside a longer-lived session that OWNS OTHER tracked handles
-    (ADVICE r9: streaming foreachBatch calling connected_components
-    must not drain checkpoint-backed handles held by concurrent batch
-    consumers, which the global release_tracked() would permanently
-    break — checkpoint storage does not recompute). On exit every
-    frame appended after entry is released, newest first; frames
-    tracked before entry are untouched.
+    """Context manager releasing ONLY the frames THIS thread tracked
+    inside the scope — for callers that run a tracked-frame-producing
+    operator inside a longer-lived session that OWNS OTHER tracked
+    handles (ADVICE r9: streaming foreachBatch calling
+    connected_components must not drain checkpoint-backed handles held
+    by concurrent batch consumers, which the global release_tracked()
+    would permanently break — checkpoint storage does not recompute).
 
-    Single-writer discipline: the registry is a plain list, so a
-    DIFFERENT thread tracking frames while a scope is open would see
-    its frames released by the scope's exit. Same-thread nesting is
-    fine (inner scopes release their own suffix first)."""
+    On exit, entries with (thread == mine, seq > my entry mark) are
+    removed and released newest-first; everything else — frames tracked
+    before entry AND frames a concurrent thread tracked while the scope
+    was open (ADVICE r10) — stays registered for its own owner's
+    release. Same-thread nesting is fine (inner scopes release their
+    own tail first)."""
     from contextlib import contextmanager
 
     @contextmanager
     def _scope():
-        mark = len(_TRACKED)
+        ident = threading.get_ident()
+        with _LOCK:
+            mark = _SEQ
         try:
             yield
         finally:
-            _release_from(mark)
+            with _LOCK:
+                mine = [e for e in _TRACKED if e[2] == ident and e[1] > mark]
+                for e in mine:
+                    _TRACKED.remove(e)
+            _unpersist_all(mine)
 
     return _scope()
 
 
-def _release_from(mark: int, blocking: bool = True) -> int:
+def _unpersist_all(entries, blocking: bool = True) -> int:
+    """Release entries newest-first, outside the registry lock (the
+    JVM call can block)."""
     n = 0
-    while len(_TRACKED) > mark:
-        df = _TRACKED.pop()
-        try:
-            df.unpersist(blocking=blocking)
-        except Exception:  # noqa: BLE001 - release path: a dead session
-            pass
-        n += 1
-    return n
-
-
-def release_tracked(blocking: bool = True) -> int:
-    """Unpersist every tracked frame (newest first) and return how
-    many were released. Idempotent: frames whose cache was already
-    dropped (clearCache, session restart) unpersist as a no-op. A
-    persist()-backed frame released here recomputes from lineage if
-    used again; a CHECKPOINT-backed frame does NOT (see the module
-    docstring) — release only after all consumers are done."""
-    n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df, _, _ in sorted(entries, key=lambda e: -e[1]):
         try:
             df.unpersist(blocking=blocking)
         except Exception:  # noqa: BLE001 - release path: a dead session
             pass  # (stopped JVM) must not mask the caller's own errors
         n += 1
     return n
+
+
+def release_tracked(blocking: bool = True) -> int:
+    """Unpersist every tracked frame (newest first, all threads) and
+    return how many were released. Idempotent: frames whose cache was
+    already dropped (clearCache, session restart) unpersist as a
+    no-op. A persist()-backed frame released here recomputes from
+    lineage if used again; a CHECKPOINT-backed frame does NOT (see the
+    module docstring) — release only after all consumers are done."""
+    with _LOCK:
+        entries = list(_TRACKED)
+        _TRACKED.clear()
+    return _unpersist_all(entries, blocking)

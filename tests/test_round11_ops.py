@@ -68,6 +68,52 @@ def test_ivf_cell_table_uses_corpus_derived_stride(spark):
     assert cells.count() == n
 
 
+# ----------------------------------- cachereg thread ownership
+
+
+def test_scoped_release_is_thread_owned(spark):
+    """ADVICE r10 #1: a concurrent thread's track() while a scope is
+    open must survive the scope's exit (the old length-suffix release
+    unpersisted the foreign handle and leaked the scope's own), and
+    the scope's own handle must be released."""
+    import threading
+
+    from ripcurrent_spark.operators import cachereg
+
+    cachereg.release_tracked()
+    mine = spark.createDataFrame([(1,)], "x long").persist()
+    theirs = spark.createDataFrame([(2,)], "y long").persist()
+    theirs.count()
+
+    def _foreign_track():
+        cachereg.track(theirs)
+
+    with cachereg.scoped():
+        cachereg.track(mine)
+        mine.count()
+        t = threading.Thread(target=_foreign_track)
+        t.start()
+        t.join()
+    assert cachereg.tracked_frames() == [theirs], "foreign handle was eaten"
+    assert theirs.storageLevel.useMemory, "foreign cache was drained"
+    assert not mine.storageLevel.useMemory, "scope leaked its own handle"
+    assert cachereg.release_tracked() == 1
+
+
+def test_scoped_same_thread_nesting_releases_own_tail(spark):
+    from ripcurrent_spark.operators import cachereg
+
+    cachereg.release_tracked()
+    outer = spark.range(3).persist()
+    inner = spark.range(4).persist()
+    with cachereg.scoped():
+        cachereg.track(outer)
+        with cachereg.scoped():
+            cachereg.track(inner)
+        assert cachereg.tracked_frames() == [outer]
+    assert cachereg.tracked_frames() == []
+
+
 # ----------------------------------- BPE trainer lineage cut
 
 

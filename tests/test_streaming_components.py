@@ -66,7 +66,7 @@ def test_foreach_batch_spares_foreign_tracked_handles(spark, tmp_path):
         fn = streaming_components_foreach_batch(state, remap)
         fn(_edges(spark, [(1, 2), (2, 3)]), 0)  # runs connected_components
         assert foreign.storageLevel.useMemory, "foreign cache was drained"
-        assert cachereg._TRACKED == [foreign], "trigger leaked/ate handles"
+        assert cachereg.tracked_frames() == [foreign], "trigger leaked/ate handles"
     finally:
         cachereg.release_tracked()
 
