@@ -353,10 +353,18 @@ def containment_candidates(
     from pyspark.sql import Window as W
 
     if exclude_exact:
+        # Group key = md5 of the JSON-encoded sorted shingle multiset
+        # (the exact_dedup_groups md5-of-content precedent). A joined
+        # serialization (concat_ws(',')) is AMBIGUOUS for a generic
+        # caller — ',' is itself a valid shingle under a single-symbol
+        # tokenizer, so distinct multisets could serialize identically
+        # and non-identical docs would silently collapse into one
+        # group, dropping them from a guaranteed-recall candidate set
+        # (ADVICE r10 #3); JSON escaping makes the encoding injective.
         keyed = g.select(
             F.col(id_col),
             F.md5(
-                F.concat_ws(",", F.array_sort(F.col(ngs_col)).cast("array<string>"))
+                F.to_json(F.array_sort(F.col(ngs_col)).cast("array<string>"))
             ).alias("_xk"),
         )
         reps = keyed.groupBy("_xk").agg(F.min(id_col).alias(id_col))
@@ -454,6 +462,22 @@ def _delete_ckpt_path(spark, path: str) -> None:
         fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hp, True)
     except Exception:  # pragma: no cover - release path must not raise
+        pass
+
+
+def _clear_checkpoint_dir(sc) -> None:
+    """Restore the NO-checkpoint-dir state (ADVICE r10 #5): the public
+    API can only SET a dir, so a per-call dir would otherwise stay
+    ambient for the rest of the process and later unrelated
+    df.checkpoint() calls would silently write into (and outlive) a
+    directory the docstring promises is scoped to this call. Uses the
+    SparkContext's scala var setter; on JVM shape drift the dir stays
+    set — the pre-r11 residual, harmless but ambient."""
+    try:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    except Exception:  # pragma: no cover - py4j shape drift
         pass
 
 
@@ -605,8 +629,14 @@ def connected_components(
             pairs, id_a, id_b, max_iter, reliable, stats, _cut, _drop_round, track
         )
     finally:
-        if reliable and prev_ckpt_dir is not None:
-            sc.setCheckpointDir(prev_ckpt_dir)
+        if reliable:
+            if prev_ckpt_dir is not None:
+                sc.setCheckpointDir(prev_ckpt_dir)
+            else:
+                # The caller had NO dir: leave none behind (ADVICE
+                # r10 #5) — otherwise later unrelated checkpoints
+                # write into this call's caller-owned directory.
+                _clear_checkpoint_dir(sc)
 
 
 def _cc_loop(pairs, id_a, id_b, max_iter, reliable, stats, _cut, _drop_round, track):

@@ -387,6 +387,7 @@ def compact_log_batches(
     spark,
     log_dir: str,
     keep_latest: int = 1,
+    collapse_key: Sequence[str] | None = None,
 ) -> list[int]:
     """Fold old ``(_bucket, _batch_id)`` changelog partitions into a
     single compacted base partition (``_batch_id = -1``) per bucket.
@@ -397,9 +398,20 @@ def compact_log_batches(
     `keep_latest` batch ids are left in place so foreachBatch replay
     (which only re-runs batches at/after the last checkpoint) still
     overwrites its own partition instead of colliding with the base.
-    Row content is preserved exactly; like the snapshot compactor this
-    runs offline between triggers (a lakehouse would checkpoint its
-    transaction log the same way). Returns the folded batch ids.
+    Row content is preserved exactly — unless ``collapse_key`` is set,
+    in which case the folded set (old base + folded batches) keeps,
+    per key, only the rows of the key's NEWEST folded batch (the base
+    partition counts as older than any folded batch, which it is by
+    construction). That is the newest-wins contract a last-writer
+    INDEX needs: without it, two admitted versions of a re-ingested
+    key both land in the base with ``_batch_id = -1``, and a
+    downstream max-of-struct(_batch_id, ...) fold ties on the batch id
+    and picks the lexicographically larger payload — possibly the
+    OLDER version (ADVICE r10 #2). Leave it None for true logs
+    (decisions, SCD2 changelog) where every row is history. Like the
+    snapshot compactor this runs offline between triggers (a lakehouse
+    would checkpoint its transaction log the same way). Returns the
+    folded batch ids.
 
     Works on both layouts the streaming sinks produce: nested
     ``_bucket=*/_batch_id=*`` (SCD2 changelog, dedup band-key index)
@@ -437,11 +449,23 @@ def compact_log_batches(
     fold = batch_ids[:-keep_latest] if keep_latest > 0 else batch_ids
     if not fold:
         return sorted(recovered)
-    folded = (
-        spark.read.parquet(str(root))
-        .filter(F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID]))
-        .withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
+    folded = spark.read.parquet(str(root)).filter(
+        F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID])
     )
+    if collapse_key:
+        # Newest-wins collapse BEFORE the ids are overwritten: per key
+        # keep only the rows of its max batch id in the folded set
+        # (all of a key's rows within one batch are kept — e.g. every
+        # band row of the winning version).
+        newest = folded.groupBy(*collapse_key).agg(
+            F.max("_batch_id").alias("_newest")
+        )
+        folded = (
+            folded.join(newest, list(collapse_key))
+            .filter(F.col("_batch_id") == F.col("_newest"))
+            .drop("_newest")
+        )
+    folded = folded.withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
     if nested:
         folded = folded.repartition("_bucket")
     (

@@ -289,7 +289,11 @@ def streaming_dedup_foreach_batch(
 
 
 def compact_dedup_state(
-    spark, index_dir: str, decisions_dir: str, keep_latest: int = 1
+    spark,
+    index_dir: str,
+    decisions_dir: str,
+    keep_latest: int = 1,
+    id_col: str = "doc_id",
 ) -> dict[str, list[int]]:
     """Long-run maintenance for the streaming dedup state: both the
     band-key index (``_bucket=*/_batch_id=*``) and the decisions log
@@ -300,11 +304,21 @@ def compact_dedup_state(
     replay still overwrites its own partition). Index reads keep
     working unchanged — the base's ``_batch_id=-1`` never equals a
     live batch id, so the own-batch exclusion filter is unaffected.
-    Run offline between triggers, like any OPTIMIZE."""
+
+    The INDEX folds with ``collapse_key=(id_col,)``: the base keeps
+    one admitted VERSION per id — the newest folded one — so the
+    prints folds (index_prints / media_index_prints), whose ordering
+    key is ``_batch_id``, never tie between two base versions of a
+    re-ingested id and silently keep the older print (ADVICE r10 #2).
+    The DECISIONS log folds uncollapsed: every decision is history.
+    Pass ``id_col="media_id"`` for the media twin's state. Run
+    offline between triggers, like any OPTIMIZE."""
     from ripcurrent_spark.sinks import compact_log_batches
 
     return {
-        "index": compact_log_batches(spark, index_dir, keep_latest=keep_latest),
+        "index": compact_log_batches(
+            spark, index_dir, keep_latest=keep_latest, collapse_key=(id_col,)
+        ),
         "decisions": compact_log_batches(spark, decisions_dir, keep_latest=keep_latest),
     }
 
@@ -318,9 +332,14 @@ def index_prints(spark, index_dir: str | Path) -> DataFrame:
     re-ingested doc (ADVICE r9, flagged on the media twin; same
     hazard here). Within one batch every band row of a doc carries
     the same print, so the struct-max stays idempotent under band-key
-    duplication, replays, and compaction. This is the frame the
-    consensus gate's SimHash detector reads when the corpus is
-    maintained incrementally."""
+    duplication and replays; under compaction the ordering key stays
+    sound because the compactor collapses the base to ONE admitted
+    version per doc (compact_dedup_state's collapse_key — ADVICE r10
+    #2: with two folded versions both at ``_batch_id=-1`` the
+    struct-max would tie on the batch id and keep whichever print is
+    lexicographically larger, possibly the older version). This is
+    the frame the consensus gate's SimHash detector reads when the
+    corpus is maintained incrementally."""
     idx = spark.read.parquet(str(index_dir))
     _require_columns(idx, (*DD.SIMHASH128_COLS, "_batch_id"), "index_prints")
     return (
@@ -516,8 +535,10 @@ def media_index_prints(spark, index_dir: str | Path) -> DataFrame:
     — matching neither version if the same media_id were ever
     re-ingested with a changed payload (ADVICE r9). Within one batch
     every band row of a media carries the same print, so the
-    struct-max is deterministic under band duplication, replays, and
-    compaction."""
+    struct-max is deterministic under band duplication and replays;
+    compaction keeps the ordering key sound by collapsing the base to
+    one admitted version per media (compact_dedup_state with
+    ``id_col="media_id"`` — ADVICE r10 #2)."""
     idx = spark.read.parquet(str(index_dir))
     _require_columns(idx, (*PHASH_BAND_COLS, "_batch_id"), "media_index_prints")
     return (

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ripcurrent_spark.operators import dsir as DS
 from ripcurrent_spark.operators.dedup import tokens
+from ripcurrent_spark.streaming.state import read_state
 
 TARGET_LANG = "en"  # the in-repo proxy target slice (matches batch)
 
@@ -44,6 +45,9 @@ def streaming_dsir_foreach_batch(state_dir: str, target_lang: str = TARGET_LANG)
     counts and overwrite the batch's own ``_batch_id`` partition."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return  # nothing to fold; an empty dynamic overwrite would
+            # land a data-file-free partition (ADVICE r10 #4)
         d = batch.select("doc_id", "lang", tokens("text").alias("toks"))
         db = DS.bucket_counts(d)
         partial = db.groupBy("b").agg(
@@ -61,11 +65,17 @@ def streaming_dsir_foreach_batch(state_dir: str, target_lang: str = TARGET_LANG)
     return _apply
 
 
+_STATE_SCHEMA = "b long, cr long, ct long, _batch_id long"
+
+
 def dsir_model_snapshot(spark, state_dir: str | Path) -> DataFrame:
     """(b, w): the current log-weight model — one {DSIR_B}-group sum
     over the per-batch partials, then the shared smoothing/log/DECIMAL
-    fold. Equal to the batch models over all streamed docs."""
-    st = spark.read.parquet(str(state_dir))
+    fold. Equal to the batch models over all streamed docs. Reads the
+    state with its fixed explicit schema, so an empty or not-yet-
+    created state dir yields the empty model instead of a schema-
+    inference error (ADVICE r10 #4)."""
+    st = read_state(spark, state_dir, _STATE_SCHEMA)
     raw = st.groupBy("b").agg(F.sum("cr").alias("cr"))
     tgt = (
         st.filter(F.col("ct").isNotNull())

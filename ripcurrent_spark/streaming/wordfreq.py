@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 
 from ripcurrent_spark.operators.dedup import tokens
 from ripcurrent_spark.sinks import key_bucket
+from ripcurrent_spark.streaming.state import read_state
+
+_STATE_SCHEMA = "word string, n long, _bucket int, _batch_id long"
 
 
 def streaming_word_counts_foreach_batch(state_dir: str, n_buckets: int = 16):
@@ -40,6 +43,9 @@ def streaming_word_counts_foreach_batch(state_dir: str, n_buckets: int = 16):
     batch into per-word partial counts under its own partition."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return  # an empty dynamic overwrite would land a
+            # data-file-free partition (ADVICE r10 #4)
         w = (
             batch.select(F.explode(tokens("text")).alias("word"))
             .filter(F.col("word") != "")
@@ -61,6 +67,8 @@ def streaming_word_counts_foreach_batch(state_dir: str, n_buckets: int = 16):
 def word_counts_snapshot(spark, state_dir: str | Path) -> DataFrame:
     """(word, n) for every word ever streamed — one word-keyed sum
     over the per-batch partials (vocabulary-scaled input). Equal to
-    the batch collapse over the union of all streamed documents."""
-    st = spark.read.parquet(str(state_dir))
+    the batch collapse over the union of all streamed documents.
+    Explicit-schema read: an empty or not-yet-created state dir
+    yields the empty table, not an inference error (ADVICE r10 #4)."""
+    st = read_state(spark, state_dir, _STATE_SCHEMA)
     return st.groupBy("word").agg(F.sum("n").cast("long").alias("n"))

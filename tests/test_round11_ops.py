@@ -68,6 +68,166 @@ def test_ivf_cell_table_uses_corpus_derived_stride(spark):
     assert cells.count() == n
 
 
+# ----------------------------------- checkpoint-dir ambient state
+
+
+def _ckpt_dir(spark):
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    return opt.get() if opt.isDefined() else None
+
+
+def test_connected_components_leaves_no_ambient_checkpoint_dir(spark, tmp_path):
+    """ADVICE r10 #5: when the caller had NO checkpoint dir, a
+    reliable-mode call must not leave its per-call dir set for the
+    rest of the process (later unrelated df.checkpoint() calls would
+    silently write into the caller-owned directory)."""
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.operators.dedup import (
+        _clear_checkpoint_dir,
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    _clear_checkpoint_dir(sc)
+    assert _ckpt_dir(spark) is None, "could not reach the no-dir state"
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    connected_components(pairs, "a", "b", checkpoint_dir=str(tmp_path)).count()
+    cachereg.release_tracked()
+    assert _ckpt_dir(spark) is None, "per-call checkpoint dir stayed ambient"
+
+
+def test_connected_components_restores_prior_checkpoint_dir(spark, tmp_path):
+    from ripcurrent_spark.operators import cachereg
+    from ripcurrent_spark.operators.dedup import (
+        _clear_checkpoint_dir,
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior")
+    sc.setCheckpointDir(prior)
+    try:
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        connected_components(
+            pairs, "a", "b", checkpoint_dir=str(tmp_path / "call")
+        ).count()
+        cachereg.release_tracked()
+        got = _ckpt_dir(spark)
+        # setCheckpointDir nests a fresh UUID level on every call, so
+        # the restored dir is UNDER the caller's root, not equal to it.
+        assert got is not None and "/prior/" in got
+        assert "/call/" not in got, "per-call dir leaked into the restore"
+    finally:
+        _clear_checkpoint_dir(sc)
+
+
+# ----------------------------------- empty-state streaming snapshots
+
+
+def test_streaming_state_snapshots_survive_empty_batches(spark, tmp_path):
+    """ADVICE r10 #4: a routine empty micro-batch (or no trigger yet)
+    must not break the snapshot read path — previously an empty
+    dynamic overwrite wrote only _SUCCESS and the schema-inferring
+    read raised until a non-empty trigger landed."""
+    from ripcurrent_spark.streaming.dsir import (
+        dsir_model_snapshot,
+        streaming_dsir_foreach_batch,
+    )
+    from ripcurrent_spark.streaming.wordfreq import (
+        streaming_word_counts_foreach_batch,
+        word_counts_snapshot,
+    )
+
+    dsir_state, wf_state = str(tmp_path / "dsir"), str(tmp_path / "wf")
+    # Not-yet-created state dirs read as empty models/tables.
+    assert dsir_model_snapshot(spark, dsir_state).count() == 0
+    assert word_counts_snapshot(spark, wf_state).count() == 0
+    # An empty first micro-batch is skipped; snapshots still read.
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    streaming_dsir_foreach_batch(dsir_state)(empty, 0)
+    streaming_word_counts_foreach_batch(wf_state)(
+        empty.select("doc_id", "text"), 0
+    )
+    assert dsir_model_snapshot(spark, dsir_state).count() == 0
+    assert word_counts_snapshot(spark, wf_state).count() == 0
+    # A later real trigger lands and the snapshots carry its content.
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat"), (2, "de", "der hund lief weg")],
+        "doc_id long, lang string, text string",
+    )
+    streaming_dsir_foreach_batch(dsir_state)(docs, 1)
+    streaming_word_counts_foreach_batch(wf_state)(docs.select("doc_id", "text"), 1)
+    assert dsir_model_snapshot(spark, dsir_state).count() > 0
+    wc = {r.word: r.n for r in word_counts_snapshot(spark, wf_state).collect()}
+    assert wc["the"] == 2
+
+
+# ----------------------------------- exclude_exact injective group key
+
+
+def test_exclude_exact_group_key_is_injective(spark):
+    """ADVICE r10 #3: under the old concat_ws(',') serialization,
+    ["a","b"] and ["a,b"] keyed identically, so doc 2 collapsed into
+    doc 1's "exact" group and its genuine containment pair (2,3)
+    silently vanished from a guaranteed-recall candidate set. The
+    JSON-encoded key must keep them distinct."""
+    from ripcurrent_spark.operators.dedup import containment_candidates
+
+    g = spark.createDataFrame(
+        [
+            (1, ["a", "b"]),
+            (2, ["a,b"]),
+            (3, ["a,b", "z"]),
+        ],
+        "doc_id long, ngs array<string>",
+    )
+    pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in containment_candidates(g, 9, 10, exclude_exact=True).collect()
+    )
+    assert (2, 3) in pairs, "distinct multisets were collapsed as exact dups"
+
+
+# ----------------------------------- newest-wins compaction collapse
+
+
+def test_compaction_collapse_keeps_newest_version(spark, tmp_path):
+    """ADVICE r10 #2: a re-ingested id with a changed print across two
+    FOLDED batches — after compaction the base must hold only the
+    newest version. Without the collapse both versions land at
+    _batch_id=-1 and the prints fold's struct-max ties on the batch id
+    and keeps the lexicographically larger (here OLDER) print."""
+    from ripcurrent_spark.sinks import COMPACTED_BATCH_ID, compact_log_batches
+    from ripcurrent_spark.streaming.dedup import media_index_prints
+
+    root = str(tmp_path / "idx")
+    # batch 0: media 1 print (9, 9) — lexicographically larger, older.
+    # batch 1: media 1 print (2, 2) — the newest admitted version.
+    for bid, (a, b) in [(0, (9, 9)), (1, (2, 2))]:
+        (
+            spark.createDataFrame(
+                [(1, a, b)], "media_id long, ph_a long, ph_b long"
+            )
+            .withColumn("_bucket", F.lit(0))
+            .withColumn("_batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket", "_batch_id")
+            .parquet(root)
+        )
+    folded = compact_log_batches(
+        spark, root, keep_latest=0, collapse_key=("media_id",)
+    )
+    assert folded == [0, 1]
+    base = [
+        (r.media_id, r.ph_a, r.ph_b, r["_batch_id"])
+        for r in spark.read.parquet(root).collect()
+    ]
+    assert base == [(1, 2, 2, COMPACTED_BATCH_ID)]
+    prints = media_index_prints(spark, root).collect()
+    assert [(r.media_id, r.ph_a, r.ph_b) for r in prints] == [(1, 2, 2)]
+
+
 # ----------------------------------- cachereg thread ownership
 
 
