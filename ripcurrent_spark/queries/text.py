@@ -475,9 +475,10 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ char-bigram LM score
-# Alphabet after norm_text: a-z, 0-9, space = 37 symbols -> add-one
-# smoothing denominator for p(next | prev).
-_LM_V = 37
+# The count/train/score machinery lives in operators/charlm.py (r11),
+# shared VERBATIM with the streaming maintainer (streaming/charlm.py)
+# so streamed-snapshot scores equal this batch path exactly.
+from ripcurrent_spark.operators.charlm import LM_V as _LM_V  # noqa: E402
 
 
 _CHARLM_ORACLE = f"""
@@ -535,69 +536,20 @@ def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST(decimal-sum AS DOUBLE)/n: the nanounit sum (< 2^53) and 1e9
     are both exact doubles, so sum/1e9 is the correctly rounded value
     of the exact rational — the same double the decimal cast
-    produces — and the /n that follows uses identical operands."""
-    import numpy as np
-    import pandas as pd
+    produces — and the /n that follows uses identical operands.
+
+    All three steps (count fold, train, LUT scoring) are the shared
+    operators/charlm.py functions — the SAME code the streaming
+    maintainer (streaming/charlm.py) runs over its per-batch count
+    partials, so a streamed-snapshot score equals this batch run
+    exactly (the operators/dsir.py sharing discipline)."""
+    from ripcurrent_spark.operators import charlm as LM
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", norm_text("text").alias("t")
     ).filter(F.length("t") >= 2)
-
-    def _hist(batches):
-        for pdf in batches:
-            acc = np.zeros(65536, dtype=np.int64)
-            for t in pdf["t"]:
-                arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                codes = arr[:-1].astype(np.int32) * 256 + arr[1:]
-                acc += np.bincount(codes, minlength=65536)
-            nz = np.nonzero(acc)[0]
-            yield pd.DataFrame(
-                {
-                    "b": [chr(c >> 8) + chr(c & 255) for c in nz],
-                    "c": acc[nz],
-                }
-            )
-
-    cnt = (
-        d.mapInPandas(_hist, schema="b string, c long")
-        .groupBy("b")
-        .agg(F.sum("c").alias("cb"))
-    )
-    tot = cnt.groupBy(F.substring("b", 1, 1).alias("a")).agg(F.sum("cb").alias("ca"))
-    lm = (
-        cnt.join(tot, F.substring(cnt["b"], 1, 1) == tot["a"])
-        .select(
-            "b",
-            F.round(F.log((F.col("cb") + 1) / (F.col("ca") + _LM_V)), 9)
-            .cast("decimal(20,9)")
-            .alias("lnp"),
-        )
-    )
-    # Control-plane collect: <= 1369 LM rows -> int64 nanounit LUT.
-    lut = np.zeros(65536, dtype=np.int64)
-    for r in lm.collect():
-        code = (ord(r["b"][0]) << 8) + ord(r["b"][1])
-        lut[code] = int(r["lnp"].scaleb(9))
-
-    def _score(batches):
-        for pdf in batches:
-            ids, ns, sums = [], [], []
-            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
-                arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                codes = arr[:-1].astype(np.int32) * 256 + arr[1:]
-                ids.append(doc_id)
-                ns.append(len(codes))
-                sums.append(int(lut[codes].sum()))
-            yield pd.DataFrame({"doc_id": ids, "n_bigrams": ns, "s9": sums})
-
-    scored = d.mapInPandas(_score, schema="doc_id long, n_bigrams long, s9 long")
-    return scored.select(
-        "doc_id",
-        "n_bigrams",
-        F.round(
-            F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bigrams"), 6
-        ).alias("avg_logprob"),
-    )
+    lm = LM.lm_from_counts(LM.bigram_counts(d))
+    return LM.score_with_lm(d, lm)
 
 
 _DIV_VOCAB = 50  # corpus-wide top terms the distributions are built on
@@ -987,8 +939,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PPL_K = 256  # bottom-k sample size for the tertile thresholds
-_PPL_LO, _PPL_HI = "0.3333333333333333", "0.6666666666666666"
+# Bucketize machinery shared with the streamed-snapshot path (r11).
+from ripcurrent_spark.operators.charlm import (  # noqa: E402
+    PPL_HI as _PPL_HI,
+    PPL_K as _PPL_K,
+    PPL_LO as _PPL_LO,
+)
 
 
 @register(
@@ -1031,27 +987,9 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     label) identical on both engines: the oracle value-checks the
     bucketing itself. One corpus-linear pass over the scores plus a
     1-row broadcast; the charlm scorer underneath is the proven
-    two-Arrow-pass shape."""
-    from ripcurrent_spark.functions.hashing import h32
+    two-Arrow-pass shape. The bucketize step is the shared
+    operators/charlm.ppl_bucketize, so bucketing streamed-snapshot
+    scores (streaming/charlm.py) equals this batch run exactly."""
+    from ripcurrent_spark.operators.charlm import ppl_bucketize
 
-    w = text_charlm_score(spark, sf_dir)
-    pri = w.select(
-        "doc_id",
-        "avg_logprob",
-        h32(F.col("doc_id").cast("string"), seed="ccn").alias("p"),
-    )
-    samp = pri.orderBy("p", "doc_id").limit(_PPL_K)
-    thr = samp.agg(
-        F.expr(f"percentile(avg_logprob, {_PPL_LO}D)").alias("t_lo"),
-        F.expr(f"percentile(avg_logprob, {_PPL_HI}D)").alias("t_hi"),
-    )
-    return w.crossJoin(F.broadcast(thr)).select(
-        "doc_id",
-        "avg_logprob",
-        F.round("t_lo", 6).alias("t_lo"),
-        F.round("t_hi", 6).alias("t_hi"),
-        F.when(F.col("avg_logprob") >= F.col("t_hi"), F.lit("head"))
-        .when(F.col("avg_logprob") >= F.col("t_lo"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
-    )
+    return ppl_bucketize(text_charlm_score(spark, sf_dir))
