@@ -1698,6 +1698,77 @@ FROM ex10 LEFT JOIN ivfpq10 a USING (vec_id)
 """
 
 
+@register(
+    "ann_ivf_cell_balance",
+    oracle=f"""
+WITH vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, emb AS cemb FROM vv WHERE vec_id % {_IVF_CENT_SQL} = 0),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_D2_64.format(v="v.emb", c="c.cemb")}, c.cid) AS rn
+    FROM vv v CROSS JOIN cents c) WHERE rn = 1
+),
+cc AS (SELECT cid, COUNT(*) AS c FROM asn GROUP BY cid),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_vectors,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(MAX(c) AS BIGINT) AS max_c FROM cc)
+SELECT CAST(cc.c AS BIGINT) AS cell_size,
+       CAST(COUNT(*) AS BIGINT) AS n_cells_at_size,
+       round(CAST(cc.c * COUNT(*) AS DOUBLE) / t.n_vectors, 6) AS corpus_share,
+       t.n_cells,
+       round(CAST(t.max_c AS DOUBLE) / t.n_vectors, 6) AS hottest_share
+FROM cc, t GROUP BY cc.c, t.n_vectors, t.n_cells, t.max_c
+""",
+)
+def ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit (VERDICT r10 item 5) — the number an
+    operator tunes nprobe against and the gate that exposes in-cell
+    quadratic risk: per-cell-SIZE histogram (cell_size,
+    n_cells_at_size, corpus_share) with the total cell count and the
+    hottest cell's corpus share on every row. A skewed inverted file
+    makes nprobe meaningless (one hot cell IS the corpus) and the
+    in-cell candidate work quadratic — this is the IVF analogue of
+    ann_cluster_purity (which gates assignment QUALITY; this gates
+    assignment SHAPE), pairing with q_key_skew_profile's
+    top-share discipline.
+
+    Scale: two partial-agg groupBys over the warm ivf_cells artifact
+    (cell counts = at most ~sqrt(N) rows after the first fold, then a
+    histogram over the distinct sizes) plus a 1-row broadcast of the
+    totals — the corpus is never rescanned. The oracle re-derives the
+    whole assignment from scratch (same stride policy, rounded-L2
+    argmin, id tie-break), so a stale or corrupt cell table fails the
+    driver loudly."""
+    from ripcurrent_spark.operators.sigstore import ivf_cell_table
+
+    asn = ivf_cell_table(spark, sf_dir)
+    cc = asn.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+    t = cc.agg(
+        F.sum("c").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("c").alias("max_c"),
+    )
+    hist = cc.groupBy("c").agg(F.count(F.lit(1)).alias("n_cells_at_size"))
+    return hist.crossJoin(F.broadcast(t)).select(
+        F.col("c").alias("cell_size"),
+        "n_cells_at_size",
+        F.round(
+            (F.col("c") * F.col("n_cells_at_size")).cast("double")
+            / F.col("n_vectors"),
+            6,
+        ).alias("corpus_share"),
+        "n_cells",
+        F.round(F.col("max_c").cast("double") / F.col("n_vectors"), 6).alias(
+            "hottest_share"
+        ),
+    )
+
+
 @register("ann_ivfpq_recall", oracle=_ivfpq_recall_oracle())
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF-PQ quality gate, completing the recall triple:
