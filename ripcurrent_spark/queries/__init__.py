@@ -146,6 +146,21 @@ def source_manifest() -> dict[str, dict]:
         return {}
 
 
+def oracle_value_hash(name: str) -> str | None:
+    """md5 of the REGISTERED oracle string's current VALUE. For
+    oracles built by helper functions (_ivfpq_oracle and friends),
+    the function-source hash cannot see a helper rewrite — this one
+    can (r11, closing the granularity gap the ann_ivfpq_recall stride
+    change exposed: its oracle changed while its function source did
+    not)."""
+    import hashlib
+
+    q = REGISTRY.get(name)
+    if q is None:
+        return None
+    return hashlib.md5((q.oracle or "").encode()).hexdigest()
+
+
 def driver_check_order(names: Sequence[str]) -> list[str]:
     """Diff-aware rotation (VERDICT r6 #1). Sort key, ascending:
 
@@ -153,15 +168,20 @@ def driver_check_order(names: Sequence[str]) -> list[str]:
     2. CHANGED since their latest row — the registered function's
        current source hash differs from the hash the manifest
        recorded for that verification (or the manifest has no
-       trustworthy entry) — oldest row first within the group;
+       trustworthy entry), OR the registered oracle's current VALUE
+       differs from the manifest's ``oracle_hash`` when one was
+       recorded (r11: catches computed-oracle rewrites whose helper
+       changed but whose function source did not) — oldest row first
+       within the group;
     3. unchanged, oldest row first.
 
     Registration order breaks ties throughout (stable sort). The
     pre-r7 rotation was (1) + (3) only, which let a rewritten query
     coast on a green row that PRE-DATED the rewrite for several
-    rounds. Granularity note: the hash covers the query function
-    (decorators + oracle included), not helpers it calls — helper
-    rewrites are covered by the local sf0.01 parity tests
+    rounds. Granularity note: the source hash covers the query
+    function (decorators + inline oracle included) and the oracle
+    hash covers the oracle VALUE; non-oracle helper rewrites are
+    covered by the local sf0.01 parity tests
     (tests/test_round*_ops.py) until the rotation reaches them."""
     seen = correctness_rounds()
     man = source_manifest()
@@ -177,6 +197,8 @@ def driver_check_order(names: Sequence[str]) -> list[str]:
         # window missed) — distrust it.
         if ent and ent.get("round", 1 << 30) <= r and n in REGISTRY:
             changed = query_source_hash(REGISTRY[n].spark) != ent.get("hash")
+            if not changed and ent.get("oracle_hash") is not None:
+                changed = oracle_value_hash(n) != ent.get("oracle_hash")
         return (1 if changed else 2, r)
 
     return sorted(names, key=key)

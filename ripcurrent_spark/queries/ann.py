@@ -1778,7 +1778,11 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC search (ann_ivfpq_topk) against the exact L2
     top-{_ADC_TOPK}. The number an operator tunes nprobe and the
     codebook budget against. Reuses both registered pipelines; the
-    overlap is one {_ADC_TOPK}-row equi-join."""
+    overlap is one {_ADC_TOPK}-row equi-join. r11: inherits the
+    sqrt(N) coarse cell-count policy (ivf_stride) through the reused
+    search and the rebuilt oracle CTE chain — the recall trade it
+    measures is now against ~sqrt(N) cells, not a fixed corpus
+    fraction."""
     from ripcurrent_spark.operators.clustering import _dist2
 
     approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id").withColumn(

@@ -65,7 +65,11 @@ def test_verdict_r2_sixteen_in_window():
 
 
 def _changed_since_verified() -> set[str]:
-    from ripcurrent_spark.queries import query_source_hash, source_manifest
+    from ripcurrent_spark.queries import (
+        oracle_value_hash,
+        query_source_hash,
+        source_manifest,
+    )
 
     reg, seen, man = all_queries(), correctness_rounds(), source_manifest()
     out = set()
@@ -78,6 +82,10 @@ def _changed_since_verified() -> set[str]:
             not ent
             or ent.get("round", 1 << 30) > r
             or query_source_hash(q.spark) != ent.get("hash")
+            or (
+                ent.get("oracle_hash") is not None
+                and oracle_value_hash(n) != ent.get("oracle_hash")
+            )
         ):
             out.add(n)
     return out
@@ -194,3 +202,53 @@ def test_manifest_rounds_derive_from_artifacts():
         if not (checks and all(checks)):
             bad.append((name, rnd))
     assert not bad, f"manifest stamps without a green driver row: {bad}"
+
+
+def test_stale_oracle_hash_marks_query_changed(monkeypatch):
+    """r11: a computed-oracle rewrite (helper changed, function source
+    identical) must still jump the queue — the manifest's oracle_hash
+    records the verified oracle VALUE, and a mismatch sorts the query
+    into the changed group."""
+    import ripcurrent_spark.queries as Q
+
+    reg = all_queries()
+    seen = correctness_rounds()
+    # Pick a verified query whose current source matches its manifest
+    # entry (i.e. currently "unchanged").
+    man = Q.source_manifest()
+    name = next(
+        n
+        for n in reg
+        if seen.get(n, 0) > 0
+        and man.get(n)
+        and man[n].get("round", 1 << 30) <= seen[n]
+        and Q.query_source_hash(reg[n].spark) == man[n]["hash"]
+    )
+    def unchanged_positions(order, manifest):
+        return [
+            order.index(n)
+            for n in order
+            if seen.get(n, 0) > 0
+            and n != name
+            and manifest.get(n)
+            and manifest[n].get("round", 1 << 30) <= seen[n]
+            and Q.query_source_hash(reg[n].spark) == manifest[n]["hash"]
+            and (
+                manifest[n].get("oracle_hash") is None
+                or Q.oracle_value_hash(n) == manifest[n]["oracle_hash"]
+            )
+        ]
+
+    planted = dict(man)
+    planted[name] = {**man[name], "oracle_hash": "not-the-real-hash"}
+    monkeypatch.setattr(Q, "source_manifest", lambda: planted)
+    order = Q.driver_check_order(list(reg))
+    # The planted query sorts with the CHANGED group: ahead of every
+    # unchanged query.
+    assert order.index(name) < min(unchanged_positions(order, planted))
+    # With a MATCHING oracle_hash the entry is a behavioral no-op:
+    # the order is identical to the original manifest's.
+    planted[name] = {**man[name], "oracle_hash": Q.oracle_value_hash(name)}
+    order2 = Q.driver_check_order(list(reg))
+    monkeypatch.setattr(Q, "source_manifest", lambda: man)
+    assert order2 == Q.driver_check_order(list(reg))

@@ -21,6 +21,10 @@ Two modes:
   desynced prediction from reality, while a derivation cannot — the
   manifest's (name, round) pairs are provably a subset of the
   artifact's green keys (pinned by tests/test_rotation.py).
+  MUST run at round START, before any code change: oracle_hash is
+  taken from the CURRENT registry under the source-unchanged guard,
+  which identifies the verified oracle value only while the tree
+  still matches the verified commit for that query.
 
 - --bootstrap: reconstruct historical entries from git. Round N's
   driver verified the PARENT of the "round N: verdict/..." artifact
@@ -173,10 +177,30 @@ def from_artifact(rnd: int | None = None) -> None:
     hashes = _sources_at_commit(commit)
     green = _green_rows(arts[rnd])
     manifest = json.loads(MANIFEST.read_text()) if MANIFEST.exists() else {}
+    # Current registry: when a query's function source is UNCHANGED
+    # between the verified commit and now, its currently-registered
+    # oracle VALUE is the one the driver verified — record its hash so
+    # driver_check_order can flag later computed-oracle rewrites whose
+    # helper changed but whose function source did not (r11). When the
+    # source already differs, omit oracle_hash: the source mismatch
+    # alone marks the query changed.
+    from ripcurrent_spark.queries import (
+        REGISTRY,
+        all_queries,
+        oracle_value_hash,
+        query_source_hash,
+    )
+
+    all_queries()  # populate REGISTRY
     stamped, missing = 0, []
     for name in green:
         if name in hashes:
             manifest[name] = {"hash": hashes[name], "round": rnd}
+            if (
+                name in REGISTRY
+                and query_source_hash(REGISTRY[name].spark) == hashes[name]
+            ):
+                manifest[name]["oracle_hash"] = oracle_value_hash(name)
             stamped += 1
         else:
             # Green row for a query not locatable at the verified
