@@ -33,9 +33,13 @@ from ripcurrent_spark.operators.dedup import tokens, tokens_sql
 from ripcurrent_spark.queries import register
 
 # ------------------------------------------------------------------ BM25
+# Counting/stats/scoring live in operators/retrieval.py (r11), shared
+# VERBATIM with the streaming corpus-stats maintainer
+# (streaming/docstats.py) so streamed-stats scores equal this batch
+# path exactly.
+from ripcurrent_spark.operators.retrieval import B, K1  # noqa: E402
+
 QUERY_TERMS = ("spark", "join", "stream")
-K1 = 1.2
-B = 0.75
 
 
 # Shared by text_bm25_search and search_rrf_fusion (which re-ranks
@@ -89,66 +93,22 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus stats (N, per-term df, Σdl) reduce to one row that is
     broadcast back onto the scan (crossJoin of a 1-row frame); the
     summation over query terms is written out in fixed term order so
-    the IEEE result matches the oracle bit-for-bit.
+    the IEEE result matches the oracle bit-for-bit. Counting
+    (vectorized Arrow pass — per-doc term counts are INTEGERS, so
+    vectorizing them cannot touch float parity), the stats row, and
+    the scoring fold are the shared operators/retrieval.py functions
+    — the SAME code the streaming corpus-stats maintainer
+    (streaming/docstats.py) runs, so scoring against a streamed stats
+    snapshot equals this batch run exactly.
     """
+    from ripcurrent_spark.operators import retrieval as RT
+
     d = load(spark, sf_dir, "documents")
-
-    # Per-doc term counts are INTEGERS, so they can move to a
-    # vectorized counter without touching float parity: the double
-    # scoring below consumes exactly the same (dl, tf_i) the
-    # interpreted size(filter(...)) passes produced — which cost three
-    # lambda traversals per doc and dominated this query's sf1 wall.
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    count_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("dl", T.IntegerType())]
-        + [T.StructField(f"tf{i}", T.IntegerType()) for i in range(len(QUERY_TERMS))]
+    t = RT.term_counts(
+        d.select("doc_id", tokens("text").alias("toks")), QUERY_TERMS
     )
-
-    def _count(batches):
-        for pdf in batches:
-            # NULL text tokenizes to NULL; treat as empty (the replaced
-            # expression pipeline propagated NULL silently).
-            tl = [t if t is not None else [] for t in pdf["toks"]]
-            out = {"doc_id": pdf["doc_id"], "dl": [len(t) for t in tl]}
-            for i, term in enumerate(QUERY_TERMS):
-                out[f"tf{i}"] = [sum(1 for x in t if x == term) for t in tl]
-            yield pd.DataFrame(out)
-
-    t = (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .mapInPandas(_count, schema=count_schema)
-    )
-    stats = t.agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(len(QUERY_TERMS))
-        ],
-        F.sum("dl").alias("sumdl"),
-    )
-    scored = t.crossJoin(F.broadcast(stats))
-    avgdl = F.col("sumdl").cast("double") / F.col("n")
-
-    def term_score(i: int) -> Column:
-        tf = F.col(f"tf{i}")
-        idf = F.log((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0)
-        return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * F.col("dl") / avgdl))
-
-    bm25 = F.round(term_score(0) + term_score(1) + term_score(2), 6)
-    return (
-        scored.withColumn("bm25", bm25)
-        .filter(F.col("bm25") > 0)
-        .select(
-            "doc_id",
-            F.col("dl").cast("long").alias("dl"),
-            (F.col("tf0") + F.col("tf1") + F.col("tf2")).cast("long").alias("tf_total"),
-            "bm25",
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(100)
-    )
+    stats = RT.corpus_stats(t, len(QUERY_TERMS))
+    return RT.bm25_topk(t, stats, len(QUERY_TERMS), k=100)
 
 
 # ------------------------------------------------------------- TF-IDF

@@ -366,6 +366,22 @@ def test_ivfpq_reads_cell_artifact_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_cell_balance_never_rescans_corpus(spark):
+    """ann_ivf_cell_balance (r11): the audit reads ONLY the warm
+    ivf_cells artifact — two partial-agg groupBys + a 1-row broadcast;
+    the embeddings table and the assign_np Arrow pass must not appear
+    in its plan (the corpus x sqrt(N) compute is the artifact build's
+    business, paid once per corpus digest)."""
+    from ripcurrent_spark.operators.sigstore import ivf_cell_table
+
+    ivf_cell_table(spark, SF_ORACLE).count()  # ensure the artifact is warm
+    plan = _plan(spark, "ann_ivf_cell_balance")
+    assert "ivf_cells" in plan
+    assert "embeddings" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dsir_select_threshold_from_bottomk(spark):
     """VERDICT r9 #2: curation_dsir_select's threshold must come from
     the mergeable bottom-k sample (TakeOrderedAndProject), never an
