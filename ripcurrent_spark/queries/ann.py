@@ -269,6 +269,184 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 2
+
+# Shared CTE block for the multiprobe pair: corpus cells (1 per
+# vector, the inverted file) + each query probing its NPROBE nearest
+# cells — the recall/candidate-cost lever ann_ivf_cell_balance sizes.
+_MULTIPROBE_CTES = f"""v AS (
+  SELECT vec_id, {SIM.unit_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS emb
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % {_IVF_CENT_SQL} = 0),
+assign AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT v.vec_id, v.emb, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.emb)+1), i -> v.emb[i] * cent.cemb[i])) DESC,
+                      cent.cid) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, emb AS q_emb, cid AS cell FROM (
+    SELECT v.vec_id, v.emb, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.emb)+1), i -> v.emb[i] * cent.cemb[i])) DESC,
+                      cent.cid) AS rn
+    FROM v CROSS JOIN cent
+    WHERE v.vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+mp_scored AS (
+  SELECT qp.query_id, qp.cell, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qp.q_emb)+1), i -> qp.q_emb[i] * c.emb[i])) AS cos_raw
+  FROM qp JOIN assign c ON qp.cell = c.cid AND qp.query_id <> c.vec_id
+),
+mp AS (
+  SELECT query_id, cell, neighbor_id, rank, cos_raw FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM mp_scored
+  ) WHERE rank <= 5
+)"""
+
+
+def _ivf_multiprobe_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cell, neighbor_id, rank, cos_raw): the shared
+    Spark-side multiprobe pipeline behind the topk and recall
+    queries."""
+    from pyspark.sql import Window as W
+
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", SIM.unit(F.col("emb")).alias("emb")
+    )
+    stride = ivf_stride(v.count())
+    cent = v.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    assign = SIM.nearest_centroid_np(v, cent)
+    # Query-side multiprobe: queries are a 1% slice, so the
+    # query x sqrt(N)-centroid expression join is control-plane-sized
+    # (500 x 224 at sf1) — no Arrow pass needed; the centroid side is
+    # broadcast.
+    wq = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
+    qp = (
+        v.filter(F.col("vec_id") % 100 == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_dot", SIM.dot(F.col("emb"), F.col("cemb")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    c = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), "cid"
+    )
+    scored = (
+        qp.join(c, qp.cell == c.cid)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", SIM.dot(F.col("q_emb"), F.col("c_emb")))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cell", "neighbor_id", "rank", "cos_raw")
+    )
+
+
+@register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+WITH {_MULTIPROBE_CTES}
+SELECT query_id, cell, neighbor_id, rank, round(cos_raw, 6) AS cosine
+FROM mp
+""",
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe cosine IVF search (r11): each query searches its
+    {_IVF_NPROBE} nearest cells instead of one — THE standard
+    recall/cost lever of an inverted-file index (Jégou et al. 2011):
+    candidates grow to nprobe * N/n_cells ≈ nprobe * sqrt(N) under
+    the r11 cell policy, and the recall lost to a query sitting near
+    a cell boundary is recovered by probing the runner-up cell.
+    ann_ivf_cell_balance supplies the cell-size distribution that
+    prices each extra probe; ann_ivf_multiprobe_recall measures what
+    the probe buys.
+
+    Scale: the corpus inverted file is the same one Arrow-batch
+    assignment pass as ann_ivf_topk; the query-side probe ranking is
+    a 1%-slice x sqrt(N)-centroid broadcast join (control-plane
+    sized); the fine search shuffles once on cell id with
+    nprobe-bounded fanout. The cell column reports WHICH probed cell
+    produced each neighbor."""
+    return _ivf_multiprobe_frame(spark, sf_dir).select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        "rank",
+        F.round("cos_raw", 6).alias("cosine"),
+    )
+
+
+@register(
+    "ann_ivf_multiprobe_recall",
+    oracle=f"""
+WITH {_MULTIPROBE_CTES},
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.emb)+1), i -> q.emb[i] * c.emb[i])) AS cos_raw
+  FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q
+  JOIN v c ON q.vec_id <> c.vec_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM ex_scored) WHERE rank <= 5
+)
+SELECT ex.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN mp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN mp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS recall_at_5
+FROM ex LEFT JOIN mp
+  ON ex.query_id = mp.query_id AND ex.neighbor_id = mp.neighbor_id
+GROUP BY ex.query_id
+""",
+)
+def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the nprobe={_IVF_NPROBE} cosine IVF search against
+    the exact brute-force top-5 — directly comparable with
+    ann_ivf_recall (nprobe=1, same cells, same truth), so the pair
+    MEASURES what the second probe buys: the standard
+    recall-vs-candidates tuning curve, two points of it
+    oracle-checked. Cost is the two searches (both corpus-linear);
+    the overlap is one 5-row-per-query equi-join."""
+    exact = ann_cosine_topk(spark, sf_dir).filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id"
+    )
+    mp = _ivf_multiprobe_frame(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    joined = exact.join(mp, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
 _KM_K = 8
 _KM_D2 = (
     "round(list_sum(list_transform(range(1, len({v})+1), "
