@@ -468,6 +468,64 @@ def nearest_centroid_np(
     return corpus.select(id_col, emb_col).mapInPandas(_assign, schema=out_schema)
 
 
+def nearest_centroids_np(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    cid_col: str = "cid",
+    cemb_col: str = "cemb",
+) -> DataFrame:
+    """Top-``k`` nearest centroids by dot product per corpus vector —
+    the multiprobe generalization of :func:`nearest_centroid_np`
+    (r11): (vec_id, emb, cid, probe_rank) with probe_rank 1..k
+    ordered by (dot DESC, cid ASC). One matmul per Arrow batch
+    against the cid-sorted centroid matrix; a stable argsort of the
+    negated dots reproduces the SQL ORDER BY exactly (equal dots keep
+    original column order = ascending cid). Probing all ~sqrt(N)
+    centroids per query vector is the standard IVF query cost; the
+    expression-tree crossJoin alternative pays the same pairs through
+    an interpreted 64-term HOF lambda — the ~100x cliff the sf1 sweep
+    measured twice (coarse quantizer r4, LSH scorer r5)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    crows = sorted(centroids.select(cid_col, cemb_col).collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cm = np.array([r[1] for r in crows], dtype=np.float64)
+    k = min(k, len(cids))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.LongType()),
+            T.StructField("probe_rank", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[emb_col]), dtype=np.float64)
+            top = np.argsort(-(vm @ cm.T), axis=1, kind="stable")[:, :k]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            embs = list(pdf[emb_col])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, k),
+                    "emb": [e for e in embs for _ in range(k)],
+                    "cid": cids[top].ravel(),
+                    "probe_rank": np.tile(np.arange(1, k + 1), len(ids)),
+                }
+            )
+
+    return corpus.select(id_col, emb_col).mapInPandas(_assign, schema=out_schema)
+
+
 def capped_shard_union(
     v: DataFrame,
     id_col: str,

@@ -328,22 +328,18 @@ def _ivf_multiprobe_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     assign = SIM.nearest_centroid_np(v, cent)
-    # Query-side multiprobe: queries are a 1% slice, so the
-    # query x sqrt(N)-centroid expression join is control-plane-sized
-    # (500 x 224 at sf1) — no Arrow pass needed; the centroid side is
-    # broadcast.
-    wq = W.partitionBy("vec_id").orderBy(F.desc("_dot"), "cid")
-    qp = (
-        v.filter(F.col("vec_id") % 100 == 0)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("_dot", SIM.dot(F.col("emb"), F.col("cemb")))
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= _IVF_NPROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("cid").alias("cell"),
-        )
+    # Query-side multiprobe: the SAME Arrow-batch matmul shape as the
+    # corpus assignment (nearest_centroids_np, stable-argsort top-k) —
+    # probing all ~sqrt(N) centroids per query is the standard IVF
+    # query cost, and an expression-tree crossJoin would pay those
+    # pairs through the interpreted HOF-dot cliff the sweep measured
+    # at ~100x (fixed r4/r5; not reintroduced here).
+    qp = SIM.nearest_centroids_np(
+        v.filter(F.col("vec_id") % 100 == 0), cent, k=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("cid").alias("cell"),
     )
     c = assign.select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), "cid"
