@@ -98,19 +98,30 @@ def totals_snapshot(spark, state_dir: str | Path) -> DataFrame:
     )
 
 
-def stats_for_terms(spark, state_dir: str | Path, terms: tuple[str, ...]) -> DataFrame:
+def stats_for_terms(
+    spark, state_dir: str | Path, terms: tuple[str, ...], n_buckets: int = 16
+) -> DataFrame:
     """The 1-row (n, df0..df{k-1}, sumdl) BM25 stats frame for a query
     — the shape operators/retrieval.corpus_stats produces, assembled
-    from the snapshots: k tiny df lookups (partition-pruned by the
-    term-hash bucket at scale) + the totals row. Terms never streamed
-    get df=0, exactly as the batch aggregate counts them."""
-    df = df_snapshot(spark, state_dir)
-    looked = [
-        df.filter(F.col("term") == t).agg(
-            F.coalesce(F.sum("df"), F.lit(0)).alias(f"df{i}")
+    from the snapshots: k tiny df lookups + the totals row. Each
+    lookup carries BOTH the term predicate and the term's literal
+    ``_bucket`` value (constant-folded from the same key_bucket
+    expression the writer used; ``n_buckets`` must match the
+    writer's), so the scan prunes to one bucket's partitions instead
+    of reading the whole vocabulary state — a term filter alone
+    cannot prune a hash-bucketed layout. Terms never streamed get
+    df=0, exactly as the batch aggregate counts them."""
+    st = read_state(spark, Path(state_dir) / "df", _DF_SCHEMA)
+    looked = []
+    for i, t in enumerate(terms):
+        # The writer's exact bucket expression over the literal term —
+        # constant-folded, so the _bucket predicate prunes partitions.
+        bucket = F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).cast("int")
+        looked.append(
+            st.filter((F.col("_bucket") == bucket) & (F.col("term") == t)).agg(
+                F.coalesce(F.sum("df"), F.lit(0)).alias(f"df{i}")
+            )
         )
-        for i, t in enumerate(terms)
-    ]
     out = totals_snapshot(spark, state_dir).select(
         F.col("n_docs").alias("n"), F.col("sum_dl").alias("sumdl")
     )

@@ -88,6 +88,24 @@ def test_snapshot_is_state_sized(spark, tmp_path):
         assert "documents" not in plan
 
 
+def test_df_lookup_prunes_bucket_partitions(spark, tmp_path):
+    """Each term lookup must carry the writer's literal _bucket value
+    so the scan prunes to one bucket's partitions — a term filter
+    alone cannot prune a hash-bucketed layout."""
+    import re
+
+    state = str(tmp_path / "state")
+    streaming_doc_stats_foreach_batch(state)(_docs(spark).limit(50), 0)
+    plan = (
+        stats_for_terms(spark, state, ("spark",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("_bucket" in pf and "=" in pf for pf in pfs), plan[:2000]
+
+
 def test_empty_and_missing_state(spark, tmp_path):
     """Born with the ADVICE r10 #4 discipline: missing dir and empty
     first trigger both read as empty stats (n=0, df=0, sumdl=0)."""
