@@ -132,6 +132,48 @@ def stats_for_terms(
     )
 
 
+def tfidf_topk_docs(
+    docs: DataFrame, spark, state_dir: str | Path, k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF against the STREAMED
+    corpus statistics — the keyword-extraction consumer of this
+    twin's state (same formula, ranking, and output schema as the
+    batch text_tfidf_topk: idf = ln((N+1)/(df+1)), row_number by
+    (tfidf desc, term)). tf comes from the docs being scored (one
+    explode + groupBy); df and N come from the snapshots, so scoring
+    new docs needs NO corpus rescan. A term never streamed scores
+    with df=0 (idf = ln(N+1)) — on the streamed corpus itself every
+    term has df >= 1 and the output equals the batch query exactly."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = df_snapshot(spark, state_dir)
+    n = totals_snapshot(spark, state_dir).collect()[0]["n_docs"]
+    scored = tf.join(F.broadcast(df), "term", "left").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.coalesce("df", F.lit(0)).cast("long").alias("df"),
+        F.round(
+            F.col("tf")
+            * F.log(
+                (F.lit(float(n)) + 1.0) / (F.coalesce("df", F.lit(0)) + 1.0)
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
 def bm25_score_docs(docs: DataFrame, stats: DataFrame, terms: tuple[str, ...], k: int = 100) -> DataFrame:
     """Score a (doc_id, text) frame against a streamed stats snapshot
     — the inference path a search deployment runs with the CURRENT

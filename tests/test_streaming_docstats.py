@@ -61,6 +61,21 @@ def test_streamed_stats_scores_equal_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streamed_tfidf_equals_batch(spark, tmp_path):
+    """The keyword-extraction consumer: TF-IDF top-3 against the
+    streamed df/totals equals text_tfidf_topk run as one batch (every
+    term of the streamed corpus has df >= 1, so the left-join df path
+    is exactly the batch inner join)."""
+    from ripcurrent_spark.queries.search import text_tfidf_topk
+    from ripcurrent_spark.streaming.docstats import tfidf_topk_docs
+
+    state = str(tmp_path / "state")
+    docs = _stream_in_triggers(spark, state)
+    got = [tuple(r) for r in tfidf_topk_docs(docs, spark, state).collect()]
+    want = [tuple(r) for r in text_tfidf_topk(spark, SF_ORACLE).collect()]
+    assert got == want
+
+
 def test_streaming_docstats_replay_idempotent(spark, tmp_path):
     state = str(tmp_path / "state")
     fn = streaming_doc_stats_foreach_batch(state)
