@@ -388,6 +388,8 @@ def compact_log_batches(
     log_dir: str,
     keep_latest: int = 1,
     collapse_key: Sequence[str] | None = None,
+    merge_key: Sequence[str] | None = None,
+    sum_cols: Sequence[str] | None = None,
 ) -> list[int]:
     """Fold old ``(_bucket, _batch_id)`` changelog partitions into a
     single compacted base partition (``_batch_id = -1``) per bucket.
@@ -408,10 +410,21 @@ def compact_log_batches(
     downstream max-of-struct(_batch_id, ...) fold ties on the batch id
     and picks the lexicographically larger payload — possibly the
     OLDER version (ADVICE r10 #2). Leave it None for true logs
-    (decisions, SCD2 changelog) where every row is history. Like the
-    snapshot compactor this runs offline between triggers (a lakehouse
-    would checkpoint its transaction log the same way). Returns the
-    folded batch ids.
+    (decisions, SCD2 changelog) where every row is history.
+
+    ``merge_key`` + ``sum_cols`` (r11) is the third mode, for
+    MERGEABLE-COUNT partials state (the DSIR / word-frequency /
+    charlm / BM25-stats streaming twins): the folded set collapses to
+    ONE row per key with each ``sum_cols`` column SUMMED — the
+    snapshot read over (new base + live batches) is unchanged because
+    summing is exactly what the snapshot does, but the base's row
+    count becomes bounded by the key space (vocabulary/bucket count)
+    instead of growing by one partial-set per trigger forever.
+    Mutually exclusive with ``collapse_key``.
+
+    Like the snapshot compactor this runs offline between triggers (a
+    lakehouse would checkpoint its transaction log the same way).
+    Returns the folded batch ids.
 
     Works on both layouts the streaming sinks produce: nested
     ``_bucket=*/_batch_id=*`` (SCD2 changelog, dedup band-key index)
@@ -452,6 +465,8 @@ def compact_log_batches(
     folded = spark.read.parquet(str(root)).filter(
         F.col("_batch_id").isin([*fold, COMPACTED_BATCH_ID])
     )
+    if collapse_key and (merge_key is not None or sum_cols):
+        raise ValueError("collapse_key and merge_key/sum_cols are exclusive")
     if collapse_key:
         # Newest-wins collapse BEFORE the ids are overwritten: per key
         # keep only the rows of its max batch id in the folded set
@@ -464,6 +479,14 @@ def compact_log_batches(
             folded.join(newest, list(collapse_key))
             .filter(F.col("_batch_id") == F.col("_newest"))
             .drop("_newest")
+        )
+    if merge_key is not None:
+        # Sum-merge collapse for mergeable-count partials: one row per
+        # key (an EMPTY key list = one global totals row), counts
+        # summed — the same fold the snapshot performs. Partition
+        # columns of a nested layout (_bucket) must be in the key.
+        folded = folded.groupBy(*merge_key).agg(
+            *[F.sum(c).alias(c) for c in (sum_cols or [])]
         )
     folded = folded.withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
     if nested:

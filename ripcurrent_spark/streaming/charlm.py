@@ -38,6 +38,18 @@ from ripcurrent_spark.streaming.state import read_state
 _STATE_SCHEMA = "b string, c long, _batch_id long"
 
 
+def compact_charlm_state(spark, state_dir: str | Path, keep_latest: int = 1) -> list:
+    """Sum-merge closed batch partials into the base: the state stays
+    <= 1369 rows + keep_latest batch partials at any trigger count
+    (streaming/state.compact_state; replay-safe)."""
+    from ripcurrent_spark.streaming.state import compact_state
+
+    return compact_state(
+        spark, state_dir, merge_key=("b",), sum_cols=("c",),
+        keep_latest=keep_latest,
+    )
+
+
 def _normed(batch: DataFrame) -> DataFrame:
     """The batch query's exact normalization gate (doc_id, t)."""
     return batch.select("doc_id", norm_text("text").alias("t")).filter(

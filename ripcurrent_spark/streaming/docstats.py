@@ -80,6 +80,27 @@ def streaming_doc_stats_foreach_batch(state_dir: str, n_buckets: int = 16):
     return _apply
 
 
+def compact_doc_stats_state(
+    spark, state_dir: str | Path, keep_latest: int = 1
+) -> dict[str, list]:
+    """Sum-merge both state tables' closed batch partials into their
+    bases: df stays vocabulary-sized and totals stays ONE row (+
+    keep_latest batch partials each) at any trigger count
+    (streaming/state.compact_state; replay-safe)."""
+    from ripcurrent_spark.streaming.state import compact_state
+
+    return {
+        "df": compact_state(
+            spark, Path(state_dir) / "df", merge_key=("term", "_bucket"),
+            sum_cols=("df",), keep_latest=keep_latest,
+        ),
+        "totals": compact_state(
+            spark, Path(state_dir) / "totals", merge_key=(),
+            sum_cols=("n_docs", "sum_dl"), keep_latest=keep_latest,
+        ),
+    }
+
+
 def df_snapshot(spark, state_dir: str | Path) -> DataFrame:
     """(term, df) for every term ever streamed — one term-keyed sum
     over the per-batch partials (vocabulary-scaled input).

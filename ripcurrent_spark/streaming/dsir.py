@@ -68,6 +68,20 @@ def streaming_dsir_foreach_batch(state_dir: str, target_lang: str = TARGET_LANG)
 _STATE_SCHEMA = "b long, cr long, ct long, _batch_id long"
 
 
+def compact_dsir_state(spark, state_dir: str | Path, keep_latest: int = 1) -> list:
+    """Sum-merge closed batch partials into the base: the state stays
+    <= {DSIR_B} rows + keep_latest batch partials at any trigger
+    count (streaming/state.compact_state; replay-safe). A null
+    summed ct (no target docs ever) keeps the snapshot's
+    null-filtered semantics."""
+    from ripcurrent_spark.streaming.state import compact_state
+
+    return compact_state(
+        spark, state_dir, merge_key=("b",), sum_cols=("cr", "ct"),
+        keep_latest=keep_latest,
+    )
+
+
 def dsir_model_snapshot(spark, state_dir: str | Path) -> DataFrame:
     """(b, w): the current log-weight model — one {DSIR_B}-group sum
     over the per-batch partials, then the shared smoothing/log/DECIMAL

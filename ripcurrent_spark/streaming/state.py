@@ -24,6 +24,36 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 
+def compact_state(
+    spark,
+    state_dir: str | Path,
+    merge_key: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    keep_latest: int = 1,
+) -> list:
+    """Fold CLOSED per-batch partials into one SUMMED row per key in
+    the compacted base partition (sinks.compact_log_batches's r11
+    sum-merge mode) — the long-run maintenance every mergeable-counts
+    twin needs: without it the state grows by one partial-set per
+    trigger forever even though the information content is bounded by
+    the key space. Snapshot reads are unchanged (summing is exactly
+    what they do); the newest ``keep_latest`` batch partitions stay in
+    place so an at-least-once replay still overwrites its own
+    partition instead of double-counting against the base. For a
+    nested ``_bucket=*/_batch_id=*`` layout, include ``_bucket`` in
+    ``merge_key``. Pass an EMPTY ``merge_key`` for a global totals
+    state (one summed row). Returns the folded batch ids."""
+    from ripcurrent_spark.sinks import compact_log_batches
+
+    return compact_log_batches(
+        spark,
+        str(state_dir),
+        keep_latest=keep_latest,
+        merge_key=list(merge_key),
+        sum_cols=list(sum_cols),
+    )
+
+
 def read_state(spark, state_dir: str | Path, schema: str) -> DataFrame:
     """Read a partials dir with its fixed ``schema`` (DDL string,
     partition columns included — their dir-name values are cast to

@@ -38,6 +38,21 @@ from ripcurrent_spark.streaming.state import read_state
 _STATE_SCHEMA = "word string, n long, _bucket int, _batch_id long"
 
 
+def compact_word_counts_state(
+    spark, state_dir: str | Path, keep_latest: int = 1
+) -> list:
+    """Sum-merge closed batch partials into the base: the state stays
+    vocabulary-sized + keep_latest batch partials at any trigger
+    count (streaming/state.compact_state; replay-safe; _bucket rides
+    in the merge key because it partitions the nested layout)."""
+    from ripcurrent_spark.streaming.state import compact_state
+
+    return compact_state(
+        spark, state_dir, merge_key=("word", "_bucket"), sum_cols=("n",),
+        keep_latest=keep_latest,
+    )
+
+
 def streaming_word_counts_foreach_batch(state_dir: str, n_buckets: int = 16):
     """foreachBatch fn for a (doc_id, text) document stream: fold the
     batch into per-word partial counts under its own partition."""

@@ -162,6 +162,116 @@ def test_streaming_state_snapshots_survive_empty_batches(spark, tmp_path):
     assert wc["the"] == 2
 
 
+# ----------------------------------- mergeable-state sum-compaction
+
+
+def _docs_table(spark):
+    from ripcurrent_spark.io import load
+
+    return load(spark, SF_ORACLE, "documents").select("doc_id", "lang", "text")
+
+
+def test_charlm_state_compaction_bounds_rows(spark, tmp_path):
+    """r11 sum-merge compaction: after folding closed batches the
+    model snapshot is unchanged, the base holds ONE summed row per
+    bigram (not one partial-set per trigger), partitions are bounded,
+    and a replay of the kept batch stays idempotent."""
+    from pathlib import Path
+
+    from ripcurrent_spark.sinks import COMPACTED_BATCH_ID
+    from ripcurrent_spark.streaming.charlm import (
+        charlm_model_snapshot,
+        compact_charlm_state,
+        streaming_charlm_foreach_batch,
+    )
+
+    state = str(tmp_path / "lm")
+    docs = _docs_table(spark).select("doc_id", "text")
+    fn = streaming_charlm_foreach_batch(state)
+    for i in range(3):
+        fn(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    def model():
+        return sorted(
+            (r["b"], str(r["lnp"]))
+            for r in charlm_model_snapshot(spark, state).collect()
+        )
+
+    before = model()
+    assert compact_charlm_state(spark, state, keep_latest=1) == [0, 1]
+    ids = {int(d.name.split("=", 1)[1]) for d in Path(state).glob("_batch_id=*")}
+    assert ids == {COMPACTED_BATCH_ID, 2}
+    assert model() == before
+    base = spark.read.parquet(state).filter(
+        F.col("_batch_id") == COMPACTED_BATCH_ID
+    )
+    assert base.count() == base.select("b").distinct().count()
+    fn(docs.filter(F.col("doc_id") % 3 == 2), 2)  # replay the kept batch
+    assert model() == before
+
+
+def test_docstats_compaction_preserves_stats(spark, tmp_path):
+    """Both doc-stats tables sum-compact: the assembled stats row is
+    unchanged and the totals base collapses to ONE row."""
+    from pathlib import Path
+
+    from ripcurrent_spark.sinks import COMPACTED_BATCH_ID
+    from ripcurrent_spark.streaming.docstats import (
+        compact_doc_stats_state,
+        stats_for_terms,
+        streaming_doc_stats_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    docs = _docs_table(spark).select("doc_id", "text")
+    fn = streaming_doc_stats_foreach_batch(state)
+    for i in range(3):
+        fn(docs.filter(F.col("doc_id") % 3 == i), i)
+    terms = ("spark", "join", "stream")
+    before = stats_for_terms(spark, state, terms).collect()
+    folded = compact_doc_stats_state(spark, state, keep_latest=1)
+    assert folded == {"df": [0, 1], "totals": [0, 1]}
+    assert stats_for_terms(spark, state, terms).collect() == before
+    tot_base = spark.read.parquet(str(Path(state) / "totals")).filter(
+        F.col("_batch_id") == COMPACTED_BATCH_ID
+    )
+    assert tot_base.count() == 1
+
+
+def test_dsir_and_wordfreq_compaction_preserve_snapshots(spark, tmp_path):
+    from ripcurrent_spark.streaming.dsir import (
+        compact_dsir_state,
+        dsir_model_snapshot,
+        streaming_dsir_foreach_batch,
+    )
+    from ripcurrent_spark.streaming.wordfreq import (
+        compact_word_counts_state,
+        streaming_word_counts_foreach_batch,
+        word_counts_snapshot,
+    )
+
+    docs = _docs_table(spark)
+    ds, ws = str(tmp_path / "dsir"), str(tmp_path / "wf")
+    for i in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == i)
+        streaming_dsir_foreach_batch(ds)(part, i)
+        streaming_word_counts_foreach_batch(ws)(part.select("doc_id", "text"), i)
+    dm = sorted(
+        (r["b"], str(r["w"])) for r in dsir_model_snapshot(spark, ds).collect()
+    )
+    wc = sorted(
+        (r["word"], r["n"]) for r in word_counts_snapshot(spark, ws).collect()
+    )
+    assert compact_dsir_state(spark, ds) == [0, 1]
+    assert compact_word_counts_state(spark, ws) == [0, 1]
+    assert dm == sorted(
+        (r["b"], str(r["w"])) for r in dsir_model_snapshot(spark, ds).collect()
+    )
+    assert wc == sorted(
+        (r["word"], r["n"]) for r in word_counts_snapshot(spark, ws).collect()
+    )
+
+
 # ----------------------------------- exclude_exact injective group key
 
 
