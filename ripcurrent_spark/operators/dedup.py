@@ -647,6 +647,13 @@ def _cc_loop(pairs, id_a, id_b, max_iter, reliable, stats, _cut, _drop_round, tr
         .repartition("dst")
         .persist()
     )
+    # Initial labels: EAGER cut on purpose — a lazy persist was tried
+    # (r11) and re-measured WORSE: the eager localCheckpoint runs
+    # through AQE, which coalesces the node-sized distinct to 1-2
+    # partitions, and every later round inherits that width; the lazy
+    # form materialized inside round 1's job at the static
+    # shuffle-partition count and ~2.5x'd the total task count
+    # (259 -> 646 tasks at sf0.1).
     labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -687,6 +694,14 @@ def _cc_loop(pairs, id_a, id_b, max_iter, reliable, stats, _cut, _drop_round, tr
         stepped = _cut(hooked)  # eager: materializes + truncates the plan
         _drop_round(labels)
         labels = stepped
+        if rounds == 1 and max_iter > 1:
+            # Round 1 cannot be the fixpoint on any graph with a real
+            # edge: the symmetric edge build gives every edge (u, v),
+            # u < v, so node v adopts nmin <= u < v — a guaranteed
+            # change. Skipping the check saves one job per call (r11);
+            # a degenerate graph (empty, or self-loops only) just
+            # converges on the round-2 check instead.
+            continue
         if stepped.filter(F.col("_chg")).limit(1).count() == 0:
             converged = True
             break

@@ -134,19 +134,38 @@ def brute_force_topk_np(
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            cm = np.array(list(pdf[emb_col]), dtype=np.float64)
+            # Pre-sort the batch by id so ONE stable argsort of the
+            # whole (batch x nq) score matrix reproduces the exact
+            # (cos DESC, neighbor_id ASC) order per query — equal
+            # scores keep row order = ascending id. This replaces the
+            # per-query Python loop of mask/nonzero/lexsort (nq
+            # interpreted passes per batch, the dominant cost of the
+            # exact searches at sf1 — guide §4.2: hand whole batches
+            # to vectorized kernels); selected candidates and their
+            # scores are bit-identical either way.
+            order0 = np.argsort(cids, kind="stable")
+            cids = cids[order0]
+            cm = np.array(list(pdf[emb_col]), dtype=np.float64)[order0]
             cm = unit_rows_np(cm)
             scores = cm @ qm.T  # (batch, nq)
-            for j in range(len(qids)):
-                s = scores[:, j]
-                mask = cids != qids[j]
-                idx = np.nonzero(mask)[0]
-                if not len(idx):
-                    continue
-                top = idx[np.lexsort((cids[idx], -s[idx]))[:k]]
-                yield pd.DataFrame(
-                    {"query_id": qids[j], "neighbor_id": cids[top], "cos_raw": s[top]}
-                )
+            # Top k+1 rows per query column (the +1 absorbs the one
+            # possible self-row, dropped below).
+            kk = min(k + 1, scores.shape[0])
+            top = np.argsort(-scores, axis=0, kind="stable")[:kk]  # (kk, nq)
+            tid = cids[top]  # (kk, nq)
+            tsc = np.take_along_axis(scores, top, axis=0)
+            keep = tid != qids[None, :]  # drop self-pairs
+            # Per query: first k survivors, emitted in one frame.
+            qcol = np.broadcast_to(qids, tid.shape)
+            rnk = np.cumsum(keep, axis=0)
+            sel = keep & (rnk <= k)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol.T[sel.T],
+                    "neighbor_id": tid.T[sel.T],
+                    "cos_raw": tsc.T[sel.T],
+                }
+            )
 
     local = corpus.select(id_col, emb_col).mapInPandas(_score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
@@ -225,24 +244,37 @@ def hard_negative_topk_np(
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            clabs = pdf[label_col].to_numpy(dtype=np.int64)
-            cm = unit_rows_np(np.array(list(pdf[emb_col]), dtype=np.float64))
+            # id-sorted batch + one stable argsort of the whole score
+            # matrix = exact (cos DESC, id ASC) per query, replacing
+            # the per-query Python mask/nonzero/lexsort loop (guide
+            # §4.2) — same candidates, same values. Ineligible pairs
+            # (same label, or self) score -inf, which no real cosine
+            # of unit vectors can reach, so they sort strictly last
+            # and are dropped by the finite filter.
+            order0 = np.argsort(cids, kind="stable")
+            cids = cids[order0]
+            clabs = pdf[label_col].to_numpy(dtype=np.int64)[order0]
+            cm = unit_rows_np(np.array(list(pdf[emb_col]), dtype=np.float64)[order0])
             scores = cm @ qm.T  # (batch, nq)
-            for j in range(len(qids)):
-                s = scores[:, j]
-                cand = np.nonzero((clabs != qlabs[j]) & (cids != qids[j]))[0]
-                if not len(cand):
-                    continue
-                top = cand[np.lexsort((cids[cand], -s[cand]))[:k]]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qids[j],
-                        "query_label": np.full(len(top), qlabs[j], dtype=np.int32),
-                        "neighbor_id": cids[top],
-                        "negative_label": clabs[top].astype(np.int32),
-                        "cos_raw": s[top],
-                    }
-                )
+            valid = (clabs[:, None] != qlabs[None, :]) & (cids[:, None] != qids[None, :])
+            masked = np.where(valid, scores, -np.inf)
+            kk = min(k, masked.shape[0])
+            top = np.argsort(-masked, axis=0, kind="stable")[:kk]  # (kk, nq)
+            tsc = np.take_along_axis(masked, top, axis=0)
+            sel = np.isfinite(tsc)  # (kk, nq)
+            tid = cids[top]
+            tlab = clabs[top]
+            qcol = np.broadcast_to(qids, tid.shape)
+            qlab = np.broadcast_to(qlabs, tid.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol.T[sel.T],
+                    "query_label": qlab.T[sel.T].astype(np.int32),
+                    "neighbor_id": tid.T[sel.T],
+                    "negative_label": tlab.T[sel.T].astype(np.int32),
+                    "cos_raw": tsc.T[sel.T],
+                }
+            )
 
     local = corpus.select(id_col, label_col, emb_col).mapInPandas(_score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")

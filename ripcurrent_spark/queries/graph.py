@@ -128,7 +128,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SCALE).cast("long").alias("rank"),
         "outdeg",
     )
-    prev = None
     for _ in range(N_ITER):
         # Size-gated broadcasts: the rank state and contribution sums
         # are node-sized, which is broadcastable up to ~hundreds of MB
@@ -156,30 +155,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # Persist the per-iteration rank state (node-sized, tiny
             # next to the edge frame): Catalyst swaps the subtree for
-            # an InMemoryRelation, so each iteration's plan compiles
-            # ALONE instead of janino re-compiling an N-iteration
-            # unrolled mega-tree at the end — the unrolled form's
-            # cold-start was ~4x the warm run's compute at sf1 (the
-            # computed longs are identical either way).
+            # an InMemoryRelation AT ANALYSIS TIME, materialized or
+            # not, so each iteration's plan compiles ALONE instead of
+            # janino re-compiling an N-iteration unrolled mega-tree at
+            # the end — the unrolled form's cold-start was ~4x the
+            # warm run's compute at sf1 (the computed longs are
+            # identical either way). r11: the persist is LAZY — the
+            # eager per-iteration state.count() jobs are gone (guide
+            # §1.2: don't run jobs whose only product is scheduling);
+            # iteration i's cache materializes inside iteration i+1's
+            # broadcast build (or the final top-k), which the caller's
+            # single action drives end to end. Measured at sf0.1:
+            # 2.52 -> ~1.9 s headline (3 node-sized count jobs
+            # removed; byte-identical output).
             .persist()
         )
-        # Materialize this iteration's node-sized cache now (one tiny
-        # job) so the PREVIOUS iteration's cache can be released —
-        # without this, a long-lived session accumulates N_ITER cached
-        # node-sized frames per call (bench.py clears cache between
-        # queries; a library consumer does not).
-        state.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = state
-    # The final state is materialized above, so the returned plan reads
-    # from its cache; the edge/degree caches are no longer needed (on
-    # cache eviction the lineage recomputes them — correct, just cold).
-    edges.unpersist()
-    deg.unpersist()
-    # The returned top-k plan reads the final state's cache; register
-    # it with the caller-release seam (VERDICT r7 #2).
-    cachereg.track(state)
+        # Intermediate states stay cached until the caller-release
+        # seam fires: unpersisting them here (before anything has
+        # materialized) would splice the full unrolled lineage back
+        # into the final plan. They are node-sized — N_ITER small
+        # frames, released together by cachereg.
+        cachereg.track(state)
+    # The returned plan materializes the cached chain lazily; the
+    # edge/degree caches are still needed by that first action, so
+    # they are tracked (caller-released), not unpersisted here — an
+    # eager unpersist would force the final action to recompute the
+    # edge artifact scan per iteration.
+    cachereg.track(edges)
+    cachereg.track(deg)
     return (
         state.select(
             F.col("node").alias("part_key"), F.col("rank").alias("rank_fp"), "outdeg"
