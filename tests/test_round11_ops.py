@@ -528,3 +528,75 @@ def test_spread_if_narrow_scan_passes_through_exchanged_input(spark):
     )
     out = spread_if_narrow_scan(exchanged, sc.defaultParallelism, "vec_id")
     assert out is exchanged
+
+
+# ----------------------------------- argpartition top-k exactness
+
+
+def _full_sort_topk(st, kk):
+    import numpy as np
+
+    o = np.argsort(-st, axis=1, kind="stable")[:, :kk]
+    return o, np.take_along_axis(st, o, axis=1)
+
+
+def test_row_topk_matches_full_sort_random():
+    import numpy as np
+
+    from ripcurrent_spark.operators.similarity import _row_topk_np
+
+    rng = np.random.default_rng(7)
+    st = rng.standard_normal((40, 500))
+    top, ts = _row_topk_np(st, 6, np)
+    ref_top, ref_ts = _full_sort_topk(st, 6)
+    assert np.array_equal(top, ref_top)
+    assert np.array_equal(ts, ref_ts)
+
+
+def test_row_topk_matches_full_sort_wide_tie_class():
+    """A tie class wider than the argpartition margin straddles the
+    partition edge — the per-row boundary check must fire the full
+    stable-argsort fallback and keep (value DESC, column ASC) exact."""
+    import numpy as np
+
+    from ripcurrent_spark.operators.similarity import (
+        _TOPK_MARGIN,
+        _row_topk_np,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cols = 4 * (_TOPK_MARGIN + 6)
+    st = rng.standard_normal((8, n_cols))
+    # Row 3: columns 10.. all share the maximum value — a tie class
+    # far wider than kk + margin, so the kk-th selected value equals
+    # the partition boundary and argpartition alone cannot pick the
+    # lowest column indices.
+    st[3, 10:] = 5.0
+    # Row 5: everything ties — degenerate case.
+    st[5, :] = 1.25
+    top, ts = _row_topk_np(st, 6, np)
+    ref_top, ref_ts = _full_sort_topk(st, 6)
+    assert np.array_equal(top, ref_top)
+    assert np.array_equal(ts, ref_ts)
+    # The tie rows picked the LOWEST column indices of the tie class.
+    assert list(top[3]) == [10, 11, 12, 13, 14, 15]
+    assert list(top[5]) == [0, 1, 2, 3, 4, 5]
+
+
+def test_row_topk_neginf_rows_are_safe_without_fallback():
+    """Rows whose kk-th value is -inf (fewer valid candidates than kk
+    after masking) are safe by construction: every element outside the
+    partition is also -inf and the callers drop non-finite rows."""
+    import numpy as np
+
+    from ripcurrent_spark.operators.similarity import _row_topk_np
+
+    st = np.full((3, 200), -np.inf)
+    st[0, 17] = 0.5
+    st[1, 3] = 0.9
+    st[1, 150] = 0.2
+    top, ts = _row_topk_np(st, 6, np)
+    assert top.shape == (3, 6)
+    assert list(top[0][:1]) == [17] and np.isinf(ts[0][1:]).all()
+    assert list(top[1][:2]) == [3, 150] and np.isinf(ts[1][2:]).all()
+    assert np.isinf(ts[2]).all()
